@@ -1,13 +1,217 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextOps}
+import graft.streaming.StreamOps
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry is one operator family from SURVEY.md §2 (or a
+  * training-data-pipeline extension), expressed as a declarative Spark plan
+  * on the `/root/testdata` fixtures. `oracleSql` holds the DuckDB-equivalent
+  * SQL (identical column names and rounding on both sides); operators whose
+  * semantics aren't SQL-expressible in DuckDB (hash-seeded LSH, streaming
+  * plumbing) are intentionally absent from `oracleSql` → rows-only check.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0.
+    * orders left-joined with per-order lineitem aggregates (J1 shape).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.q06JoinAgg(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- reference operator surface (SURVEY.md §2) ----
+    "q01_group_count" -> (Relational.q01GroupCount _),
+    "q02_group_avg" -> (Relational.q02GroupAvg _),
+    "q03_group_year" -> (Relational.q03GroupYear _),
+    "q04_group3_sort" -> (Relational.q04Group3KeySort _),
+    "q05_multi_agg_skew" -> (Relational.q05MultiAggSkew _),
+    "q06_join_agg" -> (Relational.q06JoinAgg _),
+    "q07_filter_conj" -> (Relational.q07FilterConj _),
+    "q08_derived_cols" -> (Relational.q08DerivedCols _),
+    "q09_union_all" -> (Relational.q09Union _),
+    "q10_distinct_sort" -> (Relational.q10DistinctSort _),
+    "q11_pivot" -> (Relational.q11Pivot _),
+    "q12_topk" -> (Relational.q12TopK _),
+    "q13_offset" -> (Relational.q13Offset _),
+    "q14_dedup_exact" -> (Relational.q14DedupExact _),
+    "q15_window_funcs" -> (Relational.q15WindowFuncs _),
+    "q16_split_agg" -> (Relational.q16SplitAgg _),
+    // ---- training-data pipeline extensions ----
+    "dedup_exact_docs" -> (Dedup.exact _),
+    "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
+    "dedup_minhash_lsh" -> (Dedup.minhashLsh _),
+    "dedup_simhash" -> (Dedup.simhashPairs _),
+    "dedup_embedding_cosine" -> ((s: SparkSession, d: String) => Dedup.embeddingCosine(s, d)),
+    "ann_brute_topk" -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
+    "ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
+    "emb_label_centroids" -> (Similarity.labelCentroids _),
+    "text_token_counts" -> (TextOps.tokenCounts _),
+    "text_quality" -> (TextOps.qualityScore _),
+    "text_lang_id" -> (TextOps.langId _),
+    "text_fingerprint" -> (TextOps.fingerprints _),
+    "mm_binary_features" -> ((s: SparkSession, d: String) => Multimodal.pipeline(s, d)),
+    "stream_tumbling_agg" -> ((s: SparkSession, d: String) => StreamOps.tumblingWindowAgg(s, d))
+  )
+
+  /** DuckDB shingle CTE shared by the two near-dup oracles. */
+  private val shingleCte: String =
+    """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+      |       FROM w, UNNEST(range(1, len(w)-1)) AS t(i) WHERE len(w) >= 3),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT id_a, id_b, round(c / (sa.n + sb.n - c), 6) AS jaccard
+      |FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+      |WHERE round(c / (sa.n + sb.n - c), 6) >= 0.5""".stripMargin
+
+  private val cosineCte: String =
+    """WITH v AS (SELECT vec_id,
+      |  list_transform(embedding, x -> x::DOUBLE) AS e,
+      |  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+      |  FROM embeddings)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_group_count" ->
+      "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type",
+    "q02_group_avg" ->
+      "SELECT o_orderstatus, round(avg(o_totalprice), 4) AS avg_total FROM orders GROUP BY o_orderstatus",
+    "q03_group_year" ->
+      "SELECT o_custkey, CAST(year(o_orderdate) AS INTEGER) AS o_year, count(*) AS cnt FROM orders GROUP BY 1, 2",
+    "q04_group3_sort" ->
+      """SELECT l_returnflag, CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+        |CAST(trunc(l_quantity) AS BIGINT) AS qty_b, count(*) AS cnt
+        |FROM lineitem GROUP BY 1, 2, 3 ORDER BY ship_year ASC, cnt DESC""".stripMargin,
+    "q05_multi_agg_skew" ->
+      """SELECT l_suppkey, min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+        |round(avg(l_extendedprice), 4) AS avg_price, round(sum(l_extendedprice), 2) AS sum_price,
+        |round(sum(l_quantity), 2) AS sum_qty, round(avg(l_discount), 6) AS avg_disc,
+        |round(skewness(l_extendedprice), 6) AS skew_price, count(*) AS cnt
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q06_join_agg" ->
+      """SELECT o.o_orderkey, o.o_orderstatus, l.revenue, l.n_items
+        |FROM orders o LEFT JOIN (
+        |  SELECT l_orderkey, round(sum(l_extendedprice), 2) AS revenue, count(*) AS n_items
+        |  FROM lineitem GROUP BY 1) l
+        |ON o.o_orderkey = l.l_orderkey""".stripMargin,
+    "q07_filter_conj" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate FROM lineitem
+        |WHERE l_quantity > 1 AND l_quantity < 50 AND l_extendedprice >= 1000 AND l_extendedprice <= 90000
+        |AND l_discount >= 0.0 AND l_discount <= 0.1 AND l_tax <= 0.08
+        |AND (l_quantity <= 45 OR l_extendedprice >= 5000)
+        |AND l_shipdate > TIMESTAMP '1995-06-01 00:00:00' AND l_linenumber < 7
+        |AND l_extendedprice > l_quantity * l_discount * 100""".stripMargin,
+    "q08_derived_cols" ->
+      """SELECT event_id, CAST(year(ts) AS INTEGER) AS y, CAST(day(ts) AS INTEGER) AS dom,
+        |CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s, CAST(floor(value / 0.01) AS BIGINT) AS v_cell,
+        |round(sqrt(value), 6) AS sqrt_v, round(value * value, 4) AS v_sq,
+        |round(value * 2 - 1, 2) AS v_lin, coalesce(props, '-1') AS props_filled
+        |FROM events""".stripMargin,
+    "q09_union_all" ->
+      """WITH u AS (SELECT * FROM events WHERE value < 100
+        |UNION ALL SELECT * FROM events WHERE value >= 400)
+        |SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_v FROM u GROUP BY 1""".stripMargin,
+    "q10_distinct_sort" ->
+      "SELECT DISTINCT lang FROM documents ORDER BY lang",
+    "q11_pivot" ->
+      """SELECT user_id,
+        |count(*) FILTER (WHERE event_type = 'click') AS click,
+        |count(*) FILTER (WHERE event_type = 'error') AS error,
+        |count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY 1""".stripMargin,
+    "q12_topk" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    "q13_offset" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber LIMIT 500 OFFSET 1000""".stripMargin,
+    "q14_dedup_exact" ->
+      """SELECT user_id, event_type, min(event_id) AS first_event, count(*) AS n_dupes
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q15_window_funcs" ->
+      """SELECT event_id, user_id,
+        |row_number() OVER win AS rn,
+        |round(lag(value) OVER win, 2) AS prev_v,
+        |round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_v
+        |FROM events WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+    "q16_split_agg" ->
+      """WITH base AS (SELECT *, CAST(day(ts) AS INTEGER) AS dom FROM events WHERE value > 0),
+        |t AS (SELECT event_type, count(*) AS n_train, round(avg(value), 4) AS avg_train
+        |      FROM base WHERE dom < 25 GROUP BY 1),
+        |v AS (SELECT event_type, count(*) AS n_test, round(avg(value), 4) AS avg_test
+        |      FROM base WHERE dom >= 25 GROUP BY 1)
+        |SELECT coalesce(t.event_type, v.event_type) AS event_type, n_train, avg_train, n_test, avg_test
+        |FROM t FULL OUTER JOIN v ON t.event_type = v.event_type""".stripMargin,
+    "dedup_exact_docs" ->
+      "SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text",
+    "dedup_ngram_jaccard" -> shingleCte,
+    // minhash-LSH at b=16/r=2 has ~1-3e-12 miss probability at the j>=0.5
+    // threshold on this data (all matching pairs have j>=0.9), so the exact
+    // oracle applies.
+    "dedup_minhash_lsh" -> shingleCte,
+    "dedup_embedding_cosine" ->
+      s"""$cosineCte
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |round(list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm), 6) AS cosine
+         |FROM v a JOIN v b ON a.vec_id < b.vec_id
+         |WHERE round(list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm), 6) >= 0.45""".stripMargin,
+    "ann_brute_topk" ->
+      s"""$cosineCte,
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |    round(list_sum(list_transform(range(1, len(q.e) + 1), i -> q.e[i] * n.e[i])) / (q.nrm * n.nrm), 6) AS cosine
+         |  FROM v q JOIN v n ON q.vec_id < 10 AND n.vec_id <> q.vec_id)
+         |SELECT query_id, neighbor_id, cosine,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+         |FROM scored
+         |QUALIFY rank <= 5""".stripMargin,
+    "emb_label_centroids" ->
+      """WITH ex AS (SELECT label, i AS dim_idx, embedding[i]::DOUBLE AS x
+        |            FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)),
+        |m AS (SELECT label, dim_idx, avg(x) AS mean_x, count(*) AS n FROM ex GROUP BY 1, 2)
+        |SELECT label, max(n) AS n_vectors, round(sqrt(sum(mean_x * mean_x)), 6) AS centroid_norm
+        |FROM m GROUP BY 1""".stripMargin,
+    "text_token_counts" ->
+      """SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars_m,
+        |CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+        |CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS INTEGER) AS n_distinct_tokens,
+        |CAST(len(list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'), x -> length(x) > 0)) AS INTEGER) AS n_words_alnum
+        |FROM documents""".stripMargin,
+    "text_quality" ->
+      """WITH w AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS t FROM documents)
+        |SELECT doc_id,
+        |round(len(list_filter(t, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) / len(t), 6) AS stopword_ratio,
+        |round(len(list_distinct(t)) / len(t), 6) AS distinct_ratio,
+        |round(list_sum(list_transform(t, x -> length(x))) / len(t), 6) AS mean_token_len,
+        |round(length(regexp_replace(text, '[a-zA-Z0-9\s]+', '', 'g')) / length(text), 6) AS punct_ratio
+        |FROM w""".stripMargin,
+    "text_lang_id" ->
+      """WITH w AS (SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |  CAST(len(list_filter(t, x -> list_contains(['der','die','das','und','ist','nicht'], x))) AS INTEGER) AS score_de,
+        |  CAST(len(list_filter(t, x -> list_contains(['the','a','of','and','is','to'], x))) AS INTEGER) AS score_en,
+        |  CAST(len(list_filter(t, x -> list_contains(['el','los','las','es','y','que'], x))) AS INTEGER) AS score_es,
+        |  CAST(len(list_filter(t, x -> list_contains(['le','la','les','et','est','que'], x))) AS INTEGER) AS score_fr,
+        |  CAST(len(list_filter(t, x -> list_contains(['的','是','在','了','和'], x))) AS INTEGER) AS score_zh
+        |  FROM w)
+        |SELECT doc_id, lang AS lang_true,
+        |CASE WHEN greatest(score_de, score_en, score_es, score_fr, score_zh) = 0 THEN 'und'
+        |     WHEN score_de = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'de'
+        |     WHEN score_en = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'en'
+        |     WHEN score_es = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'es'
+        |     WHEN score_fr = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'fr'
+        |     ELSE 'zh' END AS lang_pred,
+        |score_de, score_en, score_es, score_fr, score_zh
+        |FROM s""".stripMargin,
+    "stream_tumbling_agg" ->
+      """SELECT date_trunc('hour', ts) AS win_start, event_type,
+        |count(*) AS cnt, round(sum(value), 2) AS sum_v
+        |FROM events GROUP BY 1, 2""".stripMargin
+  )
 }

@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text primitives for the large-scale pipeline operators
+  * (dedup, fingerprinting, quality scoring). Everything here is composed
+  * from codegen'd built-ins and higher-order functions — no UDFs — so the
+  * expressions stay inside whole-stage codegen and scale linearly.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization; empty input → empty array (not [""]). */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** Distinct word k-shingles ("w1 w2 w3") of the token array.
+    * Documents shorter than k tokens yield an empty set.
+    */
+  def shingles(text: Column, k: Int): Column = {
+    val w = tokens(text)
+    when(size(w) >= k,
+      array_distinct(transform(sequence(lit(1), size(w) - (k - 1)), i =>
+        concat_ws(" ", (0 until k).map(j => element_at(w, i + j)): _*))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Mersenne prime 2^31 − 1: the modulus for the minhash permutation
+    * family h_i(x) = (a_i·x + b_i) mod p — the standard construction from
+    * Broder's "On the resemblance and containment of documents" (1997).
+    */
+  val MinhashPrime: Long = 2147483647L
+
+  /** Deterministic permutation coefficients (any fixed odd multipliers work;
+    * derived from a splitmix-style integer scramble of the index).
+    */
+  def permCoeffs(numPerm: Int): Seq[(Long, Long)] =
+    (0 until numPerm).map { i =>
+      val z = (i.toLong + 1) * 0x9E3779B97F4A7C15L
+      val a = math.abs(z % (MinhashPrime - 1)) + 1 // 1..p-1
+      val b = math.abs((z >> 17) % MinhashPrime) // 0..p-1
+      (a, b)
+    }
+
+  /** Per-element permuted hash h_i(x) = (a_i·(xxhash64(x) mod p) + b_i) mod p
+    * for one minhash permutation. The minhash of a set is min over its
+    * elements — in distributed form that's a codegen'd `min()` aggregate
+    * over exploded (id, element) rows with map-side partial aggregation
+    * (see Dedup.minhashSignatures). NOTE: array-lambda (`transform`) based
+    * signatures are CodegenFallback in Spark — interpreted per row — so the
+    * explode→hash-aggregate form is the scale path.
+    */
+  def permutedHash(baseHash: Column, coeff: (Long, Long)): Column =
+    pmod(baseHash * coeff._1 + coeff._2, lit(MinhashPrime))
+
+  /** xxhash64 folded into [0, p): the base hash for the permutation family. */
+  def baseHash(c: Column): Column = pmod(xxhash64(c), lit(MinhashPrime))
+
+  /** LSH band keys: split the signature into `numBands` rows of width
+    * r = numPerm/numBands, hash each row (band index is salted in so bands
+    * never collide across positions). Returns array<long> of band hashes.
+    */
+  def lshBands(sig: Column, numPerm: Int, numBands: Int): Column = {
+    val r = numPerm / numBands
+    require(r * numBands == numPerm, "numBands must divide numPerm")
+    val bands = (0 until numBands).map { bi =>
+      xxhash64(lit(bi), concat_ws(",", slice(sig, bi * r + 1, r)))
+    }
+    array(bands: _*)
+  }
+
+  /** One SimHash bit-vote term: ±1 depending on bit b of the token hash.
+    * The per-document 64-bit SimHash (Charikar, "Similarity estimation
+    * techniques from rounding algorithms", 2002) is assembled by summing
+    * votes per bit with 64 codegen'd `sum()` aggregates over exploded
+    * (id, token-hash) rows — see Dedup.simhashPairs.
+    */
+  def simhashVote(tokenHash: Column, bit: Int): Column =
+    shiftright(tokenHash, bit).bitwiseAND(1) * 2 - 1
+
+  /** Assemble the 64-bit signature from 64 per-bit vote sums. Disjoint bit
+    * contributions combine with +, which equals OR here (including the sign
+    * bit: two's-complement add wraps).
+    */
+  def simhashFromVotes(votes: Seq[Column]): Column =
+    votes.zipWithIndex.map { case (v, b) =>
+      when(v > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Normalized-text rolling fingerprint: lowercase, collapse non-alnum to
+    * single spaces, xxhash64. Two documents differing only in case /
+    * punctuation / whitespace get the same fingerprint.
+    */
+  def fingerprint(text: Column): Column =
+    xxhash64(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+}

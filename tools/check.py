@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate (dev tool only; the
+Scala library never uses Python). Runs each oracle SQL from
+<outDir>/oracle_sql.json in DuckDB over the fixture parquet tables, loads the
+corresponding Spark result parquet, canonical-sorts both, and compares
+(float columns to tolerance). Usage: check.py <sfDir> <verifyOutDir>
+"""
+import json
+import sys
+
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def compare(name, spark_df, duck_df):
+    if sorted(spark_df.columns) != sorted(duck_df.columns):
+        return f"SCHEMA cols spark={sorted(spark_df.columns)} duck={sorted(duck_df.columns)}"
+    if len(spark_df) != len(duck_df):
+        return f"ROWS spark={len(spark_df)} duck={len(duck_df)}"
+    s, d = canon(spark_df), canon(duck_df)
+    for c in s.columns:
+        sc, dc = s[c], d[c]
+        if np.issubdtype(sc.dtype, np.floating) or np.issubdtype(dc.dtype, np.floating):
+            sa = sc.astype(float).to_numpy()
+            da = dc.astype(float).to_numpy()
+            both_nan = np.isnan(sa) & np.isnan(da)
+            close = np.isclose(sa, da, rtol=1e-9, atol=1e-9) | both_nan
+            if not close.all():
+                i = int(np.argmin(close))
+                return f"VALUE col={c} row={i} spark={sa[i]} duck={da[i]}"
+        else:
+            eq = (sc.astype(str) == dc.astype(str))
+            if not eq.all():
+                i = int(np.argmin(eq.to_numpy()))
+                return f"VALUE col={c} row={i} spark={sc.iloc[i]!r} duck={dc.iloc[i]!r}"
+    return None
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            duck = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        try:
+            spark = pd.read_parquet(f"{out_dir}/{name}")
+        except Exception as e:
+            print(f"FAIL {name}: spark output missing: {e}")
+            n_fail += 1
+            continue
+        err = compare(name, spark, duck)
+        if err:
+            print(f"FAIL {name}: {err}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(spark)} rows)")
+            n_pass += 1
+    # rows-only checks for queries without oracle
+    import os
+    for name in sorted(os.listdir(out_dir)):
+        p = os.path.join(out_dir, name)
+        if os.path.isdir(p) and name not in oracle:
+            try:
+                n = len(pd.read_parquet(p))
+                print(f"{'PASS' if n > 0 else 'FAIL'} {name} (rows-only, {n} rows)")
+                if n > 0:
+                    n_pass += 1
+                else:
+                    n_fail += 1
+            except Exception as e:
+                print(f"FAIL {name} (rows-only): {e}")
+                n_fail += 1
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
