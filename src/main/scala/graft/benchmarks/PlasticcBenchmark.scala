@@ -1,0 +1,153 @@
+package graft.benchmarks
+
+import org.apache.spark.ml.classification.RandomForestClassifier
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.harness._
+import graft.functions.StatFunctions.skewSample
+
+/** plasticc benchmark (reference
+  * /root/reference/timedf_benchmarks/plasticc/plasticc_pandas_modin.py):
+  * per-object multi-aggregation (15 aggregates incl. sample skew) → left
+  * join onto metadata → stratified split → multiclass classification with a
+  * weighted log-loss metric. Stages: `t_readcsv`, `t_etl`,
+  * `t_train_test_split`, `t_ml` (reference :105-121,197-226).
+  *
+  * Offline mapping: lineitem → observations (object_id=l_orderkey,
+  * flux=l_extendedprice, passband=l_linenumber, mjd=epoch(l_shipdate),
+  * detected=l_discount>0.05), orders → metadata with target =
+  * o_orderpriority index (5 classes). xgboost multi:softprob is replaced by
+  * MLlib RandomForestClassifier (recorded in params); the weighted
+  * multiclass log-loss (reference :128-153) is computed in Scala on the
+  * collected (small) prediction matrix.
+  */
+final class PlasticcBenchmark extends BaseBenchmark {
+  override def name: String = "plasticc"
+
+  override protected def runBenchmark(params: RunParams): BenchmarkResults = {
+    val tm = new TimerManager
+    val s = SparkBackend.session(params.numThreads, name)
+    var extraParams = Map("backend" -> params.backend,
+      "ml_impl" -> "mllib-random-forest")
+    tm.timeit("total") {
+      val (obs, meta) = tm.timeit("t_readcsv") {
+        val o = SparkBackend.triggerLoading(observations(s, params.dataDir))
+        val m = SparkBackend.triggerLoading(metadata(s, params.dataDir))
+        (o, m)
+      }
+      // A5 multi-agg (incl. bias-corrected skew) + J1 left join
+      val joined = tm.timeit("t_etl") {
+        val agg = obs.groupBy("object_id").agg(
+          avg("passband").as("passband_mean"),
+          min("flux").as("flux_min"), max("flux").as("flux_max"),
+          avg("flux").as("flux_mean"), skewSample(col("flux")).as("flux_skew"),
+          min("flux_err").as("flux_err_min"), max("flux_err").as("flux_err_max"),
+          avg("flux_err").as("flux_err_mean"),
+          avg("detected").as("detected_mean"),
+          min("mjd").as("mjd_min"), max("mjd").as("mjd_max"),
+          sum("flux_ratio_sq").as("flux_ratio_sq_sum"),
+          sum("flux_by_flux_ratio_sq").as("flux_by_flux_ratio_sq_sum"))
+          .withColumn("mjd_diff", col("mjd_max") - col("mjd_min"))
+          .withColumn("flux_diff", col("flux_max") - col("flux_min"))
+        val j = meta.join(agg, Seq("object_id"), "left").na.fill(0.0)
+        SparkBackend.triggerLoading(j)
+      }
+      obs.unpersist(); meta.unpersist()
+      if (!params.noMl) {
+        // M1 stratified split with fixed seed (sampleBy per-class fractions)
+        val (train, test) = tm.timeit("t_train_test_split") {
+          val classes = joined.select("target").distinct()
+            .collect().map(_.getInt(0))
+          val fractions = classes.map(c => (c, 0.9)).toMap
+          val tr = joined.stat.sampleBy("target", fractions, 126L)
+          val te = joined.exceptAll(tr)
+          (SparkBackend.triggerLoading(tr), SparkBackend.triggerLoading(te))
+        }
+        tm.timeit("t_ml") {
+          val features = train.columns
+            .filterNot(c => c == "target" || c == "object_id")
+          val asm = new VectorAssembler()
+            .setInputCols(features).setOutputCol("features")
+            .setHandleInvalid("keep")
+          val rf = new RandomForestClassifier()
+            .setLabelCol("target").setFeaturesCol("features")
+            .setProbabilityCol("probability")
+            .setNumTrees(30).setMaxDepth(8).setSeed(126)
+          val model = tm.timeit("t_training") {
+            rf.fit(asm.transform(train))
+          }
+          val loss = tm.timeit("t_infer_test") {
+            val pred = model.transform(asm.transform(test))
+              .select(col("target"), col("probability")).collect()
+            val probs = pred.map(_.getAs[org.apache.spark.ml.linalg.Vector](1).toArray)
+            val labels = pred.map(_.getInt(0))
+            weightedLogLoss(labels, probs)
+          }
+          extraParams += "weighted_logloss" -> f"$loss%.6f"
+        }
+        train.unpersist(); test.unpersist()
+      }
+      joined.unpersist()
+    }
+    BenchmarkResults(tm.results, extraParams)
+  }
+
+  /** M5: clip → log → one-hot dot → class-weighted normalized sum
+    * (reference :128-153; weights 2.0 for two designated classes). Pure
+    * Scala on the collected prediction matrix — inputs are post-aggregation
+    * and small, exactly as in the reference (numpy on driver).
+    */
+  def weightedLogLoss(labels: Array[Int], probs: Array[Array[Double]],
+                      heavyClasses: Set[Int] = Set(0, 2)): Double = {
+    val classes = labels.distinct.sorted
+    val weights = classes.map(c => if (heavyClasses(c)) 2.0 else 1.0)
+    val eps = 1e-15
+    val perClassSum = new Array[Double](classes.length)
+    val perClassCount = new Array[Int](classes.length)
+    labels.zip(probs).foreach { case (y, p) =>
+      val ci = classes.indexOf(y)
+      val clipped = math.max(eps, math.min(1 - eps, p(ci)))
+      perClassSum(ci) += math.log(clipped)
+      perClassCount(ci) += 1
+    }
+    val num = classes.indices.map { i =>
+      if (perClassCount(i) == 0) 0.0
+      else -weights(i) * perClassSum(i) / perClassCount(i)
+    }.sum
+    num / weights.sum
+  }
+
+  private def observations(s: SparkSession, dir: String): DataFrame = {
+    val li = graft.Tables.lineitem(s, dir)
+    li.select(
+      col("l_orderkey").as("object_id"),
+      // l_shipdate is TIMESTAMP_NTZ: cast via LTZ (session TZ is UTC) to
+      // get epoch seconds
+      col("l_shipdate").cast("timestamp").cast("long").cast("double").as("mjd"),
+      col("l_linenumber").cast("int").as("passband"),
+      col("l_extendedprice").cast("float").as("flux"),
+      // clamp > 0: flux_err divides flux below and ANSI mode (Spark 4
+      // default) raises on division by zero
+      greatest(col("l_tax") * col("l_extendedprice"), lit(0.01))
+        .cast("float").as("flux_err"),
+      (col("l_discount") > 0.05).cast("int").as("detected"))
+      .withColumn("flux_ratio_sq",
+        pow(col("flux") / col("flux_err"), 2))
+      .withColumn("flux_by_flux_ratio_sq", col("flux") * col("flux_ratio_sq"))
+  }
+
+  private def metadata(s: SparkSession, dir: String): DataFrame = {
+    val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val target = priorities.zipWithIndex.foldLeft(lit(0)) { case (acc, (p, i)) =>
+      when(col("o_orderpriority") === p, lit(i)).otherwise(acc)
+    }
+    graft.Tables.orders(s, dir).select(
+      col("o_orderkey").as("object_id"),
+      col("o_totalprice").cast("float").as("hostgal_photoz"),
+      (col("o_custkey") % 100).cast("float").as("ra"),
+      (col("o_custkey") % 180).cast("float").as("decl"),
+      target.cast("int").as("target"))
+  }
+}

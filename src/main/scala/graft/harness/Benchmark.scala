@@ -1,0 +1,68 @@
+package graft.harness
+
+/** Benchmark plugin surface, mirroring the reference harness
+  * (/root/reference/timedf/benchmark.py:27-87): a results container with
+  * validation, a benchmark base trait, and a static registry replacing the
+  * reference's dynamic module import (JVM-idiomatic).
+  */
+
+/** Validated measurement set. Measurement values are seconds (finite
+  * doubles); params are stringly-typed run metadata (reference coerces all
+  * params to str, timedf/benchmark.py:44-61).
+  */
+final case class BenchmarkResults(
+    measurements: Map[String, Double],
+    params: Map[String, String] = Map.empty) {
+  require(measurements.nonEmpty, "measurements must be non-empty")
+  measurements.foreach { case (k, v) =>
+    require(k.nonEmpty, "measurement name must be non-empty")
+    require(!v.isNaN && !v.isInfinite && v >= 0,
+      s"measurement $k must be a finite non-negative duration, got $v")
+  }
+}
+
+/** Run parameters (reference: argparse Namespace → Dict). */
+final case class RunParams(
+    dataDir: String,
+    backend: String = "spark",
+    numThreads: Int = Runtime.getRuntime.availableProcessors(),
+    iterations: Int = 1,
+    noMl: Boolean = false,
+    validation: Boolean = false,
+    extra: Map[String, String] = Map.empty)
+
+/** Base benchmark (reference BaseBenchmark, timedf/benchmark.py:64-87). */
+trait BaseBenchmark {
+  def name: String
+
+  /** Execute one iteration; returns validated results. */
+  def run(params: RunParams): BenchmarkResults = {
+    val res = runBenchmark(params)
+    res // construction already validates
+  }
+
+  protected def runBenchmark(params: RunParams): BenchmarkResults
+
+  /** Dataset staging hook (reference load_data; default raises). */
+  def loadData(targetDir: String, reload: Boolean): Unit =
+    throw new UnsupportedOperationException(
+      s"benchmark $name defines no load_data")
+}
+
+/** Static registry (replaces importlib-by-name,
+  * /root/reference/timedf/benchmark.py:8-24).
+  */
+object BenchmarkRegistry {
+  import graft.benchmarks._
+
+  val all: Map[String, () => BaseBenchmark] = Map(
+    "example_benchmark" -> (() => new ExampleBenchmark),
+    "ny_taxi" -> (() => new NyTaxiBenchmark),
+    "ny_taxi_ml" -> (() => new NyTaxiMlBenchmark),
+    "plasticc" -> (() => new PlasticcBenchmark))
+
+  def create(name: String): BaseBenchmark =
+    all.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"unknown benchmark '$name'; known: ${all.keys.toSeq.sorted.mkString(", ")}"))()
+}

@@ -1,0 +1,69 @@
+package graft.harness
+
+/** CLI entry mirroring the reference's `benchmark-run` console script
+  * (/root/reference/timedf/scripts/benchmark_run.py:40-112 and
+  * timedf/arg_parser.py:100-192): positional benchmark name + flags, an
+  * iteration loop with a run id and memory tracking, stdout results, and an
+  * optional JSONL results sink.
+  *
+  * Usage:
+  *   graft.harness.BenchmarkRun <bench_name> [-data_file DIR]
+  *     [-iterations N] [-no_ml] [-num_threads N] [-backend LABEL]
+  *     [-save_results PATH] [-tag TAG] [-validation]
+  */
+object BenchmarkRun {
+
+  def parse(args: Array[String]): (String, RunParams, Option[String], String) = {
+    require(args.nonEmpty, "usage: BenchmarkRun <bench_name> [flags]")
+    val benchName = args(0)
+    var p = RunParams(dataDir = "/root/testdata/sf0.001")
+    var save: Option[String] = None
+    var tag = ""
+    var i = 1
+    while (i < args.length) {
+      args(i) match {
+        case "-data_file" | "--data_file" => p = p.copy(dataDir = args(i + 1)); i += 2
+        case "-iterations" | "--iterations" => p = p.copy(iterations = args(i + 1).toInt); i += 2
+        case "-no_ml" | "--no_ml" => p = p.copy(noMl = true); i += 1
+        case "-num_threads" | "--num_threads" => p = p.copy(numThreads = args(i + 1).toInt); i += 2
+        case "-backend" | "--backend" => p = p.copy(backend = args(i + 1)); i += 2
+        case "-save_results" | "--save_results" => save = Some(args(i + 1)); i += 2
+        case "-tag" | "--tag" => tag = args(i + 1); i += 2
+        case "-validation" | "--validation" => p = p.copy(validation = true); i += 1
+        case other => throw new IllegalArgumentException(s"unknown flag: $other")
+      }
+    }
+    (benchName, p, save, tag)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val (benchName, params, save, tag) = parse(args)
+    val benchmark = BenchmarkRegistry.create(benchName)
+    val runId = System.currentTimeMillis() / 1000
+    val host = Results.hostInfo()
+    for (iter <- 1 to params.iterations) {
+      val tracker = new MemoryTracker()
+      tracker.start()
+      val res = benchmark.run(params)
+      val peakMb = tracker.stop()
+      println(s"== $benchName iteration $iter/${params.iterations} ==")
+      Results.printResults(res.measurements)
+      println(f"max_memory_mb${" " * 27} = $peakMb%10d MB")
+      save.foreach { path =>
+        Results.append(path, Results.Iteration(
+          benchmark = benchName,
+          backend = params.backend,
+          iterationNo = iter,
+          runId = runId,
+          dateIso = java.time.Instant.ofEpochSecond(runId).toString,
+          hostInfo = host + ("max_memory_mb" -> peakMb.toString),
+          params = res.params ++ Map(
+            "data_file" -> params.dataDir,
+            "num_threads" -> params.numThreads.toString,
+            "tag" -> tag),
+          measurements = res.measurements.toSeq.sortBy(_._1)
+            .map { case (n, d) => Results.Measurement(n, d) }))
+      }
+    }
+  }
+}

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkEntry
+import graft.functions.StatFunctions.skewSample
+import graft.functions.TextFunctions
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+class OperatorSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("every declared query runs and returns rows on sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"query $name returned no rows")
+    }
+  }
+
+  test("every oracle key has a matching query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle entries without queries: $missing")
+  }
+
+  test("entry flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("bias-corrected sample skewness matches the closed form") {
+    import spark.implicits._
+    // skew of [1.0, 2.0, 4.0, 8.0]: known G1 (pandas/DuckDB convention)
+    val df = Seq(1.0, 2.0, 4.0, 8.0).toDF("x")
+    val got = df.agg(skewSample(col("x"))).collect()(0).getDouble(0)
+    // closed form: n=4, mean=3.75, m2=7.1875, m3=12.65625
+    // g1 = m3/m2^1.5 = 0.656764; G1 = g1*sqrt(n(n-1))/(n-2) = 1.1376244
+    // (DuckDB skewness() on the same vector: 1.1376243669576889)
+    assert(math.abs(got - 1.1376243669576889) < 1e-9, s"got $got")
+    // n <= 2 → null
+    val tiny = Seq(1.0, 2.0).toDF("x")
+    assert(tiny.agg(skewSample(col("x"))).collect()(0).isNullAt(0))
+  }
+
+  test("minhash-LSH finds exactly the exact-jaccard pairs on fixtures") {
+    val exact = Dedup.ngramJaccard(spark, sf)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(spark, sf)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh === exact)
+    assert(exact.nonEmpty)
+  }
+
+  test("shingles: short and empty documents yield empty sets") {
+    import spark.implicits._
+    val df = Seq("", "one two", "a b c d").toDF("text")
+      .select(TextFunctions.shingles(col("text"), 3).as("sh"))
+    val sizes = df.select(size(col("sh"))).collect().map(_.getInt(0))
+    assert(sizes.toSeq === Seq(0, 0, 2))
+  }
+
+  test("simhash of identical token multisets is identical; pairs are verified by hamming") {
+    val pairs = Dedup.simhashPairs(spark, sf).collect()
+    pairs.foreach(r => assert(r.getAs[Int]("hamming") <= 3))
+  }
+
+  test("offset query returns rows 1001..1500 of the defined total order") {
+    val rows = Relational.q13Offset(spark, sf).collect()
+    assert(rows.length === 500)
+    val all = graft.Tables.lineitem(spark, sf)
+      .orderBy("l_orderkey", "l_linenumber")
+      .select("l_orderkey", "l_linenumber").collect()
+    assert(rows.head.getLong(0) === all(1000).getLong(0))
+    assert(rows.head.getInt(1) === all(1000).getInt(1))
+  }
+
+  test("topk is deterministic under ties (id tiebreak)") {
+    val a = Relational.q12TopK(spark, sf).collect().map(_.getLong(0)).toSeq
+    val b = Relational.q12TopK(spark, sf).collect().map(_.getLong(0)).toSeq
+    assert(a === b)
+  }
+
+  test("ann brute-force rank 1 neighbor has the max cosine") {
+    val rows = Similarity.bruteForceTopK(spark, sf, numQueries = 3, k = 5).collect()
+    val byQuery = rows.groupBy(_.getLong(0))
+    byQuery.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getInt(3))
+      assert(sorted.map(_.getDouble(2)).toSeq ===
+        sorted.map(_.getDouble(2)).sortBy(-(_: Double)).toSeq)
+    }
+  }
+
+  test("language id prediction is a known language or und") {
+    val langs = Set("de", "en", "es", "fr", "zh", "und")
+    TextOps.langId(spark, sf).select("lang_pred").distinct()
+      .collect().foreach(r => assert(langs.contains(r.getString(0))))
+  }
+
+  test("multimodal pipeline preserves byte length through binary payload") {
+    val out = Multimodal.pipeline(spark, sf)
+    val bad = out.join(graft.Tables.documents(spark, sf), Seq("doc_id"))
+      .filter(col("n_bytes") =!= length(col("text"))) // ascii fixture: bytes == chars
+      .count()
+    assert(bad === 0)
+  }
+}
