@@ -32,6 +32,15 @@ object Tables {
     load(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   }
-  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+  /** documents/embeddings feed compute-heavy per-row operators (shingling,
+    * token scoring, vector kernels), and the fixture files are single
+    * row-group parquet — unsplittable, so a plain scan runs on ONE core.
+    * A round-robin repartition after read costs one tiny shuffle and
+    * parallelizes everything downstream. (On a real cluster the input
+    * arrives as many splits and this is a no-op by configuration.)
+    */
+  def documents(s: SparkSession, d: String): DataFrame =
+    load(s, d, "documents").repartition(s.sparkContext.defaultParallelism)
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    load(s, d, "embeddings").repartition(s.sparkContext.defaultParallelism)
 }

@@ -62,4 +62,39 @@ object VectorFunctions {
       while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
       s
     }
+
+  /** L2-norm kernel (same accumulation order as the oracle's squared sum).
+    * Note: the unrolled `dotFixed`/`l2normFixed` expressions are correct and
+    * fully codegen'd, but a 64-dim unroll costs seconds of janino compile
+    * per plan — the primitive kernels win everywhere except inside
+    * whole-stage-codegen-critical paths.
+    */
+  val normKernel: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (a: Array[Float]) =>
+      var i = 0
+      var s = 0.0d
+      while (i < a.length) { s += a(i).toDouble * a(i).toDouble; i += 1 }
+      math.sqrt(s)
+    }
+
+  /** Random-hyperplane LSH bucket kernel: sign bit per plane, planes given
+    * as a flattened row-major matrix (numPlanes × dim).
+    */
+  def bucketKernel(planesFlat: Array[Double], dim: Int)
+  : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (v: Array[Float]) =>
+      val numPlanes = planesFlat.length / dim
+      var bucket = 0L
+      var p = 0
+      while (p < numPlanes) {
+        var s = 0.0d
+        var i = 0
+        val off = p * dim
+        val n = math.min(dim, v.length)
+        while (i < n) { s += v(i).toDouble * planesFlat(off + i); i += 1 }
+        if (s > 0) bucket |= (1L << p)
+        p += 1
+      }
+      bucket
+    }
 }

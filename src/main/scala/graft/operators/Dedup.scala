@@ -49,17 +49,20 @@ object Dedup {
     Tables.documents(s, dir)
       .select(col("doc_id"), explode(shingles(col("text"), ShingleK)).as("sh"))
 
-  /** Exact n-gram Jaccard near-duplicate pairs (id_a < id_b, jaccard ≥ τ)
-    * via inverted-index self-join on shingles.
+  /** Exact-Jaccard verification of candidate pairs via a join-based
+    * intersection count on the inverted index (fully codegen'd hash joins +
+    * aggregate; per-pair array intersection would run interpreted). Only
+    * pairs with nonzero intersection survive the join, which is fine: a
+    * zero-overlap pair cannot clear any positive threshold.
     */
-  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = shinglePairs(s, dir)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a")
+  private def verifyJaccard(sh: DataFrame, sizes: DataFrame,
+                            candidates: DataFrame): DataFrame = {
+    val inter = candidates
+      .join(sh.as("a"), col("id_a") === col("a.doc_id"))
+      .select(col("id_a"), col("id_b"), col("a.sh").as("sh_a"))
       .join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("c"))
+        col("id_b") === col("b.doc_id") && col("sh_a") === col("b.sh"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("c"))
     inter
       .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
@@ -69,13 +72,53 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Exact n-gram Jaccard near-duplicate pairs (id_a < id_b, jaccard ≥ τ)
+    * with PPJoin-style prefix filtering (Xiao et al., "Efficient similarity
+    * joins for near duplicate detection", WWW 2008):
+    *
+    *  1. rank each document's shingles by ascending global document
+    *     frequency (rarest first, deterministic shingle tie-break);
+    *  2. keep only the prefix of length |d| − ⌈τ·|d|⌉ + 1 — any pair with
+    *     J ≥ τ must share a prefix shingle (overlap ≥ τ·|A∪B| ≥ τ·max sizes);
+    *  3. candidate-join on prefix shingles with the length filter
+    *     τ·max(|a|,|b|) ≤ min(|a|,|b|);
+    *  4. verify candidates with the exact intersection count from the full
+    *     inverted index.
+    *
+    * Exact result, but the quadratic inverted-index join runs only over
+    * rare prefix shingles instead of every shingle.
+    */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shinglePairs(s, dir).persist()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val docFreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val prefix = sh.join(docFreq, "sh")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))))
+      .join(sizes, "doc_id")
+      .filter(col("pos") <= col("n") - ceil(lit(JaccardThreshold) * col("n")) + 1)
+      .select("doc_id", "sh", "n")
+    val candidates = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+          greatest(col("a.n"), col("b.n")) * JaccardThreshold <=
+            least(col("a.n"), col("b.n")))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    verifyJaccard(sh, sizes, candidates)
+  }
+
   /** MinHash signatures per document: explode shingles, base-hash each, then
     * NumPerm codegen'd min-aggregates (one per permutation). Documents with
     * fewer than ShingleK tokens have no shingles and drop out (they cannot
     * near-duplicate anything at this granularity).
     */
-  def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
-    val hashed = shinglePairs(s, dir).withColumn("h", baseHash(col("sh")))
+  def minhashSignatures(s: SparkSession, dir: String): DataFrame =
+    minhashSignaturesFrom(shinglePairs(s, dir))
+
+  private def minhashSignaturesFrom(sh: DataFrame): DataFrame = {
+    val hashed = sh.withColumn("h", baseHash(col("sh")))
     val mins = permCoeffs(NumPerm).zipWithIndex.map { case (ab, i) =>
       min(permutedHash(col("h"), ab)).as(s"m$i")
     }
@@ -89,24 +132,18 @@ object Dedup {
     * exact-Jaccard verification on the candidate pairs only.
     */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val signed = minhashSignatures(s, dir)
-    val bands = signed.select(col("doc_id"),
-      posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    val sh = shinglePairs(s, dir).persist()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val bands = minhashSignaturesFrom(sh)
+      .select(col("doc_id"),
+        posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+      .persist()
     val candidates = bands.as("a")
       .join(bands.as("b"), Seq("band_idx", "band_hash"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    val sets = Tables.documents(s, dir)
-      .select(col("doc_id"), shingles(col("text"), ShingleK).as("sh"))
-    candidates
-      .join(sets.as("sa"), col("id_a") === col("sa.doc_id"))
-      .join(sets.as("sb"), col("id_b") === col("sb.doc_id"))
-      .withColumn("jaccard", round(
-        size(array_intersect(col("sa.sh"), col("sb.sh"))) /
-          size(array_union(col("sa.sh"), col("sb.sh"))).cast("double"), 6))
-      .filter(col("jaccard") >= JaccardThreshold)
-      .select("id_a", "id_b", "jaccard")
+    verifyJaccard(sh, sizes, candidates)
   }
 
   /** SimHash near-dup pairs: 64-bit signature from exploded token hashes
@@ -142,13 +179,11 @@ object Dedup {
   def embeddingCosine(s: SparkSession, dir: String, threshold: Double = 0.45): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").as("v"))
-      .withColumn("nrm", l2normFixed(col("v")))
-    // Left side repartitioned so the nested-loop pair scan parallelizes
-    // (the fixture is a single small parquet split); the opaque dot kernel
-    // keeps pair scoring out of the join condition — the join forms pairs
-    // on the cheap id predicate only, then one projection scores each
-    // unordered pair exactly once.
-    e.repartition(s.sparkContext.defaultParallelism).as("a")
+      .withColumn("nrm", normKernel(col("v")))
+    // The opaque dot kernel keeps pair scoring out of the join condition —
+    // the join forms pairs on the cheap id predicate only, then one
+    // projection scores each unordered pair exactly once.
+    e.as("a")
       .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .withColumn("cosine", round(
         dotKernel(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6))

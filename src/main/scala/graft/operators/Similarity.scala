@@ -29,14 +29,14 @@ object Similarity {
                      numQueries: Int = 10, k: Int = 5): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").as("v"))
-      .withColumn("nrm", l2normFixed(col("v")))
+      .withColumn("nrm", normKernel(col("v")))
     val q = e.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(
         col("query_id"),
         col("vec_id").as("neighbor_id"),
-        round(dotFixed(col("v"), col("qv")) / (col("nrm") * col("qn")), 6).as("cosine"))
+        round(dotKernelDet(col("v"), col("qv")) / (col("nrm") * col("qn")), 6).as("cosine"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -57,13 +57,11 @@ object Similarity {
       z.toDouble / Long.MaxValue.toDouble
     }
 
-  /** Sign-pattern bucket id from `numPlanes` hyperplane projections —
-    * codegen'd constant-vector dot products.
+  /** Sign-pattern bucket id from `numPlanes` hyperplane projections
+    * (primitive kernel over the flattened plane matrix).
     */
-  private def lshBucket(v: org.apache.spark.sql.Column, numPlanes: Int, dim: Int) =
-    (0 until numPlanes).map { p =>
-      when(dotConst(v, hyperplane(p, dim)) > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  private def lshBucket(numPlanes: Int, dim: Int) =
+    bucketKernel((0 until numPlanes).flatMap(p => hyperplane(p, dim)).toArray, dim)
 
   /** LSH-bucketed ANN: corpus vectors bucketed by hyperplane sign pattern;
     * each query probes only its own bucket. Approximate — recall depends on
@@ -73,8 +71,8 @@ object Similarity {
              numPlanes: Int = 4, dim: Int = Dim): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").as("v"))
-      .withColumn("nrm", l2normFixed(col("v"), dim))
-      .withColumn("bucket", lshBucket(col("v"), numPlanes, dim))
+      .withColumn("nrm", normKernel(col("v")))
+      .withColumn("bucket", lshBucket(numPlanes, dim)(col("v")))
     val q = e.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("bucket"))
@@ -83,7 +81,7 @@ object Similarity {
       .select(
         col("query_id"),
         col("vec_id").as("neighbor_id"),
-        round(dotFixed(col("v"), col("qv"), dim) / (col("nrm") * col("qn")), 6).as("cosine"))
+        round(dotKernelDet(col("v"), col("qv")) / (col("nrm") * col("qn")), 6).as("cosine"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
