@@ -54,7 +54,9 @@ object SparkEntry {
     "text_lang_id" -> (TextOps.langId _),
     "text_fingerprint" -> (TextOps.fingerprints _),
     "mm_binary_features" -> ((s: SparkSession, d: String) => Multimodal.pipeline(s, d)),
-    "stream_tumbling_agg" -> ((s: SparkSession, d: String) => StreamOps.tumblingWindowAgg(s, d))
+    "stream_tumbling_agg" -> ((s: SparkSession, d: String) => StreamOps.tumblingWindowAgg(s, d)),
+    "q17_sessionize" -> (graft.streaming.Sessionize.batch _),
+    "stream_sessionize" -> (graft.streaming.Sessionize.streaming _)
   )
 
   /** DuckDB shingle CTE shared by the two near-dup oracles. */
@@ -212,6 +214,16 @@ object SparkEntry {
     "stream_tumbling_agg" ->
       """SELECT date_trunc('hour', ts) AS win_start, event_type,
         |count(*) AS cnt, round(sum(value), 2) AS sum_v
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q17_sessionize" ->
+      """WITH o AS (SELECT user_id, ts, value,
+        |  CASE WHEN lag(ts) OVER win IS NULL
+        |       OR ts - lag(ts) OVER win >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts, value, sum(new_s) OVER
+        |  (PARTITION BY user_id ORDER BY ts, value ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS last_ts,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_v
+        |FROM s GROUP BY user_id, sid""".stripMargin
   )
 }

@@ -1,0 +1,120 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.Tables
+
+/** Gap-based sessionization (30-minute inactivity gap) over the events
+  * table — batch and streaming forms.
+  *
+  * The batch form uses Spark's `session_window` grouping (one shuffle on
+  * (user_id, merged window)); its results hash-match a DuckDB lag/cumsum
+  * oracle. The streaming form is the stateful-operator surface:
+  * `flatMapGroupsWithState` with event-time timeout keeping one open
+  * session per user; sessions emit when the watermark passes their gap.
+  * On a finite input the final (unexpired) session per user remains in
+  * state — by design; tests compare the emitted prefix against batch.
+  */
+object Sessionize {
+
+  val GapMinutes = 30
+
+  /** Batch sessionization: session_window grouping, flat output schema. */
+  def batch(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), s"$GapMinutes minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_v"),
+        max("ts").as("last_ts"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("last_ts"), col("n_events"), col("sum_v"))
+
+  // public: Catalyst's generated (de)serializers cannot access private
+  // case-class members
+  case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  /** start/last are epoch MICROseconds — Timestamp.getTime alone truncates
+    * to ms and would shift session starts relative to the batch form.
+    */
+  case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+  case class Session(user_id: Long, session_start: java.sql.Timestamp,
+                     last_ts: java.sql.Timestamp, n_events: Long, sum_v: Double)
+
+  /** State-update logic, isolated in a Serializable module so the closure
+    * shipped to executors captures nothing from the driver-side method
+    * scope (a captured SparkSession fails task serialization).
+    */
+  private[streaming] object SessionLogic extends Serializable {
+    val gapUs: Long = GapMinutes * 60 * 1000000L
+
+    def toMicros(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+    def fromMicros(us: Long): java.sql.Timestamp = {
+      val ts = new java.sql.Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+      ts.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+      ts
+    }
+
+    def finish(userId: Long, cur: SessionState): Session =
+      Session(userId, fromMicros(cur.start), fromMicros(cur.last), cur.n,
+        math.round(cur.sum * 100) / 100.0)
+
+    def fn(userId: Long, events: Iterator[Ev],
+           state: GroupState[SessionState]): Iterator[Session] = {
+      val sorted = events.toSeq.sortBy(e => toMicros(e.ts))
+      var out = List.empty[Session]
+      var st = state.getOption
+      sorted.foreach { e =>
+        val t = toMicros(e.ts)
+        st match {
+          case Some(cur) if t - cur.last < gapUs =>
+            st = Some(cur.copy(last = t, n = cur.n + 1, sum = cur.sum + e.value))
+          case Some(cur) =>
+            out ::= finish(userId, cur)
+            st = Some(SessionState(t, t, 1, e.value))
+          case None =>
+            st = Some(SessionState(t, t, 1, e.value))
+        }
+      }
+      if (state.hasTimedOut) {
+        st.foreach(cur => out ::= finish(userId, cur))
+        state.remove()
+      } else {
+        st.foreach { cur =>
+          state.update(cur)
+          state.setTimeoutTimestamp(math.floorDiv(cur.last + gapUs, 1000L))
+        }
+      }
+      out.reverseIterator
+    }
+  }
+
+  /** Streaming sessionization with explicit state: one open session per
+    * user; a new event either extends it (gap not exceeded) or closes it
+    * (emitting the finished session) and opens a new one. Event-time
+    * timeout flushes sessions whose gap has passed the watermark.
+    */
+  def streaming(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    val schema = s.read.parquet(path).schema
+    val name = s"graft_sessions_${System.nanoTime()}"
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(SessionLogic.fn _)
+    val q = stream.toDF().writeStream
+      .outputMode("append").format("memory").queryName(name).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(name)
+  }
+}
