@@ -46,4 +46,48 @@ object Multimodal {
   /** End-to-end multimodal pipeline on the fixtures: payloadize → extract. */
   def pipeline(s: SparkSession, dir: String): DataFrame =
     extractFeatures(asBinaryPayload(s, dir))
+
+  /** Decoded-record shape a real media decoder would emit per payload. */
+  case class DecodedFeatures(doc_id: Long, n_bytes: Int, content_hash: Long,
+                             width: Int, height: Int, feature: Array[Float])
+
+  /** ======= STUB decoder =======
+    * Stands in for a native image/audio decode (no codecs in this
+    * container). Deterministic: derives pseudo-dimensions and a fixed-size
+    * feature vector from the raw bytes. Replace the body with a real
+    * decoder; the batching contract around it stays identical.
+    */
+  private[operators] def fakeDecode(docId: Long, payload: Array[Byte]): DecodedFeatures = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
+    val feature = Array.tabulate(8) { d =>
+      (((h >>> (d * 8)) & 0xFF).toFloat - 128f) / 128f
+    }
+    DecodedFeatures(docId, payload.length, h,
+      width = 16 + (math.abs(h) % 1024).toInt,
+      height = 16 + (math.abs(h >>> 10) % 1024).toInt, feature)
+  }
+
+  /** Partition-parallel BATCHED decode — the Scala equivalent of a
+    * mapInPandas media pipeline: records stream through fixed-size batches
+    * (the shape a vectorized decoder / GPU inference step consumes), one
+    * batch in flight per partition, no shuffle. The decode itself is the
+    * clearly-marked stub above; schema, batching, and partition parallelism
+    * are the real contract.
+    */
+  def decodeBatched(payload: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = payload.sparkSession
+    import spark.implicits._
+    payload.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          // a real implementation would hand `batch` to a vectorized
+          // decoder in one call; the stub decodes per record
+          batch.map { case (id, bytes) => fakeDecode(id, bytes) }
+        }
+      }
+      .toDF()
+  }
 }

@@ -89,6 +89,52 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** IVF-style ANN: a KMeans coarse quantizer (MLlib, fixed seed) assigns
+    * every corpus vector to a cell; each query probes only the `nprobe`
+    * cells whose centroids are nearest, scoring candidates exactly. The
+    * index-build (fit) touches a sample-sized workload; the search is a
+    * cell-bucket join — the standard IVF trade: recall bounded by nprobe,
+    * cost O(q · nprobe · cell size) instead of O(q · n).
+    */
+  def annIvf(s: SparkSession, dir: String, numQueries: Int = 10, k: Int = 5,
+             numCells: Int = 16, nprobe: Int = 3): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", normKernel(col("v")))
+      .withColumn("fv", array_to_vector(
+        transform(col("v"), x => x.cast("double"))))
+      .persist()
+    val model = new KMeans().setK(numCells).setSeed(126L)
+      .setFeaturesCol("fv").setPredictionCol("cell").fit(e)
+    val assigned = model.transform(e).drop("fv")
+    val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
+    // per query: nprobe nearest cells by centroid distance (driver-side —
+    // centroids are the tiny index metadata, numCells × dim)
+    val q = assigned.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val probes = q.collect().flatMap { r =>
+      val qv = r.getAs[scala.collection.Seq[Float]]("qv").toArray
+      centroids.zipWithIndex.map { case (c, ci) =>
+        var d = 0.0; var i = 0
+        while (i < qv.length) { val t = qv(i) - c(i); d += t * t; i += 1 }
+        (r.getLong(0), ci, d)
+      }.sortBy(_._3).take(nprobe).map(t => (t._1, t._2))
+    }
+    import s.implicits._
+    val probeDf = probes.toSeq.toDF("query_id", "cell")
+    val scored = assigned.join(broadcast(probeDf.join(q, "query_id")), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dotKernelDet(col("v"), col("qv")) / (col("nrm") * col("qn")), 6).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** Centroid summary per label — the "coarse quantizer" statistics an IVF
     * index maintains (per-cell counts + mean vector), computed distributed:
     * explode to (label, dim_idx, component), aggregate, reassemble.

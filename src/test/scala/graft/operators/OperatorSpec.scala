@@ -108,6 +108,26 @@ class OperatorSpec extends AnyFunSuite {
       .collect().foreach(r => assert(langs.contains(r.getString(0))))
   }
 
+  test("batched multimodal decode is deterministic and covers every record") {
+    val payload = Multimodal.asBinaryPayload(spark, sf)
+    val a = Multimodal.decodeBatched(payload, batchSize = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+    val b = Multimodal.decodeBatched(payload, batchSize = 7).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+    assert(a === b) // batch shape must not affect results
+    assert(a.length === graft.Tables.documents(spark, sf).count())
+  }
+
+  test("IVF ANN returns at most k ranked neighbors per query with descending scores") {
+    val rows = Similarity.annIvf(spark, sf, numQueries = 5, k = 5).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.length <= 5)
+      val sorted = rs.sortBy(_.getInt(3)).map(_.getDouble(2)).toSeq
+      assert(sorted === sorted.sortBy(-(_: Double)))
+    }
+  }
+
   test("multimodal pipeline preserves byte length through binary payload") {
     val out = Multimodal.pipeline(spark, sf)
     val bad = out.join(graft.Tables.documents(spark, sf), Seq("doc_id"))
