@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.expressions.DotProduct
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
 
@@ -177,16 +178,17 @@ object Dedup {
     * generation at scale lives in Similarity.annLsh.
     */
   def embeddingCosine(s: SparkSession, dir: String, threshold: Double = 0.45): DataFrame = {
+    DotProduct.register(s)
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").as("v"))
-      .withColumn("nrm", normKernel(col("v")))
-    // The opaque dot kernel keeps pair scoring out of the join condition —
-    // the join forms pairs on the cheap id predicate only, then one
-    // projection scores each unordered pair exactly once.
+      .withColumn("nrm", sqrt(call_function("graft_dot", col("v"), col("v"))))
+    // graft_dot is a native codegen'd loop, so Catalyst is free to push the
+    // threshold into the pair-join condition — the predicate evaluates one
+    // compiled loop per candidate pair, filtering before projection.
     e.as("a")
       .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .withColumn("cosine", round(
-        dotKernel(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6))
+        call_function("graft_dot", col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6))
       .filter(col("cosine") >= threshold)
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), col("cosine"))
   }

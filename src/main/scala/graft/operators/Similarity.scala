@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.expressions.DotProduct
 import graft.functions.VectorFunctions._
 
 /** Approximate-nearest-neighbor search over the `embeddings` fixture
@@ -27,16 +28,17 @@ object Similarity {
     */
   def bruteForceTopK(s: SparkSession, dir: String,
                      numQueries: Int = 10, k: Int = 5): DataFrame = {
+    DotProduct.register(s)
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").as("v"))
-      .withColumn("nrm", normKernel(col("v")))
+      .withColumn("nrm", sqrt(call_function("graft_dot", col("v"), col("v"))))
     val q = e.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(
         col("query_id"),
         col("vec_id").as("neighbor_id"),
-        round(dotKernelDet(col("v"), col("qv")) / (col("nrm") * col("qn")), 6).as("cosine"))
+        round(call_function("graft_dot", col("v"), col("qv")) / (col("nrm") * col("qn")), 6).as("cosine"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -69,9 +71,10 @@ object Similarity {
     */
   def annLsh(s: SparkSession, dir: String, numQueries: Int = 10, k: Int = 5,
              numPlanes: Int = 4, dim: Int = Dim): DataFrame = {
+    DotProduct.register(s)
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").as("v"))
-      .withColumn("nrm", normKernel(col("v")))
+      .withColumn("nrm", sqrt(call_function("graft_dot", col("v"), col("v"))))
       .withColumn("bucket", lshBucket(numPlanes, dim)(col("v")))
     val q = e.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
@@ -81,7 +84,7 @@ object Similarity {
       .select(
         col("query_id"),
         col("vec_id").as("neighbor_id"),
-        round(dotKernelDet(col("v"), col("qv")) / (col("nrm") * col("qn")), 6).as("cosine"))
+        round(call_function("graft_dot", col("v"), col("qv")) / (col("nrm") * col("qn")), 6).as("cosine"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -100,9 +103,10 @@ object Similarity {
              numCells: Int = 16, nprobe: Int = 3): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    DotProduct.register(s)
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").as("v"))
-      .withColumn("nrm", normKernel(col("v")))
+      .withColumn("nrm", sqrt(call_function("graft_dot", col("v"), col("v"))))
       .withColumn("fv", array_to_vector(
         transform(col("v"), x => x.cast("double"))))
       .persist()
@@ -127,7 +131,7 @@ object Similarity {
     val scored = assigned.join(broadcast(probeDf.join(q, "query_id")), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(dotKernelDet(col("v"), col("qv")) / (col("nrm") * col("qn")), 6).as("cosine"))
+        round(call_function("graft_dot", col("v"), col("qv")) / (col("nrm") * col("qn")), 6).as("cosine"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
