@@ -56,6 +56,7 @@ object SparkEntry {
     "text_quality" -> (TextOps.qualityScore _),
     "text_lang_id" -> (TextOps.langId _),
     "text_fingerprint" -> (TextOps.fingerprints _),
+    "pipeline_curate" -> (TextOps.curate _),
     "mm_binary_features" -> ((s: SparkSession, d: String) => Multimodal.pipeline(s, d)),
     "stream_tumbling_agg" -> ((s: SparkSession, d: String) => StreamOps.tumblingWindowAgg(s, d)),
     "q17_sessionize" -> (graft.streaming.Sessionize.batch _),
@@ -214,6 +215,16 @@ object SparkEntry {
         |     ELSE 'zh' END AS lang_pred,
         |score_de, score_en, score_es, score_fr, score_zh
         |FROM s""".stripMargin,
+    "pipeline_curate" ->
+      """WITH f AS (SELECT doc_id, lang, text,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+        |  len(list_distinct(regexp_split_to_array(trim(text), '\s+')))::DOUBLE
+        |    / len(regexp_split_to_array(trim(text), '\s+')) AS distinct_ratio
+        |  FROM documents),
+        |d AS (SELECT min(doc_id) AS keep_id, min(lang) AS lang, min(n_tokens) AS n_tokens
+        |      FROM f WHERE n_tokens >= 20 AND distinct_ratio >= 0.3 GROUP BY text)
+        |SELECT lang, count(*) AS n_docs, round(avg(n_tokens), 4) AS avg_tokens
+        |FROM d GROUP BY lang""".stripMargin,
     "stream_tumbling_agg" ->
       """SELECT date_trunc('hour', ts) AS win_start, event_type,
         |count(*) AS cnt, round(sum(value), 2) AS sum_v

@@ -41,11 +41,21 @@ object BenchmarkRun {
     val benchmark = BenchmarkRegistry.create(benchName)
     val runId = System.currentTimeMillis() / 1000
     val host = Results.hostInfo()
+    // -validation: cross-iteration result comparison (the reference declares
+    // this flag but never compares; here each iteration's per-query result
+    // digests must agree)
+    val validationDigests =
+      scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[String]]
     for (iter <- 1 to params.iterations) {
       val tracker = new MemoryTracker()
       tracker.start()
       val res = benchmark.run(params)
       val peakMb = tracker.stop()
+      res.params.foreach { case (k, v) =>
+        if (k.startsWith("validation_"))
+          validationDigests.getOrElseUpdate(k,
+            scala.collection.mutable.Set.empty) += v
+      }
       println(s"== $benchName iteration $iter/${params.iterations} ==")
       Results.printResults(res.measurements)
       println(f"max_memory_mb${" " * 27} = $peakMb%10d MB")
@@ -63,6 +73,15 @@ object BenchmarkRun {
             "tag" -> tag),
           measurements = res.measurements.toSeq.sortBy(_._1)
             .map { case (n, d) => Results.Measurement(n, d) }))
+      }
+    }
+    if (params.validation && params.iterations > 1) {
+      val diverging = validationDigests.filter(_._2.size > 1).keys.toSeq.sorted
+      if (diverging.isEmpty)
+        println(s"validation: PASS (${validationDigests.size} queries stable across ${params.iterations} iterations)")
+      else {
+        println(s"validation: FAIL — diverging results for ${diverging.mkString(", ")}")
+        sys.exit(2)
       }
     }
   }

@@ -77,6 +77,27 @@ object TextOps {
         scores.map { case (l, c) => c.as(s"score_$l") }): _*)
   }
 
+  /** End-to-end curation pipeline: quality features → threshold filter →
+    * exact dedup (deterministic survivor) → per-language corpus stats. The
+    * composed shape of a training-data curation job: one narrow projection,
+    * one filter, two shuffles (dedup key, language) — each stage stays
+    * declarative so Catalyst fuses the projection+filter into the scan.
+    */
+  def curate(s: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val feats = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("text"),
+        size(t).as("n_tokens"),
+        (size(array_distinct(t)) / size(t).cast("double")).as("distinct_ratio"))
+      .filter(col("n_tokens") >= 20 && col("distinct_ratio") >= 0.3)
+    val deduped = feats.groupBy("text").agg(
+      min("doc_id").as("keep_id"), min("lang").as("lang"),
+      min("n_tokens").as("n_tokens"))
+    deduped.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      round(avg("n_tokens"), 4).as("avg_tokens"))
+  }
+
   /** Normalized rolling-hash fingerprints + exact-duplicate group size by
     * fingerprint (catches case/punctuation-only near-dups).
     */

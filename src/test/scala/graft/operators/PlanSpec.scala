@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SparkTestSession.{sf, spark}
+
+/** Physical-plan assertions: the plans must stay the plans we want at
+  * scale — filters pushed to the parquet scan, two-phase hash aggregation,
+  * top-k as TakeOrderedAndProject, no accidental cartesian joins.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  private def planOf(df: DataFrame): String = {
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    df.queryExecution.toString
+  }
+
+  test("q07 conjunctive filter reaches the parquet scan as PushedFilters") {
+    val p = planOf(Relational.q07FilterConj(spark, sf))
+    assert(p.contains("PushedFilters:"), "no pushdown section in scan")
+    assert(p.contains("GreaterThan(l_quantity,1.0)") ||
+      p.contains("GreaterThan(l_quantity, 1.0)"),
+      s"range predicate not pushed:\n${p.take(2000)}")
+  }
+
+  test("q05 multi-agg plans two-phase hash aggregation") {
+    val p = planOf(Relational.q05MultiAggSkew(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expected partial + final HashAggregate")
+  }
+
+  test("q12 top-k plans TakeOrderedAndProject (no full sort)") {
+    val p = planOf(Relational.q12TopK(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
+
+  test("q06 join-agg avoids nested-loop/cartesian joins") {
+    val p = planOf(Relational.q06JoinAgg(spark, sf))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q08 projection prunes the events scan to referenced columns") {
+    val p = planOf(Relational.q08DerivedCols(spark, sf))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("event_type"),
+      s"unused column not pruned: $readSchema")
+  }
+}
