@@ -110,7 +110,9 @@ object Similarity {
       .withColumn("fv", array_to_vector(
         transform(col("v"), x => x.cast("double"))))
       .persist()
-    val model = new KMeans().setK(numCells).setSeed(126L)
+    // few iterations suffice: cells only bucket the search space, they
+    // don't need converged centroids
+    val model = new KMeans().setK(numCells).setSeed(126L).setMaxIter(5)
       .setFeaturesCol("fv").setPredictionCol("cell").fit(e)
     val assigned = model.transform(e).drop("fv")
     val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
