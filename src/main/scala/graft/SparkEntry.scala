@@ -40,6 +40,9 @@ object SparkEntry {
     "q14_dedup_exact" -> (Relational.q14DedupExact _),
     "q15_window_funcs" -> (Relational.q15WindowFuncs _),
     "q16_split_agg" -> (Relational.q16SplitAgg _),
+    "q18_json_extract" -> (Relational.q18JsonExtract _),
+    "q19_percentiles" -> (Relational.q19Percentiles _),
+    "q20_approx_agg" -> (Relational.q20ApproxAgg _),
     // ---- training-data pipeline extensions ----
     "dedup_exact_docs" -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
@@ -154,6 +157,14 @@ object SparkEntry {
         |      FROM base WHERE dom >= 25 GROUP BY 1)
         |SELECT coalesce(t.event_type, v.event_type) AS event_type, n_train, avg_train, n_test, avg_test
         |FROM t FULL OUTER JOIN v ON t.event_type = v.event_type""".stripMargin,
+    "q18_json_extract" ->
+      """SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+        |regexp_extract(props, '\d+', 0) AS k_str FROM events""".stripMargin,
+    "q19_percentiles" ->
+      """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50,
+        |round(quantile_cont(value, 0.95), 4) AS p95,
+        |count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1""".stripMargin,
     "dedup_exact_docs" ->
       "SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text",
     "dedup_ngram_jaccard" -> shingleCte,

@@ -192,6 +192,39 @@ object Relational {
         .as("running_v"))
   }
 
+  /** JSON + regex scalar functions over the events.props payload column
+    * (semi-structured column handling — beyond the reference surface, which
+    * has no string functions on data).
+    */
+  def q18JsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("int").as("k"),
+      regexp_extract(col("props"), "\\d+", 0).as("k_str"))
+
+  /** Exact interpolated percentiles + exact distinct count per group
+    * (Spark `percentile` == DuckDB `quantile_cont`, both linear
+    * interpolation).
+    */
+  def q19Percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.95)"), 4).as("p95"),
+        countDistinct("user_id").as("n_users"))
+
+  /** Sketch-based approximate aggregates (HLL++ distinct count, quantile
+    * sketch) — the constant-memory scale path for the q19 statistics; no
+    * oracle (approximation is engine-specific), checked rows-only.
+    */
+  def q20ApproxAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct("user_id").as("approx_users"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_p50"))
+
   /** Pipeline composition (ny_taxi_ml end-to-end ETL shape): filter → feature
     * engineering → threshold split (P9) → per-split aggregate, re-joined.
     * Exercises caching-free recompute of a shared subplan.
