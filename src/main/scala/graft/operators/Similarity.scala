@@ -113,6 +113,8 @@ object Similarity {
     // few iterations suffice: cells only bucket the search space, they
     // don't need converged centroids
     val model = new KMeans().setK(numCells).setSeed(126L).setMaxIter(5)
+      .setInitMode("random") // k-means|| init costs extra passes; random
+      // seeding is plenty for bucketing
       .setFeaturesCol("fv").setPredictionCol("cell").fit(e)
     val assigned = model.transform(e).drop("fv")
     val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
