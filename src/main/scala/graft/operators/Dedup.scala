@@ -99,14 +99,23 @@ object Dedup {
         Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))))
       .join(sizes, "doc_id")
       .filter(col("pos") <= col("n") - ceil(lit(JaccardThreshold) * col("n")) + 1)
-      .select("doc_id", "sh", "n")
+      .select("doc_id", "sh", "n", "pos")
+    // PPJoin position filter: a prefix match at positions (pa, pb) bounds
+    // the overlap by 1 + min(|a|−pa, |b|−pb); J ≥ τ requires overlap ≥
+    // ⌈τ/(1+τ)·(|a|+|b|)⌉. Aggregating min positions per pair keeps the
+    // bound tight and replaces the distinct().
+    val alpha = JaccardThreshold / (1 + JaccardThreshold)
     val candidates = prefix.as("a")
       .join(prefix.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
           greatest(col("a.n"), col("b.n")) * JaccardThreshold <=
             least(col("a.n"), col("b.n")))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(min(col("a.pos")).as("pa"), min(col("b.pos")).as("pb"),
+        first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
+      .filter(lit(1) + least(col("na") - col("pa"), col("nb") - col("pb")) >=
+        ceil((col("na") + col("nb")) * alpha))
+      .select("id_a", "id_b")
     verifyJaccard(sh, sizes, candidates)
   }
 
