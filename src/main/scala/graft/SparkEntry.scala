@@ -41,6 +41,9 @@ object SparkEntry {
     "q15_window_funcs" -> (Relational.q15WindowFuncs _),
     "q16_split_agg" -> (Relational.q16SplitAgg _),
     "q18_json_extract" -> (Relational.q18JsonExtract _),
+    "q21_date_funcs" -> (Relational.q21DateFuncs _),
+    "q22_setops" -> (Relational.q22SetOps _),
+    "q23_rollup" -> (Relational.q23Rollup _),
     "q19_percentiles" -> (Relational.q19Percentiles _),
     "q20_approx_agg" -> (Relational.q20ApproxAgg _),
     // ---- training-data pipeline extensions ----
@@ -160,6 +163,25 @@ object SparkEntry {
     "q18_json_extract" ->
       """SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k,
         |regexp_extract(props, '\d+', 0) AS k_str FROM events""".stripMargin,
+    "q21_date_funcs" ->
+      """SELECT o_orderkey,
+        |CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS INTEGER) AS days_since,
+        |(o_orderdate + INTERVAL 1 MONTH)::DATE AS next_month,
+        |last_day(o_orderdate::DATE) AS month_end,
+        |date_trunc('month', o_orderdate)::DATE AS month_start,
+        |CAST(isodow(o_orderdate) - 1 AS INTEGER) AS wd
+        |FROM orders""".stripMargin,
+    "q22_setops" ->
+      """SELECT user_id, dom FROM (
+        |  SELECT user_id, CAST(day(ts) AS INTEGER) AS dom FROM events WHERE event_type = 'click'
+        |  INTERSECT
+        |  SELECT user_id, CAST(day(ts) AS INTEGER) FROM events WHERE event_type = 'purchase')
+        |EXCEPT
+        |SELECT user_id, CAST(day(ts) AS INTEGER) FROM events WHERE event_type = 'error'""".stripMargin,
+    "q23_rollup" ->
+      """SELECT event_type, CAST(day(ts) AS INTEGER) AS dom,
+        |count(*) AS cnt, round(sum(value), 2) AS sum_v
+        |FROM events GROUP BY ROLLUP(event_type, CAST(day(ts) AS INTEGER))""".stripMargin,
     "q19_percentiles" ->
       """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50,
         |round(quantile_cont(value, 0.95), 4) AS p95,

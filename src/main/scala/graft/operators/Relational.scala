@@ -225,6 +225,39 @@ object Relational {
         approx_count_distinct("user_id").as("approx_users"),
         percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_p50"))
 
+  /** Date/time arithmetic family: day difference from an epoch, calendar
+    * month addition (clamped), last-day-of-month, month truncation,
+    * Monday-based weekday.
+    */
+  def q21DateFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      datediff(col("o_orderdate"), lit("1995-01-01")).as("days_since"),
+      add_months(col("o_orderdate"), 1).as("next_month"),
+      last_day(col("o_orderdate")).as("month_end"),
+      trunc(col("o_orderdate"), "month").as("month_start"),
+      weekday(col("o_orderdate")).as("wd"))
+
+  /** Row-level set operations (beyond the reference, which only unions):
+    * (user, day) pairs with both a click and a purchase but no error —
+    * INTERSECT then EXCEPT with distinct semantics.
+    */
+  def q22SetOps(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    def userDays(kind: String) =
+      e.filter(col("event_type") === kind)
+        .select(col("user_id"), dayofmonth(col("ts")).as("dom"))
+    userDays("click").intersect(userDays("purchase")).except(userDays("error"))
+  }
+
+  /** Rollup aggregation (hierarchical subtotals + grand total) over
+    * (event_type, day-of-month).
+    */
+  def q23Rollup(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .rollup(col("event_type"), dayofmonth(col("ts")).as("dom"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_v"))
+
   /** Pipeline composition (ny_taxi_ml end-to-end ETL shape): filter → feature
     * engineering → threshold split (P9) → per-split aggregate, re-joined.
     * Exercises caching-free recompute of a shared subplan.
