@@ -58,6 +58,27 @@ class HarnessSpec extends AnyFunSuite {
     }
   }
 
+  test("example benchmark runs end-to-end with expected stage names") {
+    val res = BenchmarkRegistry.create("example_benchmark")
+      .run(RunParams(dataDir = "/root/testdata/sf0.001"))
+    assert(res.measurements.keySet ===
+      Set("total", "total.load_data", "total.feature_1", "total.feature_2"))
+    assert(res.measurements("total") >=
+      res.measurements("total.load_data"))
+  }
+
+  test("ny_taxi benchmark produces stable validation digests across runs") {
+    val params = RunParams(dataDir = "/root/testdata/sf0.001", validation = true)
+    val bench = BenchmarkRegistry.create("ny_taxi")
+    def digests(r: BenchmarkResults) =
+      r.params.filter(_._1.startsWith("validation_"))
+    val a = digests(bench.run(params))
+    val b = digests(bench.run(params))
+    assert(a.keySet === Set("validation_Query1", "validation_Query2",
+      "validation_Query3", "validation_Query4"))
+    assert(a === b)
+  }
+
   test("hostInfo reports basic facts") {
     val h = Results.hostInfo()
     assert(h("cpu_count").toInt > 0)
