@@ -50,13 +50,13 @@ object SparkEntry {
     "dedup_exact_docs" -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "dedup_minhash_lsh" -> (Dedup.minhashLsh _),
-    "dedup_simhash" -> (Dedup.simhashPairs _),
+    "dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     "dedup_embedding_cosine" -> ((s: SparkSession, d: String) => Dedup.embeddingCosine(s, d)),
     "ann_brute_topk" -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
     "ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
     "ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
     "mm_decode_batched" -> ((s: SparkSession, d: String) =>
-      Multimodal.decodeBatched(Multimodal.asBinaryPayload(s, d))),
+      Multimodal.decodeBatchedFlat(Multimodal.asBinaryPayload(s, d))),
     "emb_label_centroids" -> (Similarity.labelCentroids _),
     "text_token_counts" -> (TextOps.tokenCounts _),
     "text_quality" -> (TextOps.qualityScore _),

@@ -70,22 +70,32 @@ object TextFunctions {
     array(bands: _*)
   }
 
-  /** One SimHash bit-vote term: ±1 depending on bit b of the token hash.
-    * The per-document 64-bit SimHash (Charikar, "Similarity estimation
-    * techniques from rounding algorithms", 2002) is assembled by summing
-    * votes per bit with 64 codegen'd `sum()` aggregates over exploded
-    * (id, token-hash) rows — see Dedup.simhashPairs.
+  /** Packed SimHash bit-count term: bits 4g..4g+3 of the token hash, each
+    * as a 16-bit count field of one long. The per-document 64-bit SimHash
+    * (Charikar, "Similarity estimation techniques from rounding
+    * algorithms", 2002) needs one popularity count per signature bit;
+    * packing 4 counts per long turns 64 `sum()` aggregates into 16 —
+    * 4× less generated aggregate code (janino compile time scales with
+    * aggregate count) at identical per-row cost. 16-bit fields cap at
+    * 65,535 tokens per document before neighboring counts overflow — far
+    * beyond any shingle-scale document; a longer doc should be chunked
+    * upstream anyway.
     */
-  def simhashVote(tokenHash: Column, bit: Int): Column =
-    shiftright(tokenHash, bit).bitwiseAND(1) * 2 - 1
+  def simhashPackedVotes(tokenHash: Column, group: Int): Column =
+    (0 until 4).map { k =>
+      shiftright(tokenHash, group * 4 + k).bitwiseAND(1) * lit(1L << (16 * k))
+    }.reduce(_ + _)
 
-  /** Assemble the 64-bit signature from 64 per-bit vote sums. Disjoint bit
-    * contributions combine with +, which equals OR here (including the sign
-    * bit: two's-complement add wraps).
+  /** Assemble the 64-bit signature from 16 packed count sums + the token
+    * count: bit b is set iff more than half the token hashes set bit b
+    * (2·count > n ⟺ the ±1 vote sum is positive). Disjoint bit
+    * contributions combine with +, which equals OR here (including the
+    * sign bit: two's-complement add wraps).
     */
-  def simhashFromVotes(votes: Seq[Column]): Column =
-    votes.zipWithIndex.map { case (v, b) =>
-      when(v > 0, lit(1L << b)).otherwise(lit(0L))
+  def simhashFromPacked(packed: Seq[Column], nTokens: Column): Column =
+    (0 until 64).map { b =>
+      val cnt = shiftrightunsigned(packed(b / 4), 16 * (b % 4)).bitwiseAND(0xFFFFL)
+      when(cnt * 2 > nTokens, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** Hamming distance between two 64-bit simhashes. */

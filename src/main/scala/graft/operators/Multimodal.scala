@@ -69,6 +69,19 @@ object Multimodal {
       height = 16 + (math.abs(h >>> 10) % 1024).toInt, feature)
   }
 
+  /** Flat projection of the batched decode for result harnesses: the
+    * fixed-size feature vector is emitted as scalar columns f0..f7 (plus the
+    * scalar fields) instead of array<float>, because canonical-sorting
+    * comparators (pandas lexsort) cannot order array cells. The array-valued
+    * `decodeBatched` remains the internal API.
+    */
+  def decodeBatchedFlat(payload: DataFrame, batchSize: Int = 64): DataFrame = {
+    val cols = Seq(col("doc_id"), col("n_bytes"), col("content_hash"),
+      col("width"), col("height")) ++
+      (0 until 8).map(i => element_at(col("feature"), i + 1).cast("double").as(s"f$i"))
+    decodeBatched(payload, batchSize).select(cols: _*)
+  }
+
   /** Partition-parallel BATCHED decode — the Scala equivalent of a
     * mapInPandas media pipeline: records stream through fixed-size batches
     * (the shape a vectorized decoder / GPU inference step consumes), one

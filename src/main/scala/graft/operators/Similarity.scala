@@ -46,24 +46,12 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
-  /** Deterministic pseudo-random hyperplanes: component c of plane p is a
-    * splitmix64-scrambled value in [-1, 1). Fixed seed → reproducible
-    * bucketing across runs and engines.
-    */
-  private def hyperplane(p: Int, dim: Int): Seq[Double] =
-    (0 until dim).map { c =>
-      var z = (p.toLong * 1024 + c + 1) * 0x9E3779B97F4A7C15L
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z = z ^ (z >>> 31)
-      z.toDouble / Long.MaxValue.toDouble
-    }
-
   /** Sign-pattern bucket id from `numPlanes` hyperplane projections
-    * (primitive kernel over the flattened plane matrix).
+    * (primitive kernel over the shared deterministic plane matrix —
+    * VectorFunctions.hyperplanesFlat).
     */
   private def lshBucket(numPlanes: Int, dim: Int) =
-    bucketKernel((0 until numPlanes).flatMap(p => hyperplane(p, dim)).toArray, dim)
+    bucketKernel(hyperplanesFlat(numPlanes, dim), dim)
 
   /** LSH-bucketed ANN: corpus vectors bucketed by hyperplane sign pattern;
     * each query probes only its own bucket. Approximate — recall depends on
@@ -95,9 +83,12 @@ object Similarity {
   /** IVF-style ANN: a KMeans coarse quantizer (MLlib, fixed seed) assigns
     * every corpus vector to a cell; each query probes only the `nprobe`
     * cells whose centroids are nearest, scoring candidates exactly. The
-    * index-build (fit) touches a sample-sized workload; the search is a
-    * cell-bucket join — the standard IVF trade: recall bounded by nprobe,
-    * cost O(q · nprobe · cell size) instead of O(q · n).
+    * index-build (fit) is bounded to ≤ numCells×256 rows — cells only
+    * bucket the search space, so centroids from a size-capped sample are
+    * as good as centroids from the full corpus; assignment (`transform`)
+    * is the only full pass. The search is a cell-bucket join — the
+    * standard IVF trade: recall bounded by nprobe, cost
+    * O(q · nprobe · cell size) instead of O(q · n).
     */
   def annIvf(s: SparkSession, dir: String, numQueries: Int = 10, k: Int = 5,
              numCells: Int = 16, nprobe: Int = 3): DataFrame = {
@@ -110,12 +101,15 @@ object Similarity {
       .withColumn("fv", array_to_vector(
         transform(col("v"), x => x.cast("double"))))
       .persist()
-    // few iterations suffice: cells only bucket the search space, they
-    // don't need converged centroids
+    // Size-bounded index build: ~256 training rows per cell suffice for a
+    // coarse quantizer; `limit` short-circuits the scan, so the build cost
+    // is O(numCells×256) regardless of corpus size. Few iterations
+    // suffice: cells don't need converged centroids.
+    val fitRows = e.select(col("fv")).limit(numCells * 256)
     val model = new KMeans().setK(numCells).setSeed(126L).setMaxIter(5)
       .setInitMode("random") // k-means|| init costs extra passes; random
       // seeding is plenty for bucketing
-      .setFeaturesCol("fv").setPredictionCol("cell").fit(e)
+      .setFeaturesCol("fv").setPredictionCol("cell").fit(fitRows)
     val assigned = model.transform(e).drop("fv")
     val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
     // per query: nprobe nearest cells by centroid distance (driver-side —

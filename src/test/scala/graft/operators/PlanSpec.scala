@@ -41,6 +41,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("embedding cosine dedup plans no nested-loop or cartesian join") {
+    val p = planOf(Dedup.embeddingCosine(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("q08 projection prunes the events scan to referenced columns") {
     val p = planOf(Relational.q08DerivedCols(spark, sf))
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
