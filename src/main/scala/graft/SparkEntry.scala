@@ -87,6 +87,61 @@ object SparkEntry {
       |  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
       |  FROM embeddings)""".stripMargin
 
+  /** The annLsh oracle replays the hyperplane bucketing in SQL: the
+    * deterministic splitmix-seeded plane matrix (4 planes × 64 dims) is
+    * embedded as double literals, so DuckDB computes the identical sign
+    * pattern (same doubles, same left-to-right summation) and the full
+    * bucketed top-k is exactly checkable — no "seeded hash" escape hatch.
+    */
+  private def annLshOracle: String = {
+    import graft.functions.VectorFunctions
+    val dim = VectorFunctions.Dim
+    val flat = VectorFunctions.hyperplanesFlat(4, dim)
+    val planes = (0 until 4).map { p =>
+      (0 until dim).map(c => flat(p * dim + c).toString).mkString("[", ",", "]")
+    }
+    val bucket = (0 until 4).map { p =>
+      s"CASE WHEN list_sum(list_transform(range(1, ${dim + 1}), i -> e[i]*w$p[i])) > 0 THEN ${1 << p} ELSE 0 END"
+    }.mkString(" + ")
+    s"""$cosineCte,
+       |p AS (SELECT ${planes.zipWithIndex.map { case (l, i) => s"$l AS w$i" }.mkString(", ")}),
+       |b AS (SELECT vec_id, e, nrm, $bucket AS bucket FROM v, p),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |    round(list_sum(list_transform(range(1, ${dim + 1}), i -> q.e[i] * n.e[i])) / (q.nrm * n.nrm), 6) AS cosine
+       |  FROM b q JOIN b n ON q.vec_id < 10 AND n.vec_id <> q.vec_id AND q.bucket = n.bucket)
+       |SELECT query_id, neighbor_id, cosine,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+       |FROM scored
+       |QUALIFY rank <= 5""".stripMargin
+  }
+
+  /** The mm_decode oracle replays the stub decoder's 64-bit polynomial
+    * hash (h = 31·h + byte, wrapping) in SQL via HUGEINT mod-2⁶⁴
+    * arithmetic — documents are ASCII, so ord(char) = byte value.
+    */
+  private val mmDecodeOracle: String = {
+    val f = (0 until 8).map { d =>
+      val pow = 1L << (8 * d)
+      s"(((hu // $pow) % 256)::DOUBLE - 128)/128 AS f$d"
+    }.mkString(",\n")
+    s"""WITH h AS (
+       |  SELECT doc_id, CAST(length(text) AS INTEGER) AS n_bytes,
+       |    list_reduce(list_prepend(1125899906842597::HUGEINT,
+       |      list_transform(range(1, length(text)+1), i -> ord(substr(text, i, 1))::HUGEINT)),
+       |      (acc, x) -> (acc*31 + x) % 18446744073709551616::HUGEINT) AS hu
+       |  FROM documents),
+       |s AS (SELECT doc_id, n_bytes, hu,
+       |  CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+       |       THEN hu - 18446744073709551616::HUGEINT ELSE hu END AS BIGINT) AS content_hash
+       |  FROM h)
+       |SELECT doc_id, n_bytes, content_hash,
+       |CAST(16 + (abs(content_hash) % 1024) AS INTEGER) AS width,
+       |CAST(16 + ((hu // 1024) % 1024) AS INTEGER) AS height,
+       |$f
+       |FROM s""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q01_group_count" ->
       "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type",
@@ -258,6 +313,16 @@ object SparkEntry {
         |      FROM f WHERE n_tokens >= 20 AND distinct_ratio >= 0.3 GROUP BY text)
         |SELECT lang, count(*) AS n_docs, round(avg(n_tokens), 4) AS avg_tokens
         |FROM d GROUP BY lang""".stripMargin,
+    "ann_lsh" -> annLshOracle,
+    "mm_decode_batched" -> mmDecodeOracle,
+    "mm_binary_features" ->
+      """SELECT doc_id, 'text/plain' AS mime, CAST(length(text) AS INTEGER) AS n_bytes,
+        |md5(text) AS content_md5, hex(substring(text, 1, 8)) AS head_hex
+        |FROM documents""".stripMargin,
+    "text_fingerprint" ->
+      """WITH fp AS (SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS fp FROM documents),
+        |g AS (SELECT fp, count(*) AS n_same FROM fp GROUP BY 1)
+        |SELECT f.doc_id, f.fp, g.n_same FROM fp f JOIN g USING (fp)""".stripMargin,
     "stream_tumbling_agg" ->
       """SELECT date_trunc('hour', ts) AS win_start, event_type,
         |count(*) AS cnt, round(sum(value), 2) AS sum_v

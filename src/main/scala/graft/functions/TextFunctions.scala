@@ -101,10 +101,13 @@ object TextFunctions {
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** Normalized-text rolling fingerprint: lowercase, collapse non-alnum to
-    * single spaces, xxhash64. Two documents differing only in case /
-    * punctuation / whitespace get the same fingerprint.
+  /** Normalized-text fingerprint: lowercase, collapse non-alnum runs to
+    * single spaces, hash. Two documents differing only in case /
+    * punctuation / whitespace get the same fingerprint. md5 keeps the
+    * fingerprint engine-portable (verifiable against any SQL oracle); at
+    * cluster scale a 64-bit xxhash64 of the same normalized text is the
+    * cheaper drop-in (8 bytes vs 32, one pass, no digest state).
     */
   def fingerprint(text: Column): Column =
-    xxhash64(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+    md5(regexp_replace(lower(text), "[^a-z0-9]+", " ").cast("binary"))
 }

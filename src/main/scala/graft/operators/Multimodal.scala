@@ -32,14 +32,16 @@ object Multimodal {
     * The fake derives features purely from the bytes (lengths, hashes,
     * leading byte) so results are deterministic and the distributed
     * plumbing (projection width, partitioning, no shuffle) is identical.
+    * md5 is the content checksum (engine-portable, so the result is
+    * verifiable against any SQL oracle); on a real cluster a 64-bit
+    * xxhash64 would be the cheaper same-shape choice.
     */
   def extractFeatures(payload: DataFrame): DataFrame =
     payload.select(
       col("doc_id"),
       col("meta.mime").as("mime"),
       col("meta.n_bytes").as("n_bytes"),
-      crc32(col("payload")).as("checksum"),
-      xxhash64(col("payload")).as("content_hash"),
+      md5(col("payload")).as("content_md5"),
       // "thumbnail": first 8 bytes as hex — stands in for a decoded preview
       hex(substring(col("payload"), 1, 8)).as("head_hex"))
 
