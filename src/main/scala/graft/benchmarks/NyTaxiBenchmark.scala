@@ -22,13 +22,27 @@ import graft.harness._
 final class NyTaxiBenchmark extends BaseBenchmark {
   override def name: String = "ny_taxi"
 
+  /** Staged inputs: real trips CSVs when present, else the lineitem
+    * fixture the offline mapping reads (analog of the reference's
+    * ny_taxi S3 folder).
+    */
+  override def dataFiles: Seq[String] = Seq("trips_x*.csv*", "lineitem.parquet")
+
+  /** Reference ny_taxi.py:336-351: `-dfiles_num` caps how many trips data
+    * files are loaded — the benchmark's scale-control surface.
+    */
+  override def benchmarkArgs: Seq[ArgSpec] = Seq(
+    ArgSpec("dfiles_num", default = Some("1"),
+      help = "Number of datafiles to load into database for processing."))
+
   override protected def runBenchmark(params: RunParams): BenchmarkResults = {
     val tm = new TimerManager
     val s = SparkBackend.session(params.numThreads, name)
+    val dfilesNum = params.extra.getOrElse("dfiles_num", "1").toInt
     var validationHashes = Map.empty[String, Long]
     tm.timeit("total") {
       val trips = tm.timeit("t_readcsv") {
-        SparkBackend.triggerLoading(loadTrips(s, params.dataDir))
+        SparkBackend.triggerLoading(loadTrips(s, params.dataDir, dfilesNum))
       }
       def fence(q: String, df: DataFrame): Unit = {
         tm.timeit(q)(SparkBackend.triggerExecution(df))
@@ -47,7 +61,7 @@ final class NyTaxiBenchmark extends BaseBenchmark {
       trips.unpersist()
     }
     BenchmarkResults(tm.results,
-      Map("backend" -> params.backend) ++
+      Map("backend" -> params.backend, "dfiles_num" -> dfilesNum.toString) ++
         validationHashes.map { case (k, v) => s"validation_$k" -> v.toString })
   }
 
@@ -60,13 +74,16 @@ final class NyTaxiBenchmark extends BaseBenchmark {
     hashed.agg(expr("bit_xor(h)")).collect()(0).getLong(0)
   }
 
-  private def loadTrips(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def loadTrips(s: SparkSession, dir: String,
+                               dfilesNum: Int = 1): DataFrame = {
     val csvs = Option(new java.io.File(dir).list())
       .getOrElse(Array.empty[String]).filter(_.matches("trips_x.*\\.csv.*"))
     if (csvs.nonEmpty)
       s.read.schema(NyTaxiSchema.schema).option("header", "false")
-        .csv(csvs.map(f => s"$dir/$f").sorted: _*)
+        .csv(csvs.map(f => s"$dir/$f").sorted.take(dfilesNum): _*)
     else
+      // fixture fallback is a single parquet table; dfiles_num caps the
+      // file list above, so with one file any value ≥ 1 reads everything
       graft.Tables.lineitem(s, dir).select(
         col("l_returnflag").as("cab_type"),
         col("l_linenumber").cast("long").as("passenger_count"),

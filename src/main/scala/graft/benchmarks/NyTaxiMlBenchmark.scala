@@ -23,6 +23,12 @@ import graft.harness._
 final class NyTaxiMlBenchmark extends BaseBenchmark {
   override def name: String = "ny_taxi_ml"
 
+  /** Staged inputs: yellow-tripdata CSVs when present, else the events
+    * fixture the offline mapping reads (analog of the reference's
+    * ny_taxi_ml tar.gz staging, ny_taxi_ml.py:314-322).
+    */
+  override def dataFiles: Seq[String] = Seq("*yellow_tripdata*.csv*", "events.parquet")
+
   override protected def runBenchmark(params: RunParams): BenchmarkResults = {
     val tm = new TimerManager
     val s = SparkBackend.session(params.numThreads, name)

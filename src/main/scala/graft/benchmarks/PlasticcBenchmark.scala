@@ -26,6 +26,28 @@ import graft.functions.StatFunctions.skewSample
 final class PlasticcBenchmark extends BaseBenchmark {
   override def name: String = "plasticc"
 
+  /** Staged inputs: the fixtures the offline mapping reads (analog of the
+    * reference's plasticc S3 folder of training/test CSVs).
+    */
+  override def dataFiles: Seq[String] = Seq("lineitem.parquet", "orders.parquet")
+
+  /** Reference plasticc_pandas_modin.py:288-295: `-gpu_memory` sizes how
+    * much of the observation data is read — translated to a skiprows count
+    * (reference compute_skip_rows, :231-237) and applied through
+    * CsvSource.skipRows. No default: the reference's default (16) exists to
+    * squeeze its fixed 453M-row test set into 32 GB; when the flag is
+    * absent here, every observation row is read.
+    */
+  override def benchmarkArgs: Seq[ArgSpec] = Seq(
+    ArgSpec("gpu_memory",
+      help = "memory budget in GB; controls the observation rows used"))
+
+  /** Reference formula (plasticc_pandas_modin.py:231-237) with the actual
+    * row count in place of the reference's hardcoded 453,653,104.
+    */
+  def computeSkipRows(gpuMemory: Int, totalRows: Long, overhead: Double = 1.2): Long =
+    math.max(0L, ((1.0 - gpuMemory / (32.0 * overhead)) * totalRows).toLong)
+
   override protected def runBenchmark(params: RunParams): BenchmarkResults = {
     val tm = new TimerManager
     val s = SparkBackend.session(params.numThreads, name)
@@ -33,7 +55,16 @@ final class PlasticcBenchmark extends BaseBenchmark {
       "ml_impl" -> "mllib-random-forest")
     tm.timeit("total") {
       val (obs, meta) = tm.timeit("t_readcsv") {
-        val o = SparkBackend.triggerLoading(observations(s, params.dataDir))
+        val full = observations(s, params.dataDir)
+        val sized = params.extra.get("gpu_memory").map(_.toInt) match {
+          case Some(gpuGb) =>
+            val skip = computeSkipRows(gpuGb, full.count())
+            extraParams ++= Map("gpu_memory" -> gpuGb.toString,
+              "skip_rows" -> skip.toString)
+            graft.sources.CsvSource.skipRows(full, skip)
+          case None => full
+        }
+        val o = SparkBackend.triggerLoading(sized)
         val m = SparkBackend.triggerLoading(metadata(s, params.dataDir))
         (o, m)
       }

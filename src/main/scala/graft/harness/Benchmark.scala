@@ -31,9 +31,24 @@ final case class RunParams(
     validation: Boolean = false,
     extra: Map[String, String] = Map.empty)
 
+/** One benchmark-specific CLI flag (reference add_benchmark_args,
+  * timedf/benchmark.py:68-71): benchmarks declare flags, the CLI parses
+  * them, and the values land in RunParams.extra keyed by `name`.
+  */
+final case class ArgSpec(
+    name: String,
+    takesValue: Boolean = true,
+    default: Option[String] = None,
+    help: String = "")
+
 /** Base benchmark (reference BaseBenchmark, timedf/benchmark.py:64-87). */
 trait BaseBenchmark {
   def name: String
+
+  /** Benchmark-specific CLI flags (reference's add_benchmark_args plugin
+    * hook). Parsed values are delivered in RunParams.extra.
+    */
+  def benchmarkArgs: Seq[ArgSpec] = Seq.empty
 
   /** Execute one iteration; returns validated results. */
   def run(params: RunParams): BenchmarkResults = {
@@ -43,10 +58,24 @@ trait BaseBenchmark {
 
   protected def runBenchmark(params: RunParams): BenchmarkResults
 
-  /** Dataset staging hook (reference load_data; default raises). */
-  def loadData(targetDir: String, reload: Boolean): Unit =
-    throw new UnsupportedOperationException(
-      s"benchmark $name defines no load_data")
+  /** File patterns this benchmark stages — the fixture/CSV analogs of the
+    * reference's per-benchmark S3 folders. Empty → loadData unsupported.
+    */
+  def dataFiles: Seq[String] = Seq.empty
+
+  /** Dataset staging hook (reference load_data,
+    * timedf/benchmark.py:82-87; default raises when the benchmark declares
+    * no data files). `sourceDir` defaults to the sf0.001 fixtures — the
+    * offline stand-in for the reference's hardcoded public bucket.
+    */
+  def loadData(targetDir: String, reload: Boolean,
+               sourceDir: Option[String] = None): Unit =
+    if (dataFiles.isEmpty)
+      throw new UnsupportedOperationException(
+        s"benchmark $name defines no load_data")
+    else
+      DataStaging.stage(sourceDir.getOrElse("/root/testdata/sf0.001"),
+        targetDir, dataFiles, reload)
 }
 
 /** Static registry (replaces importlib-by-name,

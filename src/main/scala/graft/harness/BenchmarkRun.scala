@@ -16,11 +16,18 @@ object BenchmarkRun {
   def parse(args: Array[String]): (String, RunParams, Option[String], String) = {
     require(args.nonEmpty, "usage: BenchmarkRun <bench_name> [flags]")
     val benchName = args(0)
+    // benchmark-declared flags (reference add_benchmark_args): resolved
+    // from the registry so `parse` stays a pure function of args
+    val specs: Map[String, ArgSpec] = BenchmarkRegistry.all.get(benchName)
+      .map(_().benchmarkArgs.map(a => a.name -> a).toMap)
+      .getOrElse(Map.empty)
     var p = RunParams(dataDir = "/root/testdata/sf0.001")
     var save: Option[String] = None
     var tag = ""
+    var extra = Map.empty[String, String]
     var i = 1
     while (i < args.length) {
+      val flag = args(i).dropWhile(_ == '-')
       args(i) match {
         case "-data_file" | "--data_file" => p = p.copy(dataDir = args(i + 1)); i += 2
         case "-iterations" | "--iterations" => p = p.copy(iterations = args(i + 1).toInt); i += 2
@@ -30,10 +37,16 @@ object BenchmarkRun {
         case "-save_results" | "--save_results" => save = Some(args(i + 1)); i += 2
         case "-tag" | "--tag" => tag = args(i + 1); i += 2
         case "-validation" | "--validation" => p = p.copy(validation = true); i += 1
+        case _ if specs.contains(flag) =>
+          if (specs(flag).takesValue) { extra += flag -> args(i + 1); i += 2 }
+          else { extra += flag -> "true"; i += 1 }
         case other => throw new IllegalArgumentException(s"unknown flag: $other")
       }
     }
-    (benchName, p, save, tag)
+    specs.values.foreach { a =>
+      if (!extra.contains(a.name)) a.default.foreach(d => extra += a.name -> d)
+    }
+    (benchName, p.copy(extra = extra), save, tag)
   }
 
   def main(args: Array[String]): Unit = {
@@ -67,7 +80,7 @@ object BenchmarkRun {
           runId = runId,
           dateIso = java.time.Instant.ofEpochSecond(runId).toString,
           hostInfo = host + ("max_memory_mb" -> peakMb.toString),
-          params = res.params ++ Map(
+          params = res.params ++ params.extra ++ Map(
             "data_file" -> params.dataDir,
             "num_threads" -> params.numThreads.toString,
             "tag" -> tag),

@@ -1,0 +1,81 @@
+package graft.harness
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+/** Local dataset staging — the offline analog of the reference's S3
+  * folder download (/root/reference/timedf/tools/s3_load.py:9-31): walk the
+  * source, copy entries matching any of the benchmark's file patterns into
+  * the target, skip files that already exist unless `reload`, and report
+  * each decision. The control flow (pattern filter → exists check →
+  * transfer) is the reference's; only the byte transport differs because
+  * this environment has no network.
+  */
+object DataStaging {
+
+  /** Glob-ish match: `*` is the only wildcard (matches any run, including
+    * empty), everything else is literal.
+    */
+  private[harness] def matches(pattern: String, name: String): Boolean =
+    name.matches(pattern.split("\\*", -1).map(java.util.regex.Pattern.quote).mkString(".*"))
+
+  /** Stage every source entry matching ≥ 1 pattern into `targetDir`
+    * (created if absent). Directories (partitioned parquet) copy
+    * recursively. Returns the staged file names.
+    */
+  def stage(sourceDir: String, targetDir: String, patterns: Seq[String],
+            reload: Boolean): Seq[String] = {
+    val src = Paths.get(sourceDir)
+    require(Files.isDirectory(src), s"source dir not found: $sourceDir")
+    val tgt = Paths.get(targetDir)
+    Files.createDirectories(tgt)
+    val staged = Seq.newBuilder[String]
+    Files.list(src).forEach { entry =>
+      val name = entry.getFileName.toString
+      if (!patterns.exists(p => matches(p, name))) ()
+      else if (Files.exists(tgt.resolve(name)) && !reload)
+        println(s"""Skipping "$name", already exists locally""")
+      else {
+        copyRecursive(entry, tgt.resolve(name))
+        println(s"""Staged "$name" from "$sourceDir"""")
+        staged += name
+      }
+    }
+    staged.result()
+  }
+
+  private def copyRecursive(from: Path, to: Path): Unit =
+    if (Files.isDirectory(from)) {
+      Files.createDirectories(to)
+      Files.list(from).forEach(c => copyRecursive(c, to.resolve(c.getFileName)))
+    } else
+      Files.copy(from, to, StandardCopyOption.REPLACE_EXISTING)
+}
+
+/** CLI mirroring the reference's `benchmark-load` console script
+  * (/root/reference/timedf/scripts/benchmark_load.py:19-30):
+  *
+  *   graft.harness.BenchmarkLoad <benchmark> <target_dir> [-r|--reload]
+  *     [-source DIR]
+  *
+  * `-source` is the offline extension point standing in for the
+  * reference's per-benchmark hardcoded public bucket.
+  */
+object BenchmarkLoad {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: BenchmarkLoad <benchmark> <target_dir> [-r|--reload] [-source DIR]")
+    val (benchName, targetDir) = (args(0), args(1))
+    var reload = false
+    var source: Option[String] = None
+    var i = 2
+    while (i < args.length) {
+      args(i) match {
+        case "-r" | "--reload" => reload = true; i += 1
+        case "-source" | "--source" => source = Some(args(i + 1)); i += 2
+        case other => throw new IllegalArgumentException(s"unknown flag: $other")
+      }
+    }
+    BenchmarkRegistry.create(benchName).loadData(targetDir, reload, source)
+    println(s"""Done loading "$benchName" into "$targetDir"""")
+  }
+}

@@ -58,6 +58,44 @@ class HarnessSpec extends AnyFunSuite {
     }
   }
 
+  test("benchmark-specific flags parse into extra with defaults applied") {
+    val (_, p1, _, _) = BenchmarkRun.parse(Array("ny_taxi", "-dfiles_num", "3"))
+    assert(p1.extra === Map("dfiles_num" -> "3"))
+    val (_, p2, _, _) = BenchmarkRun.parse(Array("ny_taxi"))
+    assert(p2.extra === Map("dfiles_num" -> "1")) // declared default
+    val (_, p3, _, _) = BenchmarkRun.parse(Array("plasticc", "-gpu_memory", "8"))
+    assert(p3.extra === Map("gpu_memory" -> "8"))
+    val (_, p4, _, _) = BenchmarkRun.parse(Array("plasticc"))
+    assert(p4.extra === Map.empty[String, String]) // no default declared
+    // a flag of one benchmark is unknown to another
+    intercept[IllegalArgumentException] {
+      BenchmarkRun.parse(Array("plasticc", "-dfiles_num", "3"))
+    }
+  }
+
+  test("gpu_memory -> skip_rows follows the reference formula") {
+    val b = new graft.benchmarks.PlasticcBenchmark
+    // reference: int((1 - 16/38.4) * n)
+    assert(b.computeSkipRows(16, 1000L) === 583L)
+    assert(b.computeSkipRows(64, 1000L) === 0L) // budget exceeds data
+  }
+
+  test("dfiles_num caps the number of trips CSV files loaded") {
+    import graft.operators.SparkTestSession.spark
+    val dir = java.nio.file.Files.createTempDirectory("graft-trips")
+    // 51 fields in NyTaxiSchema order; trailing empties parse as nulls
+    def row(id: Long): String =
+      (Seq(id.toString, "VTS", "2020-01-01 00:00:00", "2020-01-01 00:10:00", "N", "1") ++
+        Seq.fill(4)("0.0") ++ Seq("2", "1.5") ++ Seq.fill(7)("1.0") ++
+        Seq("10.5", "cash", "1.0", "p", "d", "green") ++
+        Seq.fill(26)("")).mkString(",")
+    java.nio.file.Files.writeString(dir.resolve("trips_xaa.csv"), row(1) + "\n" + row(2) + "\n")
+    java.nio.file.Files.writeString(dir.resolve("trips_xab.csv"), row(3) + "\n")
+    val bench = new graft.benchmarks.NyTaxiBenchmark
+    assert(bench.loadTrips(spark, dir.toString, dfilesNum = 1).count() === 2)
+    assert(bench.loadTrips(spark, dir.toString, dfilesNum = 2).count() === 3)
+  }
+
   test("example benchmark runs end-to-end with expected stage names") {
     val res = BenchmarkRegistry.create("example_benchmark")
       .run(RunParams(dataDir = "/root/testdata/sf0.001"))
@@ -77,6 +115,21 @@ class HarnessSpec extends AnyFunSuite {
     assert(a.keySet === Set("validation_Query1", "validation_Query2",
       "validation_Query3", "validation_Query4"))
     assert(a === b)
+  }
+
+  test("loadData stages fixture files and a benchmark runs from the staged dir") {
+    val target = java.nio.file.Files.createTempDirectory("graft-staged").toString
+    val bench = BenchmarkRegistry.create("ny_taxi")
+    bench.loadData(target, reload = false)
+    assert(new java.io.File(target, "lineitem.parquet").exists())
+    // second call skips existing files (reference reload semantics)
+    bench.loadData(target, reload = false)
+    val res = bench.run(RunParams(dataDir = target))
+    assert(res.measurements.contains("total.Query1"))
+    // example_benchmark declares no data files -> unsupported, as reference
+    intercept[UnsupportedOperationException] {
+      BenchmarkRegistry.create("example_benchmark").loadData(target, reload = false)
+    }
   }
 
   test("hostInfo reports basic facts") {
