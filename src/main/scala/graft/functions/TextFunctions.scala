@@ -54,8 +54,10 @@ object TextFunctions {
   def permutedHash(baseHash: Column, coeff: (Long, Long)): Column =
     pmod(baseHash * coeff._1 + coeff._2, lit(MinhashPrime))
 
-  /** xxhash64 folded into [0, p): the base hash for the permutation family. */
-  def baseHash(c: Column): Column = pmod(xxhash64(c), lit(MinhashPrime))
+  /** A 64-bit element token folded into [0, p): the base hash for the
+    * permutation family (elements arrive pre-hashed — Dedup.shinglePairs).
+    */
+  def baseHash(c: Column): Column = pmod(c, lit(MinhashPrime))
 
   /** LSH band keys: split the signature into `numBands` rows of width
     * r = numPerm/numBands, hash each row (band index is salted in so bands

@@ -59,6 +59,47 @@ object ReportCli {
     sb.toString
   }
 
+  /** Chart-data emission — the offline stand-in for the reference's
+    * per-query xlsx bar charts (report_xlsx.py:41-60): for every
+    * measurement, the exact (backend → duration) series the xlsx chart
+    * plots, written as one CSV per measurement plus an ASCII bar rendering
+    * appended to the markdown.
+    */
+  def chartSeries(agg: DataFrame): Seq[(String, Seq[(String, Double)])] =
+    agg.select("name", "backend", "duration_s").collect()
+      .groupBy(_.getString(0)).toSeq.sortBy(_._1)
+      .map { case (n, rows) =>
+        n -> rows.map(r => (r.getString(1), r.getDouble(2))).sortBy(_._1).toSeq
+      }
+
+  def writeChartCsvs(series: Seq[(String, Seq[(String, Double)])],
+                     dir: String): Seq[String] = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    series.map { case (name, points) =>
+      val safe = name.replaceAll("[^A-Za-z0-9_.-]", "_")
+      val path = s"$dir/chart_$safe.csv"
+      val body = "backend,duration_s\n" +
+        points.map { case (b, d) => f"$b,$d%.6f" }.mkString("\n") + "\n"
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), body)
+      path
+    }
+  }
+
+  def asciiCharts(series: Seq[(String, Seq[(String, Double)])]): String = {
+    val sb = new StringBuilder("\n## Charts\n")
+    series.foreach { case (name, points) =>
+      sb.append(s"\n### Query: $name (time, s)\n\n```\n")
+      val maxD = math.max(points.map(_._2).max, 1e-9)
+      val maxB = points.map(_._1.length).max
+      points.foreach { case (b, d) =>
+        val bar = "#" * math.max(1, math.round(40 * d / maxD).toInt)
+        sb.append(f"${b.padTo(maxB, ' ')} | $bar $d%.3f%n")
+      }
+      sb.append("```\n")
+    }
+    sb.toString
+  }
+
   /** Host uniformity check (reference report_xlsx.py:169-173): warn when
     * iterations come from differing hosts.
     */
@@ -68,22 +109,30 @@ object ReportCli {
       .distinct().count() <= 1
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: ReportCli <results.jsonl> <out.md> [-agg median] [-benchmark NAME]")
+    require(args.length >= 2,
+      "usage: ReportCli <results.jsonl> <out.md> [-agg median] [-benchmark NAME] [-charts DIR]")
     val (jsonl, outMd) = (args(0), args(1))
     var how = "median"
     var benchFilter: Option[String] = None
+    var chartsDir: Option[String] = None
     var i = 2
     while (i < args.length) {
       args(i) match {
         case "-agg" => how = args(i + 1); i += 2
         case "-benchmark" => benchFilter = Some(args(i + 1)); i += 2
+        case "-charts" => chartsDir = Some(args(i + 1)); i += 2
         case other => throw new IllegalArgumentException(s"unknown flag: $other")
       }
     }
     val spark = SparkBackend.session(appName = "graft-report")
     val long0 = measurementsLong(spark, jsonl)
     val long = benchFilter.map(b => long0.filter(col("benchmark") === b)).getOrElse(long0)
-    val report = markdown(aggregate(long, how), how) +
+    val agg = aggregate(long, how)
+    val series = chartSeries(agg)
+    chartsDir.foreach { d =>
+      writeChartCsvs(series, d).foreach(p => println(s"wrote $p"))
+    }
+    val report = markdown(agg, how) + asciiCharts(series) +
       (if (hostUniform(spark, jsonl)) "" else "\n> WARNING: results mix different hosts\n")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outMd), report)
     println(s"wrote $outMd")

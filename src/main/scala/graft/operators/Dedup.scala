@@ -45,10 +45,19 @@ object Dedup {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .select("keep_id", "n_copies")
 
-  /** Per-document distinct shingles, exploded to (doc_id, shingle) pairs. */
+  /** Per-document distinct shingles, exploded to (doc_id, token) pairs with
+    * the shingle string hashed to a 64-bit token at the source: every
+    * downstream shuffle/sort/join then moves 8-byte longs instead of ~25-byte
+    * strings. Collision analysis: a collision merges two distinct shingles —
+    * harmless for candidate generation (superset) and bounded by d²/2⁶⁵ for
+    * the verify counts (≈ 3e-9 at 10⁷ distinct shingles; at larger corpora
+    * widen to a 2×64-bit token).
+    */
   private def shinglePairs(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(col("doc_id"), explode(shingles(col("text"), ShingleK)).as("sh"))
+      .select(col("doc_id"),
+        explode(shingles(col("text"), ShingleK)).as("sh_str"))
+      .select(col("doc_id"), xxhash64(col("sh_str")).as("sh"))
 
   /** Exact-Jaccard verification of candidate pairs via a join-based
     * intersection count on the inverted index (fully codegen'd hash joins +
@@ -100,6 +109,9 @@ object Dedup {
       .join(sizes, "doc_id")
       .filter(col("pos") <= col("n") - ceil(lit(JaccardThreshold) * col("n")) + 1)
       .select("doc_id", "sh", "n", "pos")
+      .persist() // self-joined below: one materialization instead of two
+    // full window+join subtree builds (exchange reuse is not guaranteed
+    // across the join's two sides)
     // PPJoin position filter: a prefix match at positions (pa, pb) bounds
     // the overlap by 1 + min(|a|−pa, |b|−pb); J ≥ τ requires overlap ≥
     // ⌈τ/(1+τ)·(|a|+|b|)⌉. Applied per matched prefix row INSIDE the join

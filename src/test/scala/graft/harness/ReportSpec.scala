@@ -43,6 +43,23 @@ class ReportSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { ReportCli.aggregate(long, "max") }
   }
 
+  test("chart series, CSV emission and ascii bars") {
+    val path = writeFixture()
+    val agg = ReportCli.aggregate(ReportCli.measurementsLong(spark, path), "median")
+    val series = ReportCli.chartSeries(agg)
+    assert(series.map(_._1) === Seq("total", "total.Query1"))
+    assert(series.head._2 === Seq(("spark", 4.0)))
+    val dir = Files.createTempDirectory("graft-charts").toString
+    val files = ReportCli.writeChartCsvs(series, dir)
+    assert(files.size === 2)
+    val csv = Files.readString(java.nio.file.Paths.get(files.head))
+    assert(csv.startsWith("backend,duration_s\n"))
+    assert(csv.contains("spark,4.000000"))
+    val ascii = ReportCli.asciiCharts(series)
+    assert(ascii.contains("### Query: total (time, s)"))
+    assert(ascii.contains("#")) // a bar rendered
+  }
+
   test("markdown render + host uniformity") {
     val path = writeFixture()
     val long = ReportCli.measurementsLong(spark, path)
