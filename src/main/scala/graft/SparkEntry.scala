@@ -46,6 +46,8 @@ object SparkEntry {
     "q23_rollup" -> (Relational.q23Rollup _),
     "q19_percentiles" -> (Relational.q19Percentiles _),
     "q20_approx_agg" -> (Relational.q20ApproxAgg _),
+    "q24_asof_join" -> (Relational.q24AsofJoin _),
+    "q25_range_join" -> ((s: SparkSession, d: String) => Relational.q25RangeJoin(s, d)),
     // ---- training-data pipeline extensions ----
     "dedup_exact_docs" -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
@@ -313,6 +315,22 @@ object SparkEntry {
         |      FROM f WHERE n_tokens >= 20 AND distinct_ratio >= 0.3 GROUP BY text)
         |SELECT lang, count(*) AS n_docs, round(avg(n_tokens), 4) AS avg_tokens
         |FROM d GROUP BY lang""".stripMargin,
+    // the asof oracle is DuckDB's NATIVE ASOF JOIN — an independent
+    // implementation of the same semantics, not a transcription of ours
+    "q24_asof_join" ->
+      """WITH c0 AS (SELECT user_id, ts, max(event_id) AS click_id FROM events
+        |            WHERE event_type = 'click' GROUP BY 1, 2),
+        |c AS (SELECT c0.user_id, c0.ts, c0.click_id, e.value AS click_value
+        |      FROM c0 JOIN events e ON e.event_id = c0.click_id),
+        |err AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'error')
+        |SELECT err.event_id, err.user_id, c.click_id, c.ts AS click_ts, c.click_value
+        |FROM err ASOF LEFT JOIN c ON err.user_id = c.user_id AND err.ts >= c.ts""".stripMargin,
+    "q25_range_join" ->
+      """WITH r AS (SELECT s_suppkey, abs(s_acctbal) % 500 - 10 AS lo,
+        |                  abs(s_acctbal) % 500 + 10 AS hi FROM supplier)
+        |SELECT s_suppkey, count(*) AS n_events, round(sum(value), 2) AS sum_v
+        |FROM r JOIN events e ON e.value >= r.lo AND e.value < r.hi
+        |GROUP BY 1""".stripMargin,
     "ann_lsh" -> annLshOracle,
     "mm_decode_batched" -> mmDecodeOracle,
     "mm_binary_features" ->

@@ -258,6 +258,73 @@ object Relational {
       .rollup(col("event_type"), dayofmonth(col("ts")).as("dom"))
       .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_v"))
 
+  /** As-of join (beyond the reference; pandas merge_asof / kdb aj
+    * territory): attribute each `error` event to the user's most recent
+    * click at-or-before it. Spark has no asof operator; the scalable form
+    * is NOT a join at all but a tagged union + one window pass:
+    * click and error rows interleave in (ts, kind) order per user, and
+    * `last(_, ignoreNulls)` carries the latest click forward — ONE shuffle
+    * on user_id, no row amplification, no inequality join. (The join-based
+    * phrasing — join all pairs, argmax per error — would shuffle twice and
+    * amplify by clicks×errors per user.) Clicks are deduplicated per
+    * (user, ts) by max event_id so the at-same-instant tie is
+    * deterministic on both engines.
+    */
+  def q24AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .groupBy("user_id", "ts")
+      .agg(max(struct(col("event_id"), col("value"))).as("m"))
+      .select(col("user_id"), col("ts"),
+        col("m.event_id").as("c_id"), col("m.value").as("c_val"))
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val tagged = clicks
+      .select(col("user_id"), col("ts"), lit(0).as("kind"),
+        lit(null).cast("long").as("event_id"),
+        col("c_id"), col("ts").as("c_ts"), col("c_val"))
+      .unionByName(errors
+        .select(col("user_id"), col("ts"), lit(1).as("kind"),
+          col("event_id"),
+          lit(null).cast("long").as("c_id"),
+          lit(null).cast("timestamp").as("c_ts"),
+          lit(null).cast("double").as("c_val")))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("click_id", last(col("c_id"), ignoreNulls = true).over(w))
+      .withColumn("click_ts", last(col("c_ts"), ignoreNulls = true).over(w))
+      .withColumn("click_value", last(col("c_val"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select("event_id", "user_id", "click_id", "click_ts", "click_value")
+  }
+
+  /** Range (interval) join (beyond the reference): events whose value falls
+    * in a per-supplier band, aggregated per supplier. A naive inequality
+    * join is a nested loop; the scale form bins the value axis — each
+    * interval replicates to the bins it covers (explode(sequence)), each
+    * point maps to one bin, and the match becomes a shuffled EQUI-join on
+    * the bin plus an exact residual predicate. Cost is
+    * O(points + intervals·span/binW + matches), evenly hash-distributed;
+    * no BroadcastNestedLoopJoin appears in the plan (PlanSpec).
+    */
+  def q25RangeJoin(s: SparkSession, dir: String, binW: Double = 10.0): DataFrame = {
+    // band center from abs(acctbal) % 500: abs and fmod are exact in IEEE
+    // doubles, so both engines derive bit-identical bounds
+    val c = abs(col("s_acctbal")) % lit(500.0)
+    val ranges = Tables.supplier(s, dir)
+      .select(col("s_suppkey"), (c - 10.0).as("lo"), (c + 10.0).as("hi"))
+      .withColumn("bin", explode(sequence(
+        floor(col("lo") / binW).cast("int"), floor(col("hi") / binW).cast("int"))))
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("value"))
+      .withColumn("bin", floor(col("value") / binW).cast("int"))
+    ranges.join(ev, Seq("bin"))
+      .filter(col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy("s_suppkey")
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_v"))
+  }
+
   /** Pipeline composition (ny_taxi_ml end-to-end ETL shape): filter → feature
     * engineering → threshold split (P9) → per-split aggregate, re-joined.
     * Exercises caching-free recompute of a shared subplan.

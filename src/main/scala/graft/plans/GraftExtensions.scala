@@ -1,0 +1,29 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.expressions.DotProduct
+
+/** SparkSessionExtensions entry point: registers graft's native functions
+  * at session build time, so a cluster deployment enables them with
+  *
+  *   spark.sql.extensions=graft.plans.GraftExtensions
+  *
+  * (no driver code changes, works from pure-SQL clients too). The
+  * programmatic `DotProduct.register` path stays for embedded use; this is
+  * the configuration-driven equivalent — injected functions land in every
+  * session the builder creates, including Thrift/Connect sessions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_dot takes exactly 2 arguments")
+        DotProduct(children.head, children(1))
+      }))
+  }
+}

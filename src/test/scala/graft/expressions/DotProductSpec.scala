@@ -30,6 +30,34 @@ class DotProductSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getDouble(1) > 0))
   }
 
+  test("GraftExtensions injects graft_dot into a session function registry") {
+    // spark.sql.extensions is a static conf on the SparkContext, so a
+    // config-driven end-to-end check would need its own context; instead
+    // apply the extensions object to a FRESH registry clone (no
+    // temp-function leakage from DotProduct.register elsewhere) and
+    // resolve + evaluate the injected function through it.
+    import org.apache.spark.sql.SparkSessionExtensions
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+    val ext = new SparkSessionExtensions
+    new graft.plans.GraftExtensions().apply(ext)
+    val registry = FunctionRegistry.builtin.clone()
+    assert(!registry.functionExists(FunctionIdentifier("graft_dot")))
+    // registerFunctions is private[sql] in Scala but public in bytecode
+    val m = classOf[SparkSessionExtensions].getMethods
+      .find(_.getName == "registerFunctions").get
+    m.invoke(ext, registry)
+    assert(registry.functionExists(FunctionIdentifier("graft_dot")))
+    val expr = registry.lookupFunction(FunctionIdentifier("graft_dot"), Seq(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(1.0f, 2.0f), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(3.0f, 4.0f), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    assert(expr.eval(null) === 11.0)
+  }
+
   test("graft_dot rejects wrong input types") {
     DotProduct.register(spark)
     import spark.implicits._

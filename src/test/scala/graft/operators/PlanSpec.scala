@@ -47,6 +47,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("range join plans a shuffled equi-join on bins, not a nested loop") {
+    val p = planOf(Relational.q25RangeJoin(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("asof join plans a single per-user window pass, no join operator") {
+    val p = planOf(Relational.q24AsofJoin(spark, sf))
+    assert(!p.contains("Join"), p.take(2000))
+    assert(p.contains("Window"), p.take(2000))
+  }
+
   test("q08 projection prunes the events scan to referenced columns") {
     val p = planOf(Relational.q08DerivedCols(spark, sf))
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
