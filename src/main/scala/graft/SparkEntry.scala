@@ -66,7 +66,10 @@ object SparkEntry {
     "text_fingerprint" -> (TextOps.fingerprints _),
     "pipeline_curate" -> (TextOps.curate _),
     "mm_binary_features" -> ((s: SparkSession, d: String) => Multimodal.pipeline(s, d)),
+    "mm_frame_sample" -> ((s: SparkSession, d: String) =>
+      Multimodal.frameSample(Multimodal.asBinaryPayload(s, d))),
     "stream_tumbling_agg" -> ((s: SparkSession, d: String) => StreamOps.tumblingWindowAgg(s, d)),
+    "stream_dedup" -> (StreamOps.streamingDedup _),
     "q17_sessionize" -> (graft.streaming.Sessionize.batch _),
     "stream_sessionize" -> (graft.streaming.Sessionize.streaming _)
   )
@@ -341,6 +344,17 @@ object SparkEntry {
       """WITH fp AS (SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS fp FROM documents),
         |g AS (SELECT fp, count(*) AS n_same FROM fp GROUP BY 1)
         |SELECT f.doc_id, f.fp, g.n_same FROM fp f JOIN g USING (fp)""".stripMargin,
+    // streaming dedup emits the distinct fingerprint set (arrival order is
+    // nondeterministic, the SET is not)
+    "stream_dedup" ->
+      "SELECT DISTINCT md5(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS fp FROM documents",
+    "mm_frame_sample" ->
+      """WITH n AS (SELECT doc_id, text, CAST(length(text) AS INTEGER) AS n_bytes FROM documents),
+        |f AS (SELECT doc_id, n_bytes, CAST(i AS INTEGER) AS frame_idx,
+        |        CAST(floor(n_bytes * i / 4) AS INTEGER) AS frame_off,
+        |        md5(substr(text, CAST(floor(n_bytes * i / 4) AS INTEGER) + 1, 16)) AS frame_md5
+        |      FROM n, UNNEST([0, 1, 2, 3]) t(i))
+        |SELECT doc_id, n_bytes, frame_idx, frame_off, frame_md5 FROM f""".stripMargin,
     "stream_tumbling_agg" ->
       """SELECT date_trunc('hour', ts) AS win_start, event_type,
         |count(*) AS cnt, round(sum(value), 2) AS sum_v

@@ -25,6 +25,7 @@ object BenchmarkRun {
     var save: Option[String] = None
     var tag = ""
     var extra = Map.empty[String, String]
+    var dbName: Option[String] = None
     var i = 1
     while (i < args.length) {
       val flag = args(i).dropWhile(_ == '-')
@@ -35,6 +36,9 @@ object BenchmarkRun {
         case "-num_threads" | "--num_threads" => p = p.copy(numThreads = args(i + 1).toInt); i += 2
         case "-backend" | "--backend" => p = p.copy(backend = args(i + 1)); i += 2
         case "-save_results" | "--save_results" => save = Some(args(i + 1)); i += 2
+        // reference -db_name (arg_parser.py:94-99); embedded Derby here,
+        // so the "name" is a database directory path
+        case "-db_name" | "--db_name" => dbName = Some(args(i + 1)); i += 2
         case "-tag" | "--tag" => tag = args(i + 1); i += 2
         case "-validation" | "--validation" => p = p.copy(validation = true); i += 1
         case _ if specs.contains(flag) =>
@@ -46,6 +50,7 @@ object BenchmarkRun {
     specs.values.foreach { a =>
       if (!extra.contains(a.name)) a.default.foreach(d => extra += a.name -> d)
     }
+    dbName.foreach(d => extra += "db_name" -> d)
     (benchName, p.copy(extra = extra), save, tag)
   }
 
@@ -54,6 +59,9 @@ object BenchmarkRun {
     val benchmark = BenchmarkRegistry.create(benchName)
     val runId = System.currentTimeMillis() / 1000
     val host = Results.hostInfo()
+    // SQL sink (reference BenchmarkDb): embedded Derby at -db_name
+    val db = params.extra.get("db_name")
+      .map(d => new BenchmarkDb(BenchmarkDb.embeddedUrl(d)))
     // -validation: cross-iteration result comparison (the reference declares
     // this flag but never compares; here each iteration's per-query result
     // digests must agree)
@@ -72,22 +80,23 @@ object BenchmarkRun {
       println(s"== $benchName iteration $iter/${params.iterations} ==")
       Results.printResults(res.measurements)
       println(f"max_memory_mb${" " * 27} = $peakMb%10d MB")
-      save.foreach { path =>
-        Results.append(path, Results.Iteration(
-          benchmark = benchName,
-          backend = params.backend,
-          iterationNo = iter,
-          runId = runId,
-          dateIso = java.time.Instant.ofEpochSecond(runId).toString,
-          hostInfo = host + ("max_memory_mb" -> peakMb.toString),
-          params = res.params ++ params.extra ++ Map(
-            "data_file" -> params.dataDir,
-            "num_threads" -> params.numThreads.toString,
-            "tag" -> tag),
-          measurements = res.measurements.toSeq.sortBy(_._1)
-            .map { case (n, d) => Results.Measurement(n, d) }))
-      }
+      val record = Results.Iteration(
+        benchmark = benchName,
+        backend = params.backend,
+        iterationNo = iter,
+        runId = runId,
+        dateIso = java.time.Instant.ofEpochSecond(runId).toString,
+        hostInfo = host + ("max_memory_mb" -> peakMb.toString),
+        params = res.params ++ params.extra ++ Map(
+          "data_file" -> params.dataDir,
+          "num_threads" -> params.numThreads.toString,
+          "tag" -> tag),
+        measurements = res.measurements.toSeq.sortBy(_._1)
+          .map { case (n, d) => Results.Measurement(n, d) })
+      save.foreach(Results.append(_, record))
+      db.foreach(_.report(record))
     }
+    db.foreach(_.close())
     if (params.validation && params.iterations > 1) {
       val diverging = validationDigests.filter(_._2.size > 1).keys.toSeq.sorted
       if (diverging.isEmpty)

@@ -6,10 +6,9 @@ import scala.util.Try
 /** Results store: JSON-lines with the reference's relational schema fields
   * (iteration + nested measurements,
   * /root/reference/timedf/report/schema.py:29-70). The reference uses
-  * SQLAlchemy against MySQL/Postgres/sqlite; offline this build has no JDBC
-  * driver jars, so the same records go to an append-only JSONL file (one
-  * iteration object per line, measurements embedded) — trivially loadable
-  * into any store later.
+  * SQLAlchemy against MySQL/Postgres/sqlite; here the same records go to an
+  * append-only JSONL file (one iteration object per line, measurements
+  * embedded) and/or the embedded-Derby SQL sink (BenchmarkDb, `-db_name`).
   */
 object Results {
 
@@ -40,6 +39,10 @@ object Results {
 
   private def jobj(fields: Seq[(String, String)]): String =
     fields.map { case (k, v) => s"${jstr(k)}: $v" }.mkString("{", ", ", "}")
+
+  /** A string map as a JSON object (shared by the JSONL and DB sinks). */
+  def toJsonObject(m: Map[String, String]): String =
+    jobj(m.toSeq.sortBy(_._1).map { case (k, v) => k -> jstr(v) })
 
   def toJson(it: Iteration): String = jobj(Seq(
     "benchmark" -> jstr(it.benchmark),

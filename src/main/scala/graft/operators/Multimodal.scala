@@ -49,6 +49,30 @@ object Multimodal {
   def pipeline(s: SparkSession, dir: String): DataFrame =
     extractFeatures(asBinaryPayload(s, dir))
 
+  /** Frame sampling — the video-pipeline shape: each payload yields
+    * `nFrames` evenly-spaced fixed-width slices ("frames"), emitted as one
+    * row per frame with its offset and content digest. The explode is the
+    * real contract (row amplification × nFrames, partition-parallel, no
+    * shuffle); a real decoder would replace the byte slice with a decoded
+    * frame tensor. Offsets use floor(n·i/nFrames) — the standard uniform
+    * sampling grid.
+    */
+  def frameSample(payload: DataFrame, nFrames: Int = 4,
+                  frameBytes: Int = 16): DataFrame = {
+    val frames = (0 until nFrames).map { i =>
+      val off = floor(col("meta.n_bytes") * i / nFrames).cast("int")
+      struct(
+        lit(i).as("frame_idx"),
+        off.as("frame_off"),
+        md5(col("payload").substr(off + 1, lit(frameBytes))).as("frame_md5"))
+    }
+    payload.select(
+      col("doc_id"), col("meta.n_bytes").as("n_bytes"),
+      explode(array(frames: _*)).as("f"))
+      .select(col("doc_id"), col("n_bytes"), col("f.frame_idx"),
+        col("f.frame_off"), col("f.frame_md5"))
+  }
+
   /** Decoded-record shape a real media decoder would emit per payload. */
   case class DecodedFeatures(doc_id: Long, n_bytes: Int, content_hash: Long,
                              width: Int, height: Int, feature: Array[Float])

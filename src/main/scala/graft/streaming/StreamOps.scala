@@ -43,4 +43,33 @@ object StreamOps {
       col("window.start").as("win_start"),
       col("event_type"), col("cnt"), col("sum_v"))
   }
+
+  /** Streaming exact dedup — the streaming member of the dedup family:
+    * documents stream in, `dropDuplicates` on the normalized fingerprint
+    * keeps the first arrival of each distinct content, append mode emits
+    * exactly the distinct set. State is one fingerprint per distinct
+    * document; a real ingest pipeline bounds it with
+    * `dropDuplicatesWithinWatermark` over arrival time (the fixture table
+    * has no event-time column, so the unbounded variant is exercised).
+    * Output is the fingerprint set itself — arrival order is
+    * partition-nondeterministic, so only order-insensitive columns are
+    * emitted (the batch oracle is SELECT DISTINCT of the same expression).
+    */
+  def streamingDedup(s: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/documents.parquet"
+    val schema = s.read.parquet(path).schema
+    val name = s"graft_stream_${counter.incrementAndGet()}"
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .select(graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+      .dropDuplicates("fp")
+    val q = stream.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(name)
+  }
 }

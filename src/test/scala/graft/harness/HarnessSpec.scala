@@ -117,6 +117,30 @@ class HarnessSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("embedded-Derby DB sink round-trips iterations and measurements") {
+    val dbDir = java.nio.file.Files.createTempDirectory("graft-db")
+      .resolve("resultsdb").toString
+    val it = Results.Iteration(
+      benchmark = "b", backend = "spark", iterationNo = 1, runId = 42L,
+      dateIso = "2026-01-01T00:00:00Z",
+      hostInfo = Map("node" -> "n1"), params = Map("tag" -> "t"),
+      measurements = Seq(Results.Measurement("total", 1.25),
+        Results.Measurement("total.load", 0.5)))
+    val db = new BenchmarkDb(BenchmarkDb.embeddedUrl(dbDir))
+    try {
+      db.report(it)
+      db.report(it.copy(iterationNo = 2))
+      assert(db.count("iteration") === 2L)
+      assert(db.count("measurement") === 4L)
+    } finally db.close()
+    // reopening finds the existing schema and appends
+    val db2 = new BenchmarkDb(BenchmarkDb.embeddedUrl(dbDir))
+    try {
+      db2.report(it.copy(iterationNo = 3))
+      assert(db2.count("iteration") === 3L)
+    } finally db2.close()
+  }
+
   test("loadData stages fixture files and a benchmark runs from the staged dir") {
     val target = java.nio.file.Files.createTempDirectory("graft-staged").toString
     val bench = BenchmarkRegistry.create("ny_taxi")
