@@ -48,6 +48,8 @@ object SparkEntry {
     "q20_approx_agg" -> (Relational.q20ApproxAgg _),
     "q24_asof_join" -> (Relational.q24AsofJoin _),
     "q25_range_join" -> ((s: SparkSession, d: String) => Relational.q25RangeJoin(s, d)),
+    "q26_dim_join" -> (Relational.q26DimJoin _),
+    "text_top_terms" -> ((s: SparkSession, d: String) => TextOps.topTerms(s, d)),
     // ---- training-data pipeline extensions ----
     "dedup_exact_docs" -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
@@ -334,6 +336,23 @@ object SparkEntry {
         |SELECT s_suppkey, count(*) AS n_events, round(sum(value), 2) AS sum_v
         |FROM r JOIN events e ON e.value >= r.lo AND e.value < r.hi
         |GROUP BY 1""".stripMargin,
+    "q26_dim_join" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+        |round(sum(c_acctbal), 2) AS sum_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2""".stripMargin,
+    "text_top_terms" ->
+      """WITH p AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM p GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM p GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |s AS (SELECT doc_id, term, tf * ((n + 1.0) / (df + 1.0)) AS score
+        |      FROM tf JOIN df USING (term), n)
+        |SELECT doc_id, term, round(score, 6) AS score,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS INTEGER) AS rank
+        |FROM s
+        |QUALIFY rank <= 3""".stripMargin,
     "ann_lsh" -> annLshOracle,
     "mm_decode_batched" -> mmDecodeOracle,
     "mm_binary_features" ->

@@ -325,6 +325,23 @@ object Relational {
       .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_v"))
   }
 
+  /** Star-schema dimension join: fact (customer) joined through two tiny
+    * dimensions (nation → region) with explicit broadcast hints — at any
+    * scale the dimensions fit in memory, so the plan must be two
+    * BroadcastHashJoins (PlanSpec pins it): the fact table never
+    * shuffles, each executor streams its partitions against the
+    * broadcast maps.
+    */
+  def q26DimJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum("c_acctbal"), 2).as("sum_acctbal"))
+
   /** Pipeline composition (ny_taxi_ml end-to-end ETL shape): filter → feature
     * engineering → threshold split (P9) → per-split aggregate, re-joined.
     * Exercises caching-free recompute of a shared subplan.

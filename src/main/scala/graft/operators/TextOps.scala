@@ -98,6 +98,38 @@ object TextOps {
       round(avg("n_tokens"), 4).as("avg_tokens"))
   }
 
+  /** Top salient terms per document by tf·idf — the keyword-extraction /
+    * index-building op of a curation pipeline. Distributed shape: explode
+    * to (doc, term) pairs, two hash aggregations (term frequency per doc,
+    * document frequency per term), a broadcast-able join on the term
+    * dictionary, and a per-doc top-k window — shuffles on doc and term
+    * keys only, all codegen.
+    *
+    * idf is the RATIONAL variant (N+1)/(df+1): integer-derived division is
+    * IEEE-exact, so any SQL oracle computes bit-identical scores and the
+    * rank tie-break (score desc, term asc) agrees everywhere — a log-idf
+    * differs across libm implementations in the last ulp, which is enough
+    * to flip ranks at a tie boundary.
+    */
+  def topTerms(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val pairs = docs.select(col("doc_id"),
+      explode(tokens(lower(col("text")))).as("term"))
+    val tf = pairs.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = pairs.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.count() // one tiny metadata job: corpus size for idf
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(df, "term")
+      .withColumn("score", col("tf") * (lit(n + 1.0) / (col("df") + lit(1.0))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), round(col("score"), 6).as("score"),
+        col("rank"))
+  }
+
   /** Normalized rolling-hash fingerprints + exact-duplicate group size by
     * fingerprint (catches case/punctuation-only near-dups).
     */

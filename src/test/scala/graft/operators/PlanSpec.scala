@@ -59,6 +59,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), p.take(2000))
   }
 
+  test("dimension join plans broadcast hash joins, fact side unshuffled") {
+    val p = planOf(Relational.q26DimJoin(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
   test("q08 projection prunes the events scan to referenced columns") {
     val p = planOf(Relational.q08DerivedCols(spark, sf))
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
