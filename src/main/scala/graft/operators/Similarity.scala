@@ -80,38 +80,31 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
-  /** IVF-style ANN: a KMeans coarse quantizer (MLlib, fixed seed) assigns
-    * every corpus vector to a cell; each query probes only the `nprobe`
-    * cells whose centroids are nearest, scoring candidates exactly. The
-    * index-build (fit) is bounded to ≤ numCells×256 rows — cells only
-    * bucket the search space, so centroids from a size-capped sample are
-    * as good as centroids from the full corpus; assignment (`transform`)
-    * is the only full pass. The search is a cell-bucket join — the
-    * standard IVF trade: recall bounded by nprobe, cost
-    * O(q · nprobe · cell size) instead of O(q · n).
+  /** IVF-style ANN: a KMeans coarse quantizer assigns every corpus vector
+    * to a cell; each query probes only the `nprobe` cells whose centroids
+    * are nearest, scoring candidates exactly. The index build runs
+    * Lloyd's iterations ON THE DRIVER over a size-bounded sample
+    * (≤ numCells×256 rows — `limit` short-circuits the scan): an IVF
+    * index is metadata (cells × dim doubles), and building metadata from
+    * a bounded sample is driver-scale work by construction — no
+    * distributed clustering jobs, no convergence passes over the corpus
+    * (cells only bucket the search space). Assignment is the single full
+    * pass, as a compiled nearest-centroid kernel inside the scan. Search
+    * is a cell-bucket join — the standard IVF trade: recall bounded by
+    * nprobe, cost O(q · nprobe · cell size) instead of O(q · n).
     */
   def annIvf(s: SparkSession, dir: String, numQueries: Int = 10, k: Int = 5,
              numCells: Int = 16, nprobe: Int = 3): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     DotProduct.register(s)
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", sqrt(call_function("graft_dot", col("v"), col("v"))))
-      .withColumn("fv", array_to_vector(
-        transform(col("v"), x => x.cast("double"))))
       .persist()
-    // Size-bounded index build: ~256 training rows per cell suffice for a
-    // coarse quantizer; `limit` short-circuits the scan, so the build cost
-    // is O(numCells×256) regardless of corpus size. Few iterations
-    // suffice: cells don't need converged centroids.
-    val fitRows = e.select(col("fv")).limit(numCells * 256)
-    val model = new KMeans().setK(numCells).setSeed(126L).setMaxIter(5)
-      .setInitMode("random") // k-means|| init costs extra passes; random
-      // seeding is plenty for bucketing
-      .setFeaturesCol("fv").setPredictionCol("cell").fit(fitRows)
-    val assigned = model.transform(e).drop("fv")
-    val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
+    val sample = e.select(col("v")).limit(numCells * 256)
+      .collect().map(_.getAs[scala.collection.Seq[Float]](0).toArray)
+    val centroids = lloyd(sample, numCells, iters = 5, seed = 126L)
+    val assigned = e.withColumn("cell",
+      nearestCellKernel(centroids.map(_.map(_.toDouble)))(col("v")))
     // per query: nprobe nearest cells by centroid distance (driver-side —
     // centroids are the tiny index metadata, numCells × dim)
     val q = assigned.filter(col("vec_id") < numQueries)
@@ -136,6 +129,58 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
+
+  /** Seeded Lloyd's iterations over an in-memory sample (the bounded IVF
+    * index build). Deterministic: seeded shuffle picks initial centroids,
+    * empty cells keep their previous centroid.
+    */
+  private[operators] def lloyd(points: Array[Array[Float]], k: Int,
+                               iters: Int, seed: Long): Array[Array[Float]] = {
+    require(points.nonEmpty, "empty index-build sample")
+    val dim = points(0).length
+    val init = new scala.util.Random(seed)
+      .shuffle((points.indices).toVector).take(math.min(k, points.length))
+    var cents = init.map(i => points(i).map(_.toDouble)).toArray
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Int](cents.length)
+      points.foreach { p =>
+        val c = nearestCell(cents, p)
+        counts(c) += 1
+        var d = 0
+        while (d < dim) { sums(c)(d) += p(d); d += 1 }
+      }
+      cents = Array.tabulate(cents.length) { c =>
+        if (counts(c) == 0) cents(c)
+        else Array.tabulate(dim)(d => sums(c)(d) / counts(c))
+      }
+    }
+    cents.map(_.map(_.toFloat))
+  }
+
+  private[operators] def nearestCell(cents: Array[Array[Double]],
+                                     p: Array[Float]): Int = {
+    var best = 0
+    var bd = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val ct = cents(c)
+      var d = 0.0
+      var i = 0
+      val n = math.min(p.length, ct.length)
+      while (i < n) { val t = p(i) - ct(i); d += t * t; i += 1 }
+      if (d < bd) { bd = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Nearest-centroid assignment kernel (the IVF full-pass): centroid
+    * matrix captured in the closure, one compiled loop per row.
+    */
+  private def nearestCellKernel(cents: Array[Array[Double]])
+  : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (v: Array[Float]) => nearestCell(cents, v) }
 
   /** Centroid summary per label — the "coarse quantizer" statistics an IVF
     * index maintains (per-cell counts + mean vector), computed distributed:

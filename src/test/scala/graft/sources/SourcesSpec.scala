@@ -10,6 +10,20 @@ import graft.operators.SparkTestSession.spark
 
 class SourcesSpec extends AnyFunSuite {
 
+  test("JDBC table sink + source round-trip (embedded Derby)") {
+    val dbDir = Files.createTempDirectory("graft-jdbc")
+      .resolve("tablesdb").toString
+    val url = s"jdbc:derby:$dbDir;create=true"
+    val agg = graft.Tables.events(spark, graft.operators.SparkTestSession.sf)
+      .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+    agg.write.mode("overwrite").jdbc(url, "event_counts", new java.util.Properties)
+    val back = spark.read.jdbc(url, "event_counts", new java.util.Properties)
+    assert(back.columns.toSet === Set("event_type", "cnt"))
+    val a = agg.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val b = back.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(a === b)
+  }
+
   private def tmpDir = Files.createTempDirectory("graft-csv").toString
 
   test("S1: headerless CSV with full schema, multi-file union, nrows, gzip") {
