@@ -49,7 +49,9 @@ object SparkEntry {
     "q24_asof_join" -> (Relational.q24AsofJoin _),
     "q25_range_join" -> ((s: SparkSession, d: String) => Relational.q25RangeJoin(s, d)),
     "q26_dim_join" -> (Relational.q26DimJoin _),
+    "q27_semi_anti_join" -> (Relational.q27SemiAntiJoin _),
     "text_top_terms" -> ((s: SparkSession, d: String) => TextOps.topTerms(s, d)),
+    "emb_quantize_int8" -> (Similarity.quantizeInt8 _),
     // ---- training-data pipeline extensions ----
     "dedup_exact_docs" -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
@@ -353,6 +355,17 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS INTEGER) AS rank
         |FROM s
         |QUALIFY rank <= 3""".stripMargin,
+    "q27_semi_anti_join" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 45)
+        |AND o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)""".stripMargin,
+    "emb_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ed FROM embeddings),
+        |m AS (SELECT vec_id, ed, list_max(list_transform(ed, x -> abs(x))) AS maxabs FROM e),
+        |s AS (SELECT vec_id, ed, 127.0 / (CASE WHEN maxabs = 0 THEN 1.0 ELSE maxabs END) AS scale FROM m)
+        |SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim_idx, round(scale, 6) AS scale,
+        |  CAST(floor(ed[i] * scale + 0.5) AS INTEGER) AS q
+        |FROM s, UNNEST(range(1, len(ed) + 1)) t(i)""".stripMargin,
     "ann_lsh" -> annLshOracle,
     "mm_decode_batched" -> mmDecodeOracle,
     "mm_binary_features" ->

@@ -342,6 +342,24 @@ object Relational {
       .agg(count(lit(1)).as("n_customers"),
         round(sum("c_acctbal"), 2).as("sum_acctbal"))
 
+  /** Semi/anti join family: orders having at least one high-quantity
+    * lineitem (LEFT SEMI — no row amplification, the probe side streams
+    * against a build-side key set), excluding orders of customers in debt
+    * (LEFT ANTI against a broadcast-able filtered dimension). Semi/anti
+    * joins shuffle only keys — at scale they are the cheap way to express
+    * EXISTS / NOT EXISTS reductions before a wide join.
+    */
+  def q27SemiAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val bigItems = Tables.lineitem(s, dir)
+      .filter(col("l_quantity") >= 45).select(col("l_orderkey"))
+    val debtors = Tables.customer(s, dir)
+      .filter(col("c_acctbal") < 0).select(col("c_custkey").as("o_custkey"))
+    Tables.orders(s, dir)
+      .join(bigItems, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .join(broadcast(debtors), Seq("o_custkey"), "left_anti")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+  }
+
   /** Pipeline composition (ny_taxi_ml end-to-end ETL shape): filter → feature
     * engineering → threshold split (P9) → per-split aggregate, re-joined.
     * Exercises caching-free recompute of a shared subplan.

@@ -182,6 +182,27 @@ object Similarity {
   : org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (v: Array[Float]) => nearestCell(cents, v) }
 
+  /** Int8 embedding quantization — the storage/bandwidth op of a vector
+    * pipeline (4× smaller than float32): per-vector symmetric scale
+    * q_i = floor(e_i · 127/max|e| + 0.5) ∈ [−127, 127]. floor(x+0.5)
+    * instead of round() because banker's-vs-away rounding differs across
+    * engines while floor is universal. Emitted exploded (vec_id, dim_idx,
+    * q) with the per-vector scale — a narrow projection, no shuffle.
+    */
+  def quantizeInt8(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("ed"))
+      .withColumn("maxabs", array_max(transform(col("ed"), x => abs(x))))
+      // zero vectors quantize to all-zero (scale 0 guarded to 1)
+      .withColumn("scale", lit(127.0) / when(col("maxabs") === 0.0, 1.0)
+        .otherwise(col("maxabs")))
+    e.select(col("vec_id"), round(col("scale"), 6).as("scale"),
+      posexplode(col("ed")).as(Seq("dim_idx", "x")))
+      .withColumn("q",
+        floor(col("x") * col("scale") + 0.5).cast("int"))
+      .select("vec_id", "dim_idx", "scale", "q")
+  }
+
   /** Centroid summary per label — the "coarse quantizer" statistics an IVF
     * index maintains (per-cell counts + mean vector), computed distributed:
     * explode to (label, dim_idx, component), aggregate, reassemble.
