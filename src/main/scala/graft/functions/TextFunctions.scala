@@ -43,21 +43,18 @@ object TextFunctions {
       (a, b)
     }
 
-  /** Per-element permuted hash h_i(x) = (a_i·(xxhash64(x) mod p) + b_i) mod p
-    * for one minhash permutation. The minhash of a set is min over its
-    * elements — in distributed form that's a codegen'd `min()` aggregate
-    * over exploded (id, element) rows with map-side partial aggregation
-    * (see Dedup.minhashSignatures). NOTE: array-lambda (`transform`) based
-    * signatures are CodegenFallback in Spark — interpreted per row — so the
-    * explode→hash-aggregate form is the scale path.
+  /** Per-element permuted hash h_i(x) = (a_i·(x mod p) + b_i) mod p for one
+    * minhash permutation, in Column form. The production signature path is
+    * the custom `graft_minhash` TypedImperativeAggregate
+    * (expressions.MinHashAgg — one aggregate, primitive buffer, identical
+    * arithmetic); this Column variant documents the construction and pins
+    * the aggregate's correctness in tests. NOTE: array-lambda
+    * (`transform`) based signatures are CodegenFallback in Spark —
+    * interpreted per row — so explode→aggregate is the scale path either
+    * way.
     */
-  def permutedHash(baseHash: Column, coeff: (Long, Long)): Column =
-    pmod(baseHash * coeff._1 + coeff._2, lit(MinhashPrime))
-
-  /** A 64-bit element token folded into [0, p): the base hash for the
-    * permutation family (elements arrive pre-hashed — Dedup.shinglePairs).
-    */
-  def baseHash(c: Column): Column = pmod(c, lit(MinhashPrime))
+  def permutedHash(token: Column, coeff: (Long, Long)): Column =
+    pmod(pmod(token, lit(MinhashPrime)) * coeff._1 + coeff._2, lit(MinhashPrime))
 
   /** LSH band keys: split the signature into `numBands` rows of width
     * r = numPerm/numBands, hash each row (band index is salted in so bands

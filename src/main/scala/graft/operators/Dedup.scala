@@ -132,21 +132,21 @@ object Dedup {
     verifyJaccard(sh, sizes, candidates)
   }
 
-  /** MinHash signatures per document: explode shingles, base-hash each, then
-    * NumPerm codegen'd min-aggregates (one per permutation). Documents with
-    * fewer than ShingleK tokens have no shingles and drop out (they cannot
-    * near-duplicate anything at this granularity).
+  /** MinHash signatures per document via the custom `graft_minhash`
+    * TypedImperativeAggregate (one aggregate computing all NumPerm
+    * permutation minima over a primitive buffer; partial-aggregation
+    * friendly — see expressions.MinHashAgg for why this beats NumPerm
+    * separate codegen'd `min()`s). Documents with fewer than ShingleK
+    * tokens have no shingles and drop out (they cannot near-duplicate
+    * anything at this granularity).
     */
   def minhashSignatures(s: SparkSession, dir: String): DataFrame =
-    minhashSignaturesFrom(shinglePairs(s, dir))
+    minhashSignaturesFrom(s, shinglePairs(s, dir))
 
-  private def minhashSignaturesFrom(sh: DataFrame): DataFrame = {
-    val hashed = sh.withColumn("h", baseHash(col("sh")))
-    val mins = permCoeffs(NumPerm).zipWithIndex.map { case (ab, i) =>
-      min(permutedHash(col("h"), ab)).as(s"m$i")
-    }
-    hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-      .withColumn("sig", array((0 until NumPerm).map(i => col(s"m$i")): _*))
+  private def minhashSignaturesFrom(s: SparkSession, sh: DataFrame): DataFrame = {
+    graft.expressions.MinHashAgg.register(s, NumPerm)
+    sh.groupBy("doc_id")
+      .agg(call_function("graft_minhash", col("sh")).as("sig"))
       .select(col("doc_id"), col("sig"),
         lshBands(col("sig"), NumPerm, NumBands).as("bands"))
   }
@@ -157,7 +157,7 @@ object Dedup {
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     val sh = shinglePairs(s, dir).persist()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val bands = minhashSignaturesFrom(sh)
+    val bands = minhashSignaturesFrom(s, sh)
       .select(col("doc_id"),
         posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
       .persist()
