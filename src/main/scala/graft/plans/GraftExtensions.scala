@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.DotProduct
+import graft.expressions.{DotProduct, MinHashAgg}
 
 /** SparkSessionExtensions entry point: registers graft's native functions
   * at session build time, so a cluster deployment enables them with
@@ -24,6 +24,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "graft_dot takes exactly 2 arguments")
         DotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashAgg].getName, "graft_minhash"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_minhash takes exactly 1 argument")
+        MinHashAgg(children.head, numPerm = 32)
       }))
   }
 }
