@@ -74,6 +74,8 @@ object SparkEntry {
       Multimodal.frameSample(Multimodal.asBinaryPayload(s, d))),
     "stream_tumbling_agg" -> ((s: SparkSession, d: String) => StreamOps.tumblingWindowAgg(s, d)),
     "stream_dedup" -> (StreamOps.streamingDedup _),
+    "stream_stream_join" -> (StreamOps.streamStreamJoin _),
+    "q28_cube" -> (Relational.q28Cube _),
     "q17_sessionize" -> (graft.streaming.Sessionize.batch _),
     "stream_sessionize" -> (graft.streaming.Sessionize.streaming _)
   )
@@ -376,6 +378,18 @@ object SparkEntry {
       """WITH fp AS (SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS fp FROM documents),
         |g AS (SELECT fp, count(*) AS n_same FROM fp GROUP BY 1)
         |SELECT f.doc_id, f.fp, g.n_same FROM fp f JOIN g USING (fp)""".stripMargin,
+    "q28_cube" ->
+      """SELECT event_type, CAST(day(ts) AS INTEGER) AS dom,
+        |count(*) AS cnt, round(sum(value), 2) AS sum_v
+        |FROM events GROUP BY CUBE(event_type, CAST(day(ts) AS INTEGER))""".stripMargin,
+    // inner stream-stream join emits on match → drained finite source
+    // produces exactly the batch join set
+    "stream_stream_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id, p.value
+        |FROM events c JOIN events p
+        |ON c.event_type = 'click' AND p.event_type = 'purchase'
+        |AND p.user_id = c.user_id
+        |AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""".stripMargin,
     // streaming dedup emits the distinct fingerprint set (arrival order is
     // nondeterministic, the SET is not)
     "stream_dedup" ->

@@ -360,6 +360,16 @@ object Relational {
       .select("o_orderkey", "o_custkey", "o_totalprice")
   }
 
+  /** Cube aggregation — all 2² grouping sets over (event_type, day):
+    * per-combination subtotals, both one-dimension margins, and the grand
+    * total in one pass (Expand + single shuffle, rows × #grouping-sets —
+    * at scale prefer explicit grouping sets over high-arity cubes).
+    */
+  def q28Cube(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .cube(col("event_type"), dayofmonth(col("ts")).as("dom"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_v"))
+
   /** Pipeline composition (ny_taxi_ml end-to-end ETL shape): filter → feature
     * engineering → threshold split (P9) → per-split aggregate, re-joined.
     * Exercises caching-free recompute of a shared subplan.

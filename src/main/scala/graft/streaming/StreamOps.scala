@@ -44,6 +44,47 @@ object StreamOps {
       col("event_type"), col("cnt"), col("sum_v"))
   }
 
+  /** Stream-stream inner join with an event-time bound: purchases
+    * attributed to a preceding click of the same user within one hour.
+    * Both sides carry watermarks and the join condition bounds event time
+    * on both, so state for either side is evicted one hour behind its
+    * watermark — state ∝ one hour of traffic, not history. Inner join
+    * results emit on match (watermarks only bound state), so draining a
+    * finite source yields the complete batch-equivalent set.
+    */
+  def streamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(path).schema
+    val name = s"graft_stream_${counter.incrementAndGet()}"
+    def events = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+        col("value"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        col("value"))
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(name)
+  }
+
   /** Streaming exact dedup — the streaming member of the dedup family:
     * documents stream in, `dropDuplicates` on the normalized fingerprint
     * keeps the first arrival of each distinct content, append mode emits
