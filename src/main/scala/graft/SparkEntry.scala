@@ -51,7 +51,10 @@ object SparkEntry {
     "q26_dim_join" -> (Relational.q26DimJoin _),
     "q27_semi_anti_join" -> (Relational.q27SemiAntiJoin _),
     "text_top_terms" -> ((s: SparkSession, d: String) => TextOps.topTerms(s, d)),
+    "text_chunk" -> ((s: SparkSession, d: String) => TextOps.chunk(s, d)),
+    "text_scrub" -> (TextOps.scrub _),
     "emb_quantize_int8" -> (Similarity.quantizeInt8 _),
+    "emb_label_encode" -> (Similarity.labelEncode _),
     // ---- training-data pipeline extensions ----
     "dedup_exact_docs" -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
@@ -368,6 +371,26 @@ object SparkEntry {
         |SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim_idx, round(scale, 6) AS scale,
         |  CAST(floor(ed[i] * scale + 0.5) AS INTEGER) AS q
         |FROM s, UNNEST(range(1, len(ed) + 1)) t(i)""".stripMargin,
+    "text_chunk" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+        |          WHERE length(trim(text)) > 0),
+        |c AS (SELECT doc_id, t, CAST(i AS INTEGER) AS start,
+        |        CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS INTEGER) AS chunk_idx
+        |      FROM w, UNNEST(range(1, len(t) + 1, 40)) u(i))
+        |SELECT doc_id, chunk_idx, start,
+        |  CAST(len(t[start : start + 49]) AS INTEGER) AS n_chunk_tokens,
+        |  md5(array_to_string(t[start : start + 49], ' ')) AS chunk_md5
+        |FROM c""".stripMargin,
+    "text_scrub" ->
+      """SELECT event_id,
+        |regexp_replace(coalesce(props, ''), '\d+', '<NUM>', 'g') AS props_scrubbed,
+        |CAST(len(regexp_extract_all(coalesce(props, ''), '\d+')) AS INTEGER) AS n_masked
+        |FROM events""".stripMargin,
+    "emb_label_encode" ->
+      """WITH d AS (SELECT label,
+        |  CAST(row_number() OVER (ORDER BY label) - 1 AS INTEGER) AS label_id
+        |  FROM (SELECT DISTINCT label FROM embeddings) t)
+        |SELECT vec_id, e.label, label_id FROM embeddings e JOIN d USING (label)""".stripMargin,
     "ann_lsh" -> annLshOracle,
     "mm_decode_batched" -> mmDecodeOracle,
     "mm_binary_features" ->

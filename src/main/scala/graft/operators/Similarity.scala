@@ -203,6 +203,20 @@ object Similarity {
       .select("vec_id", "dim_idx", "scale", "q")
   }
 
+  /** Label encoding (reference M2, plasticc target encoding): build the
+    * label dictionary (distinct labels ranked in label order — a tiny
+    * single-partition window, labels are low-cardinality by definition)
+    * and broadcast-join it back; the fact side never shuffles.
+    */
+  def labelEncode(s: SparkSession, dir: String): DataFrame = {
+    val dict = Tables.embeddings(s, dir).select(col("label")).distinct()
+      .withColumn("label_id",
+        (row_number().over(Window.orderBy(col("label"))) - 1).cast("int"))
+    Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
+      .join(broadcast(dict), Seq("label"))
+      .select("vec_id", "label", "label_id")
+  }
+
   /** Centroid summary per label — the "coarse quantizer" statistics an IVF
     * index maintains (per-cell counts + mean vector), computed distributed:
     * explode to (label, dim_idx, component), aggregate, reassemble.

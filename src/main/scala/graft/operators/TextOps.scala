@@ -130,6 +130,43 @@ object TextOps {
         col("rank"))
   }
 
+  /** Context-window chunking — split each document into overlapping
+    * token windows (the unit an LLM training pipeline feeds the
+    * tokenizer): windows of `chunkSize` tokens every `stride` tokens,
+    * final partial window included. Row amplification ∝ n/stride,
+    * partition-parallel, no shuffle; emitted with offset, length, and a
+    * content digest per chunk.
+    */
+  def chunk(s: SparkSession, dir: String,
+            chunkSize: Int = 50, stride: Int = 40): DataFrame = {
+    val t = tokens(col("text"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), t.as("t"))
+      .withColumn("starts",
+        when(size(col("t")) >= 1,
+          sequence(lit(1), size(col("t")), lit(stride)))
+          .otherwise(array().cast("array<int>")))
+      .select(col("doc_id"), col("t"),
+        posexplode(col("starts")).as(Seq("chunk_idx", "start")))
+      .withColumn("chunk", slice(col("t"), col("start"), lit(chunkSize)))
+      .select(
+        col("doc_id"), col("chunk_idx"), col("start"),
+        size(col("chunk")).as("n_chunk_tokens"),
+        md5(concat_ws(" ", col("chunk")).cast("binary")).as("chunk_md5"))
+  }
+
+  /** Scrubbing — mask numeric literals in the JSON props payload (the
+    * PII-redaction shape: pattern → placeholder, plus a match count for
+    * audit). Narrow projection, codegen regex.
+    */
+  def scrub(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("event_id"),
+      regexp_replace(coalesce(col("props"), lit("")), "\\d+", "<NUM>")
+        .as("props_scrubbed"),
+      regexp_count(coalesce(col("props"), lit("")), lit("\\d+"))
+        .as("n_masked"))
+
   /** Normalized rolling-hash fingerprints + exact-duplicate group size by
     * fingerprint (catches case/punctuation-only near-dups).
     */
