@@ -23,6 +23,22 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
+  /** Bounded per-query top-k via the custom `graft_topk` aggregate
+    * (expressions.TopKAgg): map-side partial aggregation contributes at
+    * most k candidates per query per partition to the shuffle — no sort
+    * of the scored stream, unlike the row_number window form this
+    * replaced (which shuffles and sorts every scored row).
+    */
+  private def topKPerQuery(s: SparkSession, scored: DataFrame, k: Int): DataFrame = {
+    graft.expressions.TopKAgg.register(s)
+    scored.groupBy("query_id")
+      .agg(call_function("graft_topk",
+        col("cosine"), col("neighbor_id"), lit(k)).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.id").as("neighbor_id"),
+        col("t.score").as("cosine"), (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** Exact top-k cosine neighbors for each query vector (vec_id < numQueries),
     * excluding self. Deterministic tie-break on neighbor_id after rounding.
     */
@@ -39,11 +55,7 @@ object Similarity {
         col("query_id"),
         col("vec_id").as("neighbor_id"),
         round(call_function("graft_dot", col("v"), col("qv")) / (col("nrm") * col("qn")), 6).as("cosine"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
+    topKPerQuery(s, scored, k)
   }
 
   /** Sign-pattern bucket id from `numPlanes` hyperplane projections
@@ -73,11 +85,7 @@ object Similarity {
         col("query_id"),
         col("vec_id").as("neighbor_id"),
         round(call_function("graft_dot", col("v"), col("qv")) / (col("nrm") * col("qn")), 6).as("cosine"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
+    topKPerQuery(s, scored, k)
   }
 
   /** IVF-style ANN: a KMeans coarse quantizer assigns every corpus vector
@@ -123,11 +131,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(call_function("graft_dot", col("v"), col("qv")) / (col("nrm") * col("qn")), 6).as("cosine"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
+    topKPerQuery(s, scored, k)
   }
 
   /** Seeded Lloyd's iterations over an in-memory sample (the bounded IVF
