@@ -79,6 +79,8 @@ object SparkEntry {
     "stream_dedup" -> (StreamOps.streamingDedup _),
     "stream_stream_join" -> (StreamOps.streamStreamJoin _),
     "q28_cube" -> (Relational.q28Cube _),
+    "q29_window_ranks" -> (Relational.q29WindowRanks _),
+    "q30_string_funcs" -> (Relational.q30StringFuncs _),
     "q17_sessionize" -> (graft.streaming.Sessionize.batch _),
     "stream_sessionize" -> (graft.streaming.Sessionize.streaming _)
   )
@@ -401,6 +403,23 @@ object SparkEntry {
       """WITH fp AS (SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS fp FROM documents),
         |g AS (SELECT fp, count(*) AS n_same FROM fp GROUP BY 1)
         |SELECT f.doc_id, f.fp, g.n_same FROM fp f JOIN g USING (fp)""".stripMargin,
+    "q29_window_ranks" ->
+      """SELECT event_id, event_type,
+        |CAST(rank() OVER win AS INTEGER) AS rnk,
+        |CAST(dense_rank() OVER win AS INTEGER) AS drnk,
+        |CAST(ntile(4) OVER win AS INTEGER) AS quartile,
+        |round(cume_dist() OVER win, 6) AS cd,
+        |lead(value) OVER win AS next_v
+        |FROM events WINDOW win AS (PARTITION BY event_type ORDER BY value, event_id)""".stripMargin,
+    "q30_string_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS uname,
+        |CAST(length(p_name) AS INTEGER) AS nlen,
+        |substr(p_name, 1, 10) AS prefix10,
+        |regexp_replace(p_name, '[aeiou]', '', 'g') AS novowels,
+        |lpad(p_brand, 12, '#') AS brand_pad,
+        |concat_ws('|', p_brand, p_type) AS brand_type,
+        |CAST(levenshtein(p_brand, p_type) AS INTEGER) AS lev
+        |FROM part""".stripMargin,
     "q28_cube" ->
       """SELECT event_type, CAST(day(ts) AS INTEGER) AS dom,
         |count(*) AS cnt, round(sum(value), 2) AS sum_v

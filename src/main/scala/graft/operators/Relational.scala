@@ -360,6 +360,36 @@ object Relational {
       .select("o_orderkey", "o_custkey", "o_totalprice")
   }
 
+  /** Ranking-window family beyond q15: rank / dense_rank / ntile /
+    * cume_dist / lead over a per-type total order — one shuffle on the
+    * partition key, all functions evaluated in the same window pass.
+    */
+  def q29WindowRanks(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    Tables.events(s, dir).select(
+      col("event_id"), col("event_type"),
+      rank().over(w).as("rnk"),
+      dense_rank().over(w).as("drnk"),
+      ntile(4).over(w).as("quartile"),
+      round(cume_dist().over(w), 6).as("cd"),
+      lead(col("value"), 1).over(w).as("next_v"))
+  }
+
+  /** Scalar string-function family over the part dimension: case mapping,
+    * length, substring, regex strip, padding, multi-column concat, and
+    * edit distance — all codegen'd built-ins in one narrow projection.
+    */
+  def q30StringFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir).select(
+      col("p_partkey"),
+      upper(col("p_name")).as("uname"),
+      length(col("p_name")).as("nlen"),
+      substring(col("p_name"), 1, 10).as("prefix10"),
+      regexp_replace(col("p_name"), "[aeiou]", "").as("novowels"),
+      lpad(col("p_brand"), 12, "#").as("brand_pad"),
+      concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+      levenshtein(col("p_brand"), col("p_type")).as("lev"))
+
   /** Cube aggregation — all 2² grouping sets over (event_type, day):
     * per-combination subtotals, both one-dimension margins, and the grand
     * total in one pass (Expand + single shuffle, rows × #grouping-sets —

@@ -111,10 +111,16 @@ object Sessionize {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(SessionLogic.fn _)
-    val q = stream.toDF().writeStream
-      .outputMode("append").format("memory").queryName(name).start()
-    try q.processAllAvailable()
-    finally q.stop()
+    // smaller stateful parallelism for local micro-batches (state store
+    // per shuffle partition — see StreamOps.withStreamingPartitions)
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = stream.toDF().writeStream
+        .outputMode("append").format("memory").queryName(name).start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)
   }
 }

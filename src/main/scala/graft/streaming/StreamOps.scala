@@ -12,6 +12,20 @@ object StreamOps {
 
   private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Stateful streaming operators allocate one state store PER shuffle
+    * partition PER stateful operator; with local micro-batches of fixture
+    * size, store initialization dominates wall time. Run the streaming
+    * query at a smaller stateful parallelism and restore the session
+    * setting afterwards. (On a cluster this knob instead tracks expected
+    * state volume — it is pinned at first start of each query.)
+    */
+  private def withStreamingPartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body
+    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Tumbling-window count/sum by event_type over the events table, executed
     * as a genuine streaming query (readStream → window agg → memory sink).
     * Complete output mode so every window is emitted when the (finite)
@@ -32,13 +46,15 @@ object StreamOps {
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_v"))
-    val q = stream.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    withStreamingPartitions(s, 8) {
+      val q = stream.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     s.table(name).select(
       col("window.start").as("win_start"),
       col("event_type"), col("cnt"), col("sum_v"))
@@ -75,13 +91,15 @@ object StreamOps {
         col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
       .select(col("click_id"), col("purchase_id"), col("user_id"),
         col("value"))
-    val q = joined.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    withStreamingPartitions(s, 8) {
+      val q = joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     s.table(name)
   }
 
@@ -104,13 +122,15 @@ object StreamOps {
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
       .select(graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
       .dropDuplicates("fp")
-    val q = stream.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    withStreamingPartitions(s, 8) {
+      val q = stream.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     s.table(name)
   }
 }
