@@ -60,6 +60,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "dedup_minhash_lsh" -> (Dedup.minhashLsh _),
     "dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
+    "dedup_clusters" -> ((s: SparkSession, d: String) => Dedup.clusters(s, d)),
     "dedup_embedding_cosine" -> ((s: SparkSession, d: String) => Dedup.embeddingCosine(s, d)),
     "ann_brute_topk" -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
     "ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
@@ -85,17 +86,22 @@ object SparkEntry {
     "stream_sessionize" -> (graft.streaming.Sessionize.streaming _)
   )
 
-  /** DuckDB shingle CTE shared by the two near-dup oracles. */
-  private val shingleCte: String =
-    """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+  /** DuckDB shingle CTE bodies shared by the near-dup and cluster oracles
+    * (list form so WITH / WITH RECURSIVE can prefix them).
+    */
+  private val shingleCtes: String =
+    """w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
       |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
       |       FROM w, UNNEST(range(1, len(w)-1)) AS t(i) WHERE len(w) >= 3),
       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-      |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
-      |SELECT id_a, id_b, round(c / (sa.n + sb.n - c), 6) AS jaccard
-      |FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
-      |WHERE round(c / (sa.n + sb.n - c), 6) >= 0.5""".stripMargin
+      |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |jac AS (SELECT id_a, id_b, round(c / (sa.n + sb.n - c), 6) AS jaccard
+      |        FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+      |        WHERE round(c / (sa.n + sb.n - c), 6) >= 0.5)""".stripMargin
+
+  private val shingleCte: String =
+    s"WITH $shingleCtes\nSELECT id_a, id_b, jaccard FROM jac"
 
   private val cosineCte: String =
     """WITH v AS (SELECT vec_id,
@@ -265,6 +271,16 @@ object SparkEntry {
     // threshold on this data (all matching pairs have j>=0.9), so the exact
     // oracle applies.
     "dedup_minhash_lsh" -> shingleCte,
+    // transitive closure by recursive CTE: label(v) = min doc_id reachable
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $shingleCtes,
+         |e AS (SELECT id_a AS a, id_b AS b FROM jac UNION SELECT id_b, id_a FROM jac),
+         |reach(v, l) AS (
+         |  SELECT DISTINCT a, a FROM e
+         |  UNION
+         |  SELECT e.a, r.l FROM e JOIN reach r ON e.b = r.v),
+         |lbl AS (SELECT v, min(l) AS cluster_id FROM reach GROUP BY 1)
+         |SELECT cluster_id, count(*) AS n_members FROM lbl GROUP BY 1""".stripMargin,
     "dedup_embedding_cosine" ->
       s"""$cosineCte
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,

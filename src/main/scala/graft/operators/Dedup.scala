@@ -209,6 +209,42 @@ object Dedup {
       .filter(col("hamming") <= 3)
   }
 
+  /** Duplicate clusters — connected components over the near-dup pair
+    * graph (the step that turns pairwise matches into dedup groups with a
+    * canonical survivor). Min-label propagation: every vertex starts as
+    * its own label, each round adopts the minimum label among itself and
+    * its neighbors, converging in ≤ diameter rounds; each round is one
+    * join + one aggregate, and the convergence check is a count action.
+    * Near-dup clusters are short chains (diameter ≤ a few), so rounds are
+    * few; a 100 TB component run with adversarial diameters would switch
+    * to large-star/small-star contraction (O(log n) rounds, same join
+    * primitive).
+    */
+  def clusters(s: SparkSession, dir: String, maxRounds: Int = 20): DataFrame = {
+    val pairs = ngramJaccard(s, dir).select(col("id_a"), col("id_b")).persist()
+    val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+      .union(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+      .persist()
+    var labels = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("v")).distinct()
+      .withColumn("lbl", col("v")).persist()
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < maxRounds) {
+      val msgs = edges.join(labels, col("b") === col("v"))
+        .select(col("a").as("v"), col("lbl"))
+      val next = labels.select("v", "lbl").union(msgs)
+        .groupBy("v").agg(min("lbl").as("lbl")).persist()
+      changed = next.as("n").join(labels.as("o"), "v")
+        .filter(col("n.lbl") =!= col("o.lbl")).count()
+      labels.unpersist()
+      labels = next
+      round += 1
+    }
+    labels.groupBy(col("lbl").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+  }
+
   /** Embedding cosine near-duplicates: exact pairs with cosine ≥ τ on the
     * `embeddings` fixture, computed as sketch-prefilter → grid equi-join →
     * exact verify. No nested-loop or cartesian join appears in the plan.
