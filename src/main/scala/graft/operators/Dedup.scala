@@ -220,29 +220,67 @@ object Dedup {
     * to large-star/small-star contraction (O(log n) rounds, same join
     * primitive).
     */
-  def clusters(s: SparkSession, dir: String, maxRounds: Int = 20): DataFrame = {
+  def clusters(s: SparkSession, dir: String, maxRounds: Int = 20,
+               driverMaxPairs: Long = 10000000L): DataFrame = {
     val pairs = ngramJaccard(s, dir).select(col("id_a"), col("id_b")).persist()
-    val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
-      .union(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
-      .persist()
-    var labels = pairs
-      .select(explode(array(col("id_a"), col("id_b"))).as("v")).distinct()
-      .withColumn("lbl", col("v")).persist()
-    var round = 0
-    var changed = 1L
-    while (changed > 0 && round < maxRounds) {
-      val msgs = edges.join(labels, col("b") === col("v"))
-        .select(col("a").as("v"), col("lbl"))
-      val next = labels.select("v", "lbl").union(msgs)
-        .groupBy("v").agg(min("lbl").as("lbl")).persist()
-      changed = next.as("n").join(labels.as("o"), "v")
-        .filter(col("n.lbl") =!= col("o.lbl")).count()
-      labels.unpersist()
-      labels = next
-      round += 1
+    // materialize the persisted pairs with ONE action before deriving:
+    // downstream branches reading an uncached RDD from concurrent stages
+    // each recompute its whole lineage (the full PPJoin pipeline) —
+    // caching does not lock in-progress partitions across stages
+    val nPairs = pairs.count()
+    // Hybrid: the pair set is a vanishing fraction of the corpus by
+    // construction (only near-dups appear), so up to `driverMaxPairs` the
+    // component computation is driver-scale work — union-find in
+    // milliseconds, zero iterative jobs. Past the guard (pathological
+    // duplication at 100 TB), fall through to distributed min-label
+    // propagation: same result, one join + one aggregate per round.
+    if (nPairs <= driverMaxPairs) {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x0: Long): Long = {
+        var x = x0
+        parent.getOrElseUpdate(x, x)
+        while (parent(x) != x) {
+          parent(x) = parent(parent(x)); x = parent(x)
+        }
+        x
+      }
+      pairs.collect().foreach { r =>
+        val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val members = parent.keys.toSeq.map(v => (find(v), 1L))
+      val counts = members.groupBy(_._1).map { case (c, m) => (c, m.size.toLong) }
+      import s.implicits._
+      return counts.toSeq.toDF("cluster_id", "n_members")
     }
-    labels.groupBy(col("lbl").as("cluster_id"))
-      .agg(count(lit(1)).as("n_members"))
+    // the pair graph still shrinks the problem massively; run the
+    // propagation rounds at a parallelism that matches it — per-round job
+    // overhead, not data volume, dominates
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+        .union(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+        .coalesce(8).persist()
+      var labels = pairs
+        .select(explode(array(col("id_a"), col("id_b"))).as("v")).distinct()
+        .withColumn("lbl", col("v")).persist()
+      var round = 0
+      var changed = 1L
+      while (changed > 0 && round < maxRounds) {
+        val msgs = edges.join(labels, col("b") === col("v"))
+          .select(col("a").as("v"), col("lbl"))
+        val next = labels.select("v", "lbl").union(msgs)
+          .groupBy("v").agg(min("lbl").as("lbl")).persist()
+        changed = next.as("n").join(labels.as("o"), "v")
+          .filter(col("n.lbl") =!= col("o.lbl")).count()
+        labels.unpersist()
+        labels = next
+        round += 1
+      }
+      labels.groupBy(col("lbl").as("cluster_id"))
+        .agg(count(lit(1)).as("n_members"))
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   /** Embedding cosine near-duplicates: exact pairs with cosine ≥ τ on the

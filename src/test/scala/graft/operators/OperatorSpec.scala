@@ -63,6 +63,15 @@ class OperatorSpec extends AnyFunSuite {
     assert(exact.nonEmpty)
   }
 
+  test("cluster paths agree: driver union-find vs distributed propagation") {
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaUnionFind = asMap(Dedup.clusters(spark, sf))
+    val viaPropagation = asMap(Dedup.clusters(spark, sf, driverMaxPairs = 0L))
+    assert(viaUnionFind === viaPropagation)
+    assert(viaUnionFind.nonEmpty)
+  }
+
   test("shingles: short and empty documents yield empty sets") {
     import spark.implicits._
     val df = Seq("", "one two", "a b c d").toDF("text")
