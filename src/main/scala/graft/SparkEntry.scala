@@ -81,6 +81,7 @@ object SparkEntry {
     "stream_stream_join" -> (StreamOps.streamStreamJoin _),
     "q28_cube" -> (Relational.q28Cube _),
     "q29_window_ranks" -> (Relational.q29WindowRanks _),
+    "q31_sliding_window" -> (Relational.q31SlidingWindow _),
     "q30_string_funcs" -> (Relational.q30StringFuncs _),
     "q17_sessionize" -> (graft.streaming.Sessionize.batch _),
     "stream_sessionize" -> (graft.streaming.Sessionize.streaming _)
@@ -419,6 +420,19 @@ object SparkEntry {
       """WITH fp AS (SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS fp FROM documents),
         |g AS (SELECT fp, count(*) AS n_same FROM fp GROUP BY 1)
         |SELECT f.doc_id, f.fp, g.n_same FROM fp f JOIN g USING (fp)""".stripMargin,
+    // sliding windows: each event belongs to the two 1h windows whose
+    // starts are the two preceding 30-min grid points (g and g − 30 min,
+    // g = ts floored to the 30-min grid)
+    "q31_sliding_window" ->
+      """WITH x AS (SELECT event_type, value, ts,
+        |  date_trunc('hour', ts) + (CASE WHEN minute(ts) >= 30
+        |    THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END) AS g
+        |  FROM events),
+        |u AS (SELECT event_type, value, ts,
+        |      UNNEST([g, g - INTERVAL 30 MINUTE]) AS win_start FROM x)
+        |SELECT win_start, event_type, count(*) AS cnt, round(sum(value), 2) AS sum_v
+        |FROM u WHERE ts >= win_start AND ts < win_start + INTERVAL 1 HOUR
+        |GROUP BY 1, 2""".stripMargin,
     "q29_window_ranks" ->
       """SELECT event_id, event_type,
         |CAST(rank() OVER win AS INTEGER) AS rnk,

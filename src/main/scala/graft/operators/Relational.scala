@@ -360,6 +360,18 @@ object Relational {
       .select("o_orderkey", "o_custkey", "o_totalprice")
   }
 
+  /** Sliding (hopping) event-time windows: 1-hour windows every 30
+    * minutes — each event lands in exactly windowLen/slide windows
+    * (Spark expands rows before the aggregation, so this is an explode ×2
+    * + one hash aggregate; at scale the multiplier is the knob).
+    */
+  def q31SlidingWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_v"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("cnt"), col("sum_v"))
+
   /** Ranking-window family beyond q15: rank / dense_rank / ntile /
     * cume_dist / lead over a per-type total order — one shuffle on the
     * partition key, all functions evaluated in the same window pass.
