@@ -85,6 +85,14 @@ final class PlasticcBenchmark extends BaseBenchmark {
         val j = meta.join(agg, Seq("object_id"), "left").na.fill(0.0)
         SparkBackend.triggerLoading(j)
       }
+      if (params.validation) {
+        // order-insensitive digest of the ETL output (keys + row count),
+        // compared across iterations by the harness -validation machinery
+        val digest = joined
+          .select(xxhash64(col("object_id"), col("target")).as("h"))
+          .agg(expr("bit_xor(h)")).collect()(0).getLong(0)
+        extraParams += "validation_t_etl" -> s"${joined.count()}:$digest"
+      }
       obs.unpersist(); meta.unpersist()
       if (!params.noMl) {
         // M1 stratified split with fixed seed (sampleBy per-class fractions)
