@@ -69,16 +69,13 @@ object TextFunctions {
     array(bands: _*)
   }
 
-  /** Packed SimHash bit-count term: bits 4g..4g+3 of the token hash, each
-    * as a 16-bit count field of one long. The per-document 64-bit SimHash
-    * (Charikar, "Similarity estimation techniques from rounding
-    * algorithms", 2002) needs one popularity count per signature bit;
-    * packing 4 counts per long turns 64 `sum()` aggregates into 16 —
-    * 4× less generated aggregate code (janino compile time scales with
-    * aggregate count) at identical per-row cost. 16-bit fields cap at
-    * 65,535 tokens per document before neighboring counts overflow — far
-    * beyond any shingle-scale document; a longer doc should be chunked
-    * upstream anyway.
+  /** Packed SimHash bit-count term in Column form: bits 4g..4g+3 of the
+    * token hash, each as a 16-bit count field of one long (caps at 65,535
+    * tokens per document). The production signature path is the custom
+    * `graft_simhash` TypedImperativeAggregate (expressions.SimHashAgg —
+    * whole signature in one aggregate); this Column construction
+    * documents the counting rule and pins the aggregate's correctness in
+    * tests.
     */
   def simhashPackedVotes(tokenHash: Column, group: Int): Column =
     (0 until 4).map { k =>

@@ -12,22 +12,25 @@ import graft.functions.VectorFunctions._
   * fixture. Scale notes per operator:
   *
   *  - Exact dedup is a hash shuffle on the dedup key (min-id survivor).
-  *  - Exact n-gram Jaccard uses an *inverted-index join* on shingles — only
-  *    documents sharing at least one shingle ever meet, so cost is
-  *    Σ_shingle df(shingle)², not n². (At 100 TB you'd cap df per shingle —
-  *    a shingle shared by millions of docs carries no signal.)
+  *  - Exact n-gram Jaccard uses an *inverted-index join* on 64-bit shingle
+  *    tokens with PPJoin prefix + position filtering — only documents
+  *    sharing a rare prefix shingle ever meet. (At 100 TB you'd cap df per
+  *    shingle — a shingle shared by millions of docs carries no signal.)
   *  - MinHash+LSH replaces the shingle join with a band-bucket join:
   *    candidates are pairs agreeing on ≥1 of b bands of r minhashes —
-  *    expected cost is linear in data + output. Candidates are then
-  *    verified with exact Jaccard. Signatures are computed as 32 codegen'd
-  *    `min()` aggregates over exploded (doc, shingle-hash) rows — map-side
-  *    partial aggregation, no interpreted array lambdas in the hot path.
+  *    expected cost is linear in data + output, then exact-Jaccard
+  *    verification. Signatures come from the custom `graft_minhash`
+  *    TypedImperativeAggregate (expressions.MinHashAgg): the whole
+  *    NumPerm-permutation signature in one aggregate with map-side
+  *    partial aggregation.
   *  - SimHash buckets on 16-bit chunks of a 64-bit signature (pigeonhole:
-  *    hamming ≤ 3 pairs must agree on ≥1 of 4 chunks); the signature is 64
-  *    codegen'd vote-sum aggregates over exploded token hashes.
-  *  - Embedding near-dup thresholds cosine similarity; the all-pairs form
-  *    here is the small-side verifier (dot product unrolled into codegen) —
-  *    the scale path is Similarity.annLsh's bucketed candidate generation.
+  *    hamming ≤ 3 pairs must agree on ≥1 of 4 chunks); the signature is 16
+  *    packed-count aggregates over exploded token hashes, with a
+  *    hot-bucket cap.
+  *  - Embedding near-dup is sketch-prefilter → grid equi-join → exact
+  *    verify (see embeddingCosine — no nested-loop join in the plan).
+  *  - clusters() turns pair matches into dedup groups: driver union-find
+  *    under a size guard, distributed min-label propagation past it.
   */
 object Dedup {
 
@@ -187,7 +190,8 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: 64-bit signature from exploded token hashes
-    * (16 codegen'd packed-count sums — see simhashPackedVotes), candidates
+    * via the custom `graft_simhash` TypedImperativeAggregate (whole
+    * signature in one aggregate — expressions.SimHashAgg), candidates
     * from 4×16-bit chunk buckets (pigeonhole: hamming ≤ 3 pairs must agree
     * on ≥ 1 of 4 chunks), verified by exact hamming distance ≤ 3.
     *
@@ -200,14 +204,12 @@ object Dedup {
     * of raising the cap.
     */
   def simhashPairs(s: SparkSession, dir: String, maxBucket: Int = 100000): DataFrame = {
+    graft.expressions.SimHashAgg.register(s)
     val tokenHashes = Tables.documents(s, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
-    val packs = (0 until 16).map(g => sum(simhashPackedVotes(col("h"), g)).as(s"p$g"))
-    val aggs = packs :+ count(lit(1)).as("n_tok")
-    val sigs = tokenHashes.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"),
-        simhashFromPacked((0 until 16).map(g => col(s"p$g")), col("n_tok")).as("sig"))
+    val sigs = tokenHashes.groupBy("doc_id")
+      .agg(call_function("graft_simhash", col("h")).as("sig"))
     val chunks = sigs.select(col("doc_id"), col("sig"),
       posexplode(array((0 until 4).map(i =>
         shiftrightunsigned(col("sig"), i * 16).bitwiseAND(0xFFFFL)): _*))
