@@ -139,6 +139,32 @@ object SparkEntry {
        |QUALIFY rank <= 5""".stripMargin
   }
 
+  /** The simhash oracle replays the whole pipeline in SQL: md5-prefix
+    * token hashes (hex parse via horner fold), 60 per-bit popularity
+    * counts assembled into the signature, chunk-bucket candidate join,
+    * exact hamming verify.
+    */
+  private val simhashOracle: String = {
+    val sigTerms = (0 until 60).map { b =>
+      s"CASE WHEN 2 * count(*) FILTER (WHERE (h >> $b) & 1 = 1) > count(*) THEN ${1L << b} ELSE 0 END"
+    }.mkString("\n + ")
+    s"""WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+       |            FROM documents WHERE length(trim(text)) > 0),
+       |h AS (SELECT doc_id, list_reduce(list_transform(range(1, 16), i ->
+       |        CAST(ord(substr(md5(t), i, 1)) -
+       |             CASE WHEN substr(md5(t), i, 1) BETWEEN '0' AND '9' THEN 48 ELSE 87 END AS BIGINT)),
+       |        (a, x) -> a * 16 + x) AS h FROM tok),
+       |sig AS (SELECT doc_id, $sigTerms AS sig FROM h GROUP BY doc_id),
+       |chunks AS (SELECT doc_id, sig, CAST(i AS INTEGER) AS chunk_idx,
+       |           (sig >> (i * 16)) & 65535 AS chunk
+       |           FROM sig, UNNEST([0, 1, 2, 3]) t(i))
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+       |FROM chunks a JOIN chunks b
+       |ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin
+  }
+
   /** The mm_decode oracle replays the stub decoder's 64-bit polynomial
     * hash (h = 31·h + byte, wrapping) in SQL via HUGEINT mod-2⁶⁴
     * arithmetic — documents are ASCII, so ord(char) = byte value.
@@ -272,6 +298,7 @@ object SparkEntry {
     // threshold on this data (all matching pairs have j>=0.9), so the exact
     // oracle applies.
     "dedup_minhash_lsh" -> shingleCte,
+    "dedup_simhash" -> simhashOracle,
     // transitive closure by recursive CTE: label(v) = min doc_id reachable
     "dedup_clusters" ->
       s"""WITH RECURSIVE $shingleCtes,

@@ -97,6 +97,16 @@ object TextFunctions {
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Engine-portable 60-bit token hash: the first 15 hex chars of md5,
+    * parsed as an integer. Any SQL oracle can replay it (hex parse +
+    * horner fold), unlike xxhash64 — which remains the cheaper
+    * production-cluster choice where verification is done differently.
+    * 60 bits keep the value positive in a signed 64-bit long on every
+    * engine.
+    */
+  def portableTokenHash(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
   /** Normalized-text fingerprint: lowercase, collapse non-alnum runs to
     * single spaces, hash. Two documents differing only in case /
     * punctuation / whitespace get the same fingerprint. md5 keeps the

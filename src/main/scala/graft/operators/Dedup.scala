@@ -189,11 +189,15 @@ object Dedup {
     verifyJaccard(sh, sizes, candidates)
   }
 
-  /** SimHash near-dup pairs: 64-bit signature from exploded token hashes
-    * via the custom `graft_simhash` TypedImperativeAggregate (whole
-    * signature in one aggregate — expressions.SimHashAgg), candidates
-    * from 4×16-bit chunk buckets (pigeonhole: hamming ≤ 3 pairs must agree
-    * on ≥ 1 of 4 chunks), verified by exact hamming distance ≤ 3.
+  /** SimHash near-dup pairs: signature from exploded token hashes via the
+    * custom `graft_simhash` TypedImperativeAggregate (whole signature in
+    * one aggregate — expressions.SimHashAgg), candidates from 4×16-bit
+    * chunk buckets (pigeonhole: hamming ≤ 3 pairs must agree on ≥ 1 of 4
+    * chunks), verified by exact hamming distance ≤ 3. Token hashes are
+    * the engine-portable 60-bit md5 prefix (TextFunctions
+    * .portableTokenHash) so the full pipeline is oracle-checkable; sig
+    * bits 60-63 are structurally zero, which the chunk bucketing and
+    * hamming verify are agnostic to.
     *
     * Hot-bucket guard: a chunk value shared by m documents contributes
     * m²/2 candidate pairs, so buckets larger than `maxBucket` are dropped
@@ -207,7 +211,7 @@ object Dedup {
     graft.expressions.SimHashAgg.register(s)
     val tokenHashes = Tables.documents(s, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("h", portableTokenHash(col("tok")))
     val sigs = tokenHashes.groupBy("doc_id")
       .agg(call_function("graft_simhash", col("h")).as("sig"))
     val chunks = sigs.select(col("doc_id"), col("sig"),
