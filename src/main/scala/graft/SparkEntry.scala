@@ -61,6 +61,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> (Dedup.minhashLsh _),
     "dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     "dedup_clusters" -> ((s: SparkSession, d: String) => Dedup.clusters(s, d)),
+    "dedup_fuzzy_names" -> ((s: SparkSession, d: String) => Dedup.fuzzyNames(s, d)),
     "dedup_embedding_cosine" -> ((s: SparkSession, d: String) => Dedup.embeddingCosine(s, d)),
     "ann_brute_topk" -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
     "ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
@@ -299,6 +300,14 @@ object SparkEntry {
     // oracle applies.
     "dedup_minhash_lsh" -> shingleCte,
     "dedup_simhash" -> simhashOracle,
+    "dedup_fuzzy_names" ->
+      """SELECT a.p_partkey AS id_a, count(*) AS n_similar,
+        |CAST(min(levenshtein(a.p_name, b.p_name)) AS INTEGER) AS min_dist
+        |FROM part a JOIN part b ON a.p_partkey <> b.p_partkey
+        |AND split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+        |AND abs(length(a.p_name) - length(b.p_name)) <= 2
+        |AND levenshtein(a.p_name, b.p_name) <= 2
+        |GROUP BY 1""".stripMargin,
     // transitive closure by recursive CTE: label(v) = min doc_id reachable
     "dedup_clusters" ->
       s"""WITH RECURSIVE $shingleCtes,

@@ -232,6 +232,44 @@ object Dedup {
       .filter(col("hamming") <= 3)
   }
 
+  /** Fuzzy string join — entity-resolution flavor of near-dup detection:
+    * per-part summary of other parts whose name is within edit distance
+    * ≤ `maxDist`. Levenshtein is too expensive for all-pairs; candidates
+    * are bounded by two blocks with an equi-join: the first token (the
+    * classic entity-resolution blocking key — recall is scoped to
+    * same-first-token matches, the standard blocking trade) and the
+    * length window |len(a) − len(b)| ≤ maxDist (side b replicates to its
+    * matchable lengths). The residual codegen'd levenshtein runs only
+    * inside blocks: cost Σ_block |a|·|b| instead of n².
+    */
+  def fuzzyNames(s: SparkSession, dir: String, maxDist: Int = 2): DataFrame = {
+    val parts = Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_name"), length(col("p_name")).as("len"),
+        split(col("p_name"), " ").getItem(0).as("tok1"))
+    val a = parts.select(col("p_partkey").as("id_a"), col("p_name").as("name_a"),
+      col("len").as("len_a"), col("tok1"), col("len").as("blk"))
+    val b = parts
+      .withColumn("blk", explode(sequence(col("len"), col("len") + maxDist)))
+      .select(col("p_partkey").as("id_b"), col("p_name").as("name_b"),
+        col("len").as("len_b"), col("tok1"), col("blk"))
+    // roles are assigned by length (a probes at its own length, b covers
+    // its window), so each unordered pair meets at least once in SOME
+    // orientation; mirror the match rows so every part reports all of
+    // its fuzzy matches, and dedup the equal-length double-meetings
+    val matches = a.join(b, Seq("tok1", "blk"))
+      .filter(col("id_a") =!= col("id_b") &&
+        abs(col("len_a") - col("len_b")) <= maxDist &&
+        levenshtein(col("name_a"), col("name_b")) <= maxDist)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("name_a"), col("name_b")).as("dist"))
+    matches
+      .union(matches.select(col("id_b").as("id_a"), col("id_a").as("id_b"),
+        col("dist")))
+      .distinct()
+      .groupBy("id_a")
+      .agg(count(lit(1)).as("n_similar"), min("dist").as("min_dist"))
+  }
+
   /** Duplicate clusters — connected components over the near-dup pair
     * graph (the step that turns pairwise matches into dedup groups with a
     * canonical survivor). Min-label propagation: every vertex starts as
