@@ -137,6 +137,46 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("chunking covers every token with the declared overlap") {
+    val docs = graft.Tables.documents(spark, sf)
+    val chunks = TextOps.chunk(spark, sf, chunkSize = 50, stride = 40).collect()
+    val byDoc = chunks.groupBy(_.getLong(0))
+    val tokenCounts = docs.select(col("doc_id"),
+      size(graft.functions.TextFunctions.tokens(col("text"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    byDoc.foreach { case (docId, rows) =>
+      val n = tokenCounts(docId)
+      val sorted = rows.sortBy(_.getInt(1))
+      // starts advance by exactly the stride from 1, and the windows
+      // cover [1, n]: last start + its chunk length reaches n
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getInt(2) === 1 + i * 40, s"doc $docId start")
+      }
+      val last = sorted.last
+      assert(last.getInt(2) + last.getInt(3) - 1 === n, s"doc $docId tail")
+      // every chunk is exactly min(chunkSize, tokens remaining at start)
+      sorted.foreach(r =>
+        assert(r.getInt(3) === math.min(50, n - r.getInt(2) + 1), s"doc $docId len"))
+    }
+    assert(byDoc.nonEmpty)
+  }
+
+  test("int8 quantization bounds the roundtrip error by half a step") {
+    // reconstruct x ≈ q/scale and compare against the original component
+    // (0.51/scale margin absorbs the 6-dp rounding of the emitted scale)
+    val err = Similarity.quantizeInt8(spark, sf).as("qz")
+      .join(graft.Tables.embeddings(spark, sf).select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dim_idx", "x"))), Seq("vec_id", "dim_idx"))
+      .select((abs(col("q") / col("scale") - col("x").cast("double"))
+        - lit(0.51) / col("scale")).as("over"))
+      .filter(col("over") > 0).count()
+    assert(err === 0)
+    // quantized values stay in the int8 range
+    val out = Similarity.quantizeInt8(spark, sf)
+      .filter(col("q") > 127 || col("q") < -127).count()
+    assert(out === 0)
+  }
+
   test("multimodal pipeline preserves byte length through binary payload") {
     val out = Multimodal.pipeline(spark, sf)
     val bad = out.join(graft.Tables.documents(spark, sf), Seq("doc_id"))
