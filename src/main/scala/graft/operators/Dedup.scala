@@ -243,31 +243,44 @@ object Dedup {
     * inside blocks: cost Σ_block |a|·|b| instead of n².
     */
   def fuzzyNames(s: SparkSession, dir: String, maxDist: Int = 2): DataFrame = {
-    val parts = Tables.part(s, dir)
-      .select(col("p_partkey"), col("p_name"), length(col("p_name")).as("len"),
-        split(col("p_name"), " ").getItem(0).as("tok1"))
-    val a = parts.select(col("p_partkey").as("id_a"), col("p_name").as("name_a"),
-      col("len").as("len_a"), col("tok1"), col("len").as("blk"))
-    val b = parts
+    val parts = Tables.part(s, dir).select(col("p_partkey"), col("p_name"))
+    // THE scale move: parts share a far smaller set of distinct names, so
+    // the quadratic-ish fuzzy join runs on the deduplicated name set with
+    // multiplicities, and part-level counts reconstruct afterwards —
+    // candidate volume drops from (parts/block)² to (names/block)².
+    val names = parts.groupBy("p_name").agg(count(lit(1)).as("m"))
+      .withColumn("tok1", split(col("p_name"), " ").getItem(0))
+      .withColumn("len", length(col("p_name")))
+      .persist()
+    val a = names.select(col("p_name").as("name_a"), col("m").as("m_a"),
+      col("tok1"), col("len").as("len_a"), col("len").as("blk"))
+    val b = names
       .withColumn("blk", explode(sequence(col("len"), col("len") + maxDist)))
-      .select(col("p_partkey").as("id_b"), col("p_name").as("name_b"),
-        col("len").as("len_b"), col("tok1"), col("blk"))
-    // roles are assigned by length (a probes at its own length, b covers
-    // its window), so each unordered pair meets at least once in SOME
-    // orientation; mirror the match rows so every part reports all of
-    // its fuzzy matches, and dedup the equal-length double-meetings
+      .select(col("p_name").as("name_b"), col("m").as("m_b"),
+        col("tok1"), col("len").as("len_b"), col("blk"))
+    // roles are assigned by length, so each unordered name pair meets in
+    // at least one orientation; mirror so every name sees all its
+    // matches, and dedup the equal-length double-meetings
     val matches = a.join(b, Seq("tok1", "blk"))
-      .filter(col("id_a") =!= col("id_b") &&
+      .filter(col("name_a") =!= col("name_b") &&
         abs(col("len_a") - col("len_b")) <= maxDist &&
         levenshtein(col("name_a"), col("name_b")) <= maxDist)
-      .select(col("id_a"), col("id_b"),
+      .select(col("name_a"), col("name_b"), col("m_a"), col("m_b"),
         levenshtein(col("name_a"), col("name_b")).as("dist"))
-    matches
-      .union(matches.select(col("id_b").as("id_a"), col("id_a").as("id_b"),
-        col("dist")))
+    val sym = matches.union(matches.select(
+      col("name_b").as("name_a"), col("name_a").as("name_b"),
+      col("m_b").as("m_a"), col("m_a").as("m_b"), col("dist")))
       .distinct()
-      .groupBy("id_a")
-      .agg(count(lit(1)).as("n_similar"), min("dist").as("min_dist"))
+    val perName = sym.groupBy(col("name_a").as("p_name"))
+      .agg(sum("m_b").as("other_sum"), min("dist").as("min_other"))
+    val summary = names.join(perName, Seq("p_name"), "left")
+      .withColumn("n_similar", col("m") - 1 + coalesce(col("other_sum"), lit(0L)))
+      .withColumn("min_dist",
+        when(col("m") > 1, lit(0)).otherwise(col("min_other")).cast("int"))
+      .filter(col("n_similar") > 0)
+      .select(col("p_name"), col("n_similar"), col("min_dist"))
+    parts.join(summary, Seq("p_name"))
+      .select(col("p_partkey").as("id_a"), col("n_similar"), col("min_dist"))
   }
 
   /** Duplicate clusters — connected components over the near-dup pair
