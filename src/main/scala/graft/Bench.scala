@@ -45,6 +45,7 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    graft.operators.Dedup.releasePairs() // drop the memoized pair set
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -28,7 +28,11 @@ object Tables {
     * generated at microsecond resolution, so this is lossless).
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // one-way session initialization, never restored — no flip/restore
+    // race: the conf only widens what the parquet reader accepts, and
+    // setting the same value twice is harmless
+    if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   }

@@ -103,35 +103,63 @@ object Dedup {
     */
   /** The near-dup pair set feeds multiple downstream operators (pair
     * reporting, cluster building); inputs are immutable within a run, so
-    * the persisted, materialized result is memoized per (session, dir) —
-    * the same contract as caching a dimension table. One pipeline run
-    * total regardless of how many operators consume the pairs.
+    * the MATERIALIZED result is memoized per (session, dir) — the same
+    * contract as caching a dimension table. One pipeline run total
+    * regardless of how many operators consume the pairs; what the cache
+    * retains is only the output-sized checkpointed pair set (the
+    * input-sized intermediates are released before memoization — see
+    * CacheLifecycle). Keyed on `sessionUUID` (stable, unlike an identity
+    * hash) and released explicitly via [[releasePairs]].
     */
   private val pairCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  /** Stable per-session cache id (sessionUUID is private[sql]; an
+    * identityHashCode can be reused after GC). Weak keys: a dropped
+    * session releases its id — and its pair set stays only until
+    * releasePairs(), the documented lifecycle.
+    */
+  private val sessionIds = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+
+  private def sessionKey(s: SparkSession): String =
+    sessionIds.computeIfAbsent(s, _ => java.util.UUID.randomUUID().toString)
+
   def ngramJaccard(s: SparkSession, dir: String): DataFrame =
-    pairCache.computeIfAbsent(System.identityHashCode(s) + "|" + dir, _ => {
-      val df = ngramJaccardImpl(s, dir).persist()
-      df.count() // materialize once: concurrent downstream stages reading
-      // an uncached RDD each recompute its whole lineage
-      df
+    pairCache.computeIfAbsent(sessionKey(s) + "|" + dir, _ => {
+      val (result, shared) = ngramJaccardPlan(s, dir)
+      CacheLifecycle.materialize(result, shared: _*)
     })
 
-  private def ngramJaccardImpl(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val sh = shinglePairs(s, dir).persist()
+  /** Drop all memoized pair sets (bench/test hygiene; a long-lived
+    * service session calls this when the underlying corpus changes). The
+    * checkpointed blocks are freed by the ContextCleaner once the
+    * references are gone.
+    */
+  def releasePairs(): Unit = pairCache.clear()
+
+  /** Lazy plan + the shared intermediates it reads twice (for lifecycle
+    * management and plan inspection in specs).
+    */
+  private def ngramJaccardPlan(s: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
+    val sh = shinglePairs(s, dir)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val docFreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    // Per-doc prefix selection (rarest-first rank ≤ |d| − ⌈τ·|d|⌉ + 1) as
+    // ONE aggregate: collect the doc's (df, sh) pairs, sort the (small,
+    // doc-length-bounded) array, slice the prefix. Replaces the previous
+    // row_number window + sizes join — one exchange instead of a full
+    // partition sort plus an extra join, and n comes free as size(ranked).
     val prefix = sh.join(docFreq, "sh")
-      .withColumn("pos", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))))
-      .join(sizes, "doc_id")
-      .filter(col("pos") <= col("n") - ceil(lit(JaccardThreshold) * col("n")) + 1)
-      .select("doc_id", "sh", "n", "pos")
-      .persist() // self-joined below: one materialization instead of two
-    // full window+join subtree builds (exchange reuse is not guaranteed
-    // across the join's two sides)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ranked"))
+      .select(col("doc_id"), size(col("ranked")).as("n"),
+        posexplode(slice(col("ranked"), lit(1),
+          (size(col("ranked")) -
+            ceil(lit(JaccardThreshold) * size(col("ranked"))) + 1).cast("int")))
+          .as(Seq("pos0", "t")))
+      .select(col("doc_id"), col("t.sh").as("sh"), col("n"),
+        (col("pos0") + 1).as("pos"))
     // PPJoin position filter: a prefix match at positions (pa, pb) bounds
     // the overlap by 1 + min(|a|−pa, |b|−pb); J ≥ τ requires overlap ≥
     // ⌈τ/(1+τ)·(|a|+|b|)⌉. Applied per matched prefix row INSIDE the join
@@ -140,8 +168,9 @@ object Dedup {
     // slightly tighter but costs a wide groupBy over every prefix match —
     // measured 5× slower than filter-then-distinct at sf0.1.)
     val alpha = JaccardThreshold / (1 + JaccardThreshold)
-    val candidates = prefix.as("a")
-      .join(prefix.as("b"),
+    val prefixKeyed = prefix.select("doc_id", "sh", "n", "pos")
+    val candidates = prefixKeyed.as("a")
+      .join(prefixKeyed.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
           greatest(col("a.n"), col("b.n")) * JaccardThreshold <=
             least(col("a.n"), col("b.n")) &&
@@ -149,7 +178,7 @@ object Dedup {
             ceil((col("a.n") + col("b.n")) * alpha))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    verifyJaccard(sh, sizes, candidates)
+    (verifyJaccard(sh, sizes, candidates), Seq(sh, prefixKeyed))
   }
 
   /** MinHash signatures per document via the custom `graft_minhash`
@@ -175,18 +204,17 @@ object Dedup {
     * exact-Jaccard verification on the candidate pairs only.
     */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sh = shinglePairs(s, dir).persist()
+    val sh = shinglePairs(s, dir)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val bands = minhashSignaturesFrom(s, sh)
       .select(col("doc_id"),
         posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
-      .persist()
     val candidates = bands.as("a")
       .join(bands.as("b"), Seq("band_idx", "band_hash"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    verifyJaccard(sh, sizes, candidates)
+    CacheLifecycle.materialize(verifyJaccard(sh, sizes, candidates), sh, bands)
   }
 
   /** SimHash near-dup pairs: signature from exploded token hashes via the
@@ -218,18 +246,18 @@ object Dedup {
       posexplode(array((0 until 4).map(i =>
         shiftrightunsigned(col("sig"), i * 16).bitwiseAND(0xFFFFL)): _*))
         .as(Seq("chunk_idx", "chunk")))
-      .persist()
     val hot = chunks.groupBy("chunk_idx", "chunk")
       .agg(count(lit(1)).as("m")).filter(col("m") > maxBucket)
       .select("chunk_idx", "chunk")
     val cold = chunks.join(broadcast(hot), Seq("chunk_idx", "chunk"), "left_anti")
-    cold.as("a")
+    val pairs = cold.as("a")
       .join(cold.as("b"), Seq("chunk_idx", "chunk"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         hamming64(col("a.sig"), col("b.sig")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= 3)
+    CacheLifecycle.materialize(pairs, chunks)
   }
 
   /** Fuzzy string join — entity-resolution flavor of near-dup detection:
@@ -251,7 +279,6 @@ object Dedup {
     val names = parts.groupBy("p_name").agg(count(lit(1)).as("m"))
       .withColumn("tok1", split(col("p_name"), " ").getItem(0))
       .withColumn("len", length(col("p_name")))
-      .persist()
     val a = names.select(col("p_name").as("name_a"), col("m").as("m_a"),
       col("tok1"), col("len").as("len_a"), col("len").as("blk"))
     val b = names
@@ -279,8 +306,9 @@ object Dedup {
         when(col("m") > 1, lit(0)).otherwise(col("min_other")).cast("int"))
       .filter(col("n_similar") > 0)
       .select(col("p_name"), col("n_similar"), col("min_dist"))
-    parts.join(summary, Seq("p_name"))
+    val out = parts.join(summary, Seq("p_name"))
       .select(col("p_partkey").as("id_a"), col("n_similar"), col("min_dist"))
+    CacheLifecycle.materialize(out, names)
   }
 
   /** Duplicate clusters — connected components over the near-dup pair
@@ -324,34 +352,35 @@ object Dedup {
       import s.implicits._
       return counts.toSeq.toDF("cluster_id", "n_members")
     }
-    // the pair graph still shrinks the problem massively; run the
-    // propagation rounds at a parallelism that matches it — per-round job
-    // overhead, not data volume, dominates
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
-        .union(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
-        .coalesce(8).persist()
-      var labels = pairs
-        .select(explode(array(col("id_a"), col("id_b"))).as("v")).distinct()
-        .withColumn("lbl", col("v")).persist()
-      var round = 0
-      var changed = 1L
-      while (changed > 0 && round < maxRounds) {
-        val msgs = edges.join(labels, col("b") === col("v"))
-          .select(col("a").as("v"), col("lbl"))
-        val next = labels.select("v", "lbl").union(msgs)
-          .groupBy("v").agg(min("lbl").as("lbl")).persist()
-        changed = next.as("n").join(labels.as("o"), "v")
-          .filter(col("n.lbl") =!= col("o.lbl")).count()
-        labels.unpersist()
-        labels = next
-        round += 1
-      }
-      labels.groupBy(col("lbl").as("cluster_id"))
-        .agg(count(lit(1)).as("n_members"))
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    // the pair graph still shrinks the problem massively; the per-round
+    // joins/aggregates run at session parallelism and AQE coalesces the
+    // (tiny) post-shuffle partitions — no session-global conf mutation,
+    // which would race with concurrent queries on a shared session
+    val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+      .union(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+      .coalesce(8).persist()
+    var labels = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("v")).distinct()
+      .withColumn("lbl", col("v")).persist()
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < maxRounds) {
+      val msgs = edges.join(labels, col("b") === col("v"))
+        .select(col("a").as("v"), col("lbl"))
+      val next = labels.select("v", "lbl").union(msgs)
+        .groupBy("v").agg(min("lbl").as("lbl")).persist()
+      changed = next.as("n").join(labels.as("o"), "v")
+        .filter(col("n.lbl") =!= col("o.lbl")).count()
+      labels.unpersist()
+      labels = next
+      round += 1
+    }
+    val out = labels.groupBy(col("lbl").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+      .localCheckpoint(eager = true) // then release the iteration state
+    edges.unpersist(blocking = false)
+    labels.unpersist(blocking = false)
+    out
   }
 
   /** Embedding cosine near-duplicates: exact pairs with cosine ≥ τ on the
@@ -387,12 +416,22 @@ object Dedup {
     */
   def embeddingCosine(s: SparkSession, dir: String, threshold: Double = 0.45,
                       numPlanes: Int = 256, grid: Int = 8): DataFrame = {
+    val (result, e) = embeddingCosinePlan(s, dir, threshold, numPlanes, grid)
+    CacheLifecycle.materialize(result, e)
+  }
+
+  /** Lazy plan + the embeddings intermediate it reads three times (sketch
+    * build, verify side a, verify side b) — separated so PlanSpec can pin
+    * the join structure (no BNLJ/cartesian) without persist side effects.
+    */
+  private[operators] def embeddingCosinePlan(
+      s: SparkSession, dir: String, threshold: Double = 0.45,
+      numPlanes: Int = 256, grid: Int = 8): (DataFrame, DataFrame) = {
     DotProduct.register(s)
     val dim = Dim
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", sqrt(call_function("graft_dot", col("v"), col("v"))))
-      .persist()
     val sketches = e.select(col("vec_id"),
       sketchKernel(hyperplanesFlat(numPlanes, dim), dim)(col("v")).as("sig"))
     val cut = math.ceil(
@@ -413,12 +452,13 @@ object Dedup {
         col("a.gr") === col("b.gr") && col("a.gc") === col("b.gc") &&
           col("a.vec_id") < col("b.vec_id") && hamming <= cut)
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-    candidates
+    val verified = candidates
       .join(e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
       .join(e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
       .withColumn("cosine", round(
         call_function("graft_dot", col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
+    (verified, e)
   }
 }

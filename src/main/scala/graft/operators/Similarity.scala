@@ -131,7 +131,12 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(call_function("graft_dot", col("v"), col("qv")) / (col("nrm") * col("qn")), 6).as("cosine"))
-    topKPerQuery(s, scored, k)
+    // e was persisted above (index-build sample + query collect + the
+    // scored pass all read it); release it once the k·q result rows are
+    // materialized — see CacheLifecycle for the footprint contract
+    val out = topKPerQuery(s, scored, k).localCheckpoint(eager = true)
+    e.unpersist(blocking = false)
+    out
   }
 
   /** Seeded Lloyd's iterations over an in-memory sample (the bounded IVF

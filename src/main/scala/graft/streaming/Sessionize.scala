@@ -97,12 +97,15 @@ object Sessionize {
     * timeout flushes sessions whose gap has passed the watermark.
     */
   def streaming(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // smaller stateful parallelism for local micro-batches (state store
+    // per shuffle partition) via an isolated session — no conf mutation
+    // on the shared session (see StreamOps.streamingSession)
+    val ss = StreamOps.streamingSession(s)
+    import ss.implicits._
     val path = s"$dir/events.parquet"
-    val schema = s.read.parquet(path).schema
+    val schema = ss.read.parquet(path).schema
     val name = s"graft_sessions_${System.nanoTime()}"
-    val stream = s.readStream.schema(schema)
+    val stream = ss.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .withWatermark("ts", "10 minutes")
@@ -111,16 +114,10 @@ object Sessionize {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(SessionLogic.fn _)
-    // smaller stateful parallelism for local micro-batches (state store
-    // per shuffle partition — see StreamOps.withStreamingPartitions)
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val q = stream.toDF().writeStream
-        .outputMode("append").format("memory").queryName(name).start()
-      try q.processAllAvailable()
-      finally q.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-    s.table(name)
+    val q = stream.toDF().writeStream
+      .outputMode("append").format("memory").queryName(name).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    ss.table(name)
   }
 }

@@ -14,16 +14,24 @@ object StreamOps {
 
   /** Stateful streaming operators allocate one state store PER shuffle
     * partition PER stateful operator; with local micro-batches of fixture
-    * size, store initialization dominates wall time. Run the streaming
-    * query at a smaller stateful parallelism and restore the session
-    * setting afterwards. (On a cluster this knob instead tracks expected
-    * state volume — it is pinned at first start of each query.)
+    * size, store initialization dominates wall time, so the streaming
+    * query wants a smaller stateful parallelism (pinned at first start of
+    * each query; on a cluster this knob instead tracks expected state
+    * volume). Rather than mutating the SHARED session's conf around the
+    * query — a tuning race for anything running concurrently — each
+    * streaming query gets its own `newSession()`: same SparkContext and
+    * cached data, isolated SQLConf.
     */
-  private def withStreamingPartitions[T](s: SparkSession, n: Int)(body: => T): T = {
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try body
-    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  private[streaming] def streamingSession(s: SparkSession, partitions: Int = 8): SparkSession = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    // events.parquet stores TIMESTAMP(NANOS) — see Tables.events
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // newSession starts from SparkConf defaults, not the parent's runtime
+    // conf — carry over the semantics-bearing session setting explicitly
+    ss.conf.set("spark.sql.session.timeZone",
+      s.conf.get("spark.sql.session.timeZone"))
+    ss
   }
 
   /** Tumbling-window count/sum by event_type over the events table, executed
@@ -34,28 +42,25 @@ object StreamOps {
     */
   def tumblingWindowAgg(s: SparkSession, dir: String,
                         windowLen: String = "1 hour"): DataFrame = {
+    val ss = streamingSession(s)
     val path = s"$dir/events.parquet"
-    // ts is parquet TIMESTAMP(NANOS) → read as long, convert (see Tables.events)
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = s.read.parquet(path).schema
+    val schema = ss.read.parquet(path).schema
     val name = s"graft_stream_${counter.incrementAndGet()}"
     // file-stream source wants a directory: stream the sf dir, glob one table
-    val stream = s.readStream.schema(schema)
+    val stream = ss.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_v"))
-    withStreamingPartitions(s, 8) {
-      val q = stream.writeStream
-        .outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-      try q.processAllAvailable()
-      finally q.stop()
-    }
-    s.table(name).select(
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    ss.table(name).select(
       col("window.start").as("win_start"),
       col("event_type"), col("cnt"), col("sum_v"))
   }
@@ -69,11 +74,11 @@ object StreamOps {
     * finite source yields the complete batch-equivalent set.
     */
   def streamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val ss = streamingSession(s)
     val path = s"$dir/events.parquet"
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = s.read.parquet(path).schema
+    val schema = ss.read.parquet(path).schema
     val name = s"graft_stream_${counter.incrementAndGet()}"
-    def events = s.readStream.schema(schema)
+    def events = ss.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     val clicks = events.filter(col("event_type") === "click")
@@ -91,16 +96,14 @@ object StreamOps {
         col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
       .select(col("click_id"), col("purchase_id"), col("user_id"),
         col("value"))
-    withStreamingPartitions(s, 8) {
-      val q = joined.writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-      try q.processAllAvailable()
-      finally q.stop()
-    }
-    s.table(name)
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    ss.table(name)
   }
 
   /** Streaming exact dedup — the streaming member of the dedup family:
@@ -115,22 +118,21 @@ object StreamOps {
     * emitted (the batch oracle is SELECT DISTINCT of the same expression).
     */
   def streamingDedup(s: SparkSession, dir: String): DataFrame = {
+    val ss = streamingSession(s)
     val path = s"$dir/documents.parquet"
-    val schema = s.read.parquet(path).schema
+    val schema = ss.read.parquet(path).schema
     val name = s"graft_stream_${counter.incrementAndGet()}"
-    val stream = s.readStream.schema(schema)
+    val stream = ss.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
       .select(graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
       .dropDuplicates("fp")
-    withStreamingPartitions(s, 8) {
-      val q = stream.writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-      try q.processAllAvailable()
-      finally q.stop()
-    }
-    s.table(name)
+    val q = stream.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    ss.table(name)
   }
 }

@@ -42,7 +42,9 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("embedding cosine dedup plans no nested-loop or cartesian join") {
-    val p = planOf(Dedup.embeddingCosine(spark, sf))
+    // the lazy plan variant: the public operator eagerly materializes and
+    // returns a checkpointed result whose plan is an opaque scan
+    val p = planOf(Dedup.embeddingCosinePlan(spark, sf)._1)
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
