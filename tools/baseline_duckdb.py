@@ -12,6 +12,7 @@ a mature native vectorized engine with zero JVM/session overhead, reading
 the same single files.
 """
 import json
+import os
 import statistics
 import sys
 import time
@@ -29,6 +30,11 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # full Spark query key set = the per-query output dirs Verify wrote;
+    # queries with no SQL-expressible oracle are recorded explicitly so the
+    # baseline and bench files share an identical key set
+    all_queries = sorted(d for d in os.listdir(out_dir)
+                         if os.path.isdir(os.path.join(out_dir, d)))
     times = {}
     for name in sorted(oracles):
         samples = []
@@ -40,7 +46,8 @@ def main():
         print(f"{name:28s} {times[name]:8.3f} s")
     doc = {"engine": f"duckdb {duckdb.__version__}", "sf_dir": sf_dir,
            "agg": "median of 3", "total": round(sum(times.values()), 3),
-           "queries": times}
+           "queries": times,
+           "no_oracle": [q for q in all_queries if q not in oracles]}
     json.dump(doc, open(out_json, "w"), indent=1)
     print(f"total {doc['total']} s -> {out_json}")
 
