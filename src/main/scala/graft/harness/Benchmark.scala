@@ -73,9 +73,16 @@ trait BaseBenchmark {
     if (dataFiles.isEmpty)
       throw new UnsupportedOperationException(
         s"benchmark $name defines no load_data")
-    else
-      DataStaging.stage(sourceDir.getOrElse("/root/testdata/sf0.001"),
+    else {
+      val staged = DataStaging.stage(sourceDir.getOrElse("/root/testdata/sf0.001"),
         targetDir, dataFiles, reload)
+      // reference parity (ny_taxi_ml.py:314-325): staged archives are
+      // extracted in place, with the path-traversal guard
+      staged.filter(_.endsWith(".tar.gz")).foreach { arc =>
+        println(s"Extracting $arc...")
+        DataStaging.extractTarGz(s"$targetDir/$arc", targetDir)
+      }
+    }
 }
 
 /** Static registry (replaces importlib-by-name,

@@ -49,6 +49,39 @@ object DataStaging {
       Files.list(from).forEach(c => copyRecursive(c, to.resolve(c.getFileName)))
     } else
       Files.copy(from, to, StandardCopyOption.REPLACE_EXISTING)
+
+  /** Extract a .tar.gz archive into `targetDir` with the reference's
+    * path-traversal guard (ny_taxi_ml/ny_taxi_ml.py:314-322): every
+    * entry's resolved destination must stay under the resolved target
+    * directory, otherwise the whole archive is rejected — a "../"-crafted
+    * or absolute entry name is a security issue, not a file to skip.
+    * Returns the extracted entry names in archive order.
+    */
+  def extractTarGz(archive: String, targetDir: String): Seq[String] = {
+    import org.apache.commons.compress.archivers.tar.TarArchiveInputStream
+    val tgt = Paths.get(targetDir).toAbsolutePath.normalize()
+    Files.createDirectories(tgt)
+    val in = new TarArchiveInputStream(new java.util.zip.GZIPInputStream(
+      Files.newInputStream(Paths.get(archive))))
+    val extracted = Seq.newBuilder[String]
+    try {
+      var entry = in.getNextEntry
+      while (entry != null) {
+        val dest = tgt.resolve(entry.getName).normalize()
+        if (!dest.startsWith(tgt) || dest == tgt && !entry.isDirectory)
+          throw new IllegalArgumentException(
+            s"Unsafe tar archive, possible security issue with entry ${entry.getName}")
+        if (entry.isDirectory) Files.createDirectories(dest)
+        else {
+          Files.createDirectories(dest.getParent)
+          Files.copy(in, dest, StandardCopyOption.REPLACE_EXISTING)
+        }
+        extracted += entry.getName
+        entry = in.getNextEntry
+      }
+    } finally in.close()
+    extracted.result()
+  }
 }
 
 /** CLI mirroring the reference's `benchmark-load` console script

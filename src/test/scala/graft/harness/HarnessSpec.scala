@@ -156,6 +156,39 @@ class HarnessSpec extends AnyFunSuite {
     }
   }
 
+  test("extractTarGz restores archive contents and rejects path traversal") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
+    def writeArchive(path: String, entries: Seq[(String, String)]): Unit = {
+      val out = new TarArchiveOutputStream(new java.util.zip.GZIPOutputStream(
+        Files.newOutputStream(Paths.get(path))))
+      entries.foreach { case (name, content) =>
+        val e = new TarArchiveEntry(name)
+        val bytes = content.getBytes("UTF-8")
+        e.setSize(bytes.length.toLong)
+        out.putArchiveEntry(e)
+        out.write(bytes)
+        out.closeArchiveEntry()
+      }
+      out.close()
+    }
+    val dir = Files.createTempDirectory("graft-tar").toString
+    writeArchive(s"$dir/ok.tar.gz",
+      Seq("data/2014/trips.csv" -> "a,b\n1,2\n", "readme.txt" -> "hi"))
+    val names = DataStaging.extractTarGz(s"$dir/ok.tar.gz", s"$dir/out")
+    assert(names === Seq("data/2014/trips.csv", "readme.txt"))
+    assert(Files.readString(Paths.get(s"$dir/out/data/2014/trips.csv")) ===
+      "a,b\n1,2\n")
+    // the reference's guard (ny_taxi_ml.py:314-322): an entry escaping the
+    // target dir fails the whole extraction
+    writeArchive(s"$dir/evil.tar.gz", Seq("../escape.txt" -> "pwned"))
+    val err = intercept[IllegalArgumentException] {
+      DataStaging.extractTarGz(s"$dir/evil.tar.gz", s"$dir/out2")
+    }
+    assert(err.getMessage.contains("Unsafe tar archive"))
+    assert(!Files.exists(Paths.get(s"$dir/escape.txt")))
+  }
+
   test("hostInfo reports basic facts") {
     val h = Results.hostInfo()
     assert(h("cpu_count").toInt > 0)
