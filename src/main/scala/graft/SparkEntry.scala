@@ -70,6 +70,7 @@ object SparkEntry {
     "dedup_embedding_cosine" -> ((s: SparkSession, d: String) => Dedup.embeddingCosine(s, d)),
     "ann_brute_topk" -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
     "ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
+    "ann_lsh_multiprobe" -> ((s: SparkSession, d: String) => Similarity.annLshMultiProbe(s, d)),
     "ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
     "mm_decode_batched" -> ((s: SparkSession, d: String) =>
       Multimodal.decodeBatchedFlat(Multimodal.asBinaryPayload(s, d))),
@@ -122,7 +123,15 @@ object SparkEntry {
     * pattern (same doubles, same left-to-right summation) and the full
     * bucketed top-k is exactly checkable — no "seeded hash" escape hatch.
     */
-  private def annLshOracle: String = {
+  private def annLshOracle: String = annLshOracleWith("q.bucket = n.bucket")
+
+  /** Multi-probe radius-1 is exactly "bucket Hamming distance ≤ 1" — the
+    * query-side probe explode replayed as a join condition.
+    */
+  private def annLshMultiProbeOracle: String =
+    annLshOracleWith("bit_count(xor(q.bucket, n.bucket)) <= 1")
+
+  private def annLshOracleWith(bucketCond: String): String = {
     import graft.functions.VectorFunctions
     val dim = VectorFunctions.Dim
     val flat = VectorFunctions.hyperplanesFlat(4, dim)
@@ -138,7 +147,7 @@ object SparkEntry {
        |scored AS (
        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
        |    round(list_sum(list_transform(range(1, ${dim + 1}), i -> q.e[i] * n.e[i])) / (q.nrm * n.nrm), 6) AS cosine
-       |  FROM b q JOIN b n ON q.vec_id < 10 AND n.vec_id <> q.vec_id AND q.bucket = n.bucket)
+       |  FROM b q JOIN b n ON q.vec_id < 10 AND n.vec_id <> q.vec_id AND $bucketCond)
        |SELECT query_id, neighbor_id, cosine,
        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
        |FROM scored
@@ -455,6 +464,7 @@ object SparkEntry {
         |  FROM (SELECT DISTINCT label FROM embeddings) t)
         |SELECT vec_id, e.label, label_id FROM embeddings e JOIN d USING (label)""".stripMargin,
     "ann_lsh" -> annLshOracle,
+    "ann_lsh_multiprobe" -> annLshMultiProbeOracle,
     "mm_decode_batched" -> mmDecodeOracle,
     "mm_binary_features" ->
       """SELECT doc_id, 'text/plain' AS mime, CAST(length(text) AS INTEGER) AS n_bytes,

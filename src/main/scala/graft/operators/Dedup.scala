@@ -323,7 +323,8 @@ object Dedup {
     * primitive).
     */
   def clusters(s: SparkSession, dir: String, maxRounds: Int = 20,
-               driverMaxPairs: Long = 10000000L): DataFrame = {
+               driverMaxPairs: Long = 10000000L,
+               distributedAlgo: String = "star"): DataFrame = {
     // ngramJaccard returns the memoized, already-materialized pair set
     val pairs = ngramJaccard(s, dir).select(col("id_a"), col("id_b"))
     val nPairs = pairs.count()
@@ -331,8 +332,11 @@ object Dedup {
     // construction (only near-dups appear), so up to `driverMaxPairs` the
     // component computation is driver-scale work — union-find in
     // milliseconds, zero iterative jobs. Past the guard (pathological
-    // duplication at 100 TB), fall through to distributed min-label
-    // propagation: same result, one join + one aggregate per round.
+    // duplication at 100 TB), fall through to a distributed algorithm:
+    // large-star/small-star contraction by default (O(log n) rounds
+    // regardless of component diameter), or min-label propagation
+    // (≤ diameter rounds — fine for the short-chain components near-dup
+    // graphs actually produce). Same result on every path, spec-pinned.
     if (nPairs <= driverMaxPairs) {
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x0: Long): Long = {
@@ -352,10 +356,18 @@ object Dedup {
       import s.implicits._
       return counts.toSeq.toDF("cluster_id", "n_members")
     }
-    // the pair graph still shrinks the problem massively; the per-round
-    // joins/aggregates run at session parallelism and AQE coalesces the
-    // (tiny) post-shuffle partitions — no session-global conf mutation,
-    // which would race with concurrent queries on a shared session
+    if (distributedAlgo == "star") ccStarContraction(pairs, maxRounds)
+    else ccPropagation(pairs, maxRounds)
+  }
+
+  /** Distributed CC via min-label propagation: every vertex starts as its
+    * own label, each round adopts the minimum label among itself and its
+    * neighbors; converges in ≤ diameter rounds. The per-round
+    * joins/aggregates run at session parallelism and AQE coalesces the
+    * (tiny) post-shuffle partitions — no session-global conf mutation,
+    * which would race with concurrent queries on a shared session.
+    */
+  private def ccPropagation(pairs: DataFrame, maxRounds: Int): DataFrame = {
     val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
       .union(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
       .coalesce(8).persist()
@@ -380,6 +392,73 @@ object Dedup {
       .localCheckpoint(eager = true) // then release the iteration state
     edges.unpersist(blocking = false)
     labels.unpersist(blocking = false)
+    out
+  }
+
+  /** Distributed CC via alternating large-star/small-star contraction
+    * (Kiveris et al., "Connected components in MapReduce and beyond",
+    * SoCC 2014) — the adversarial-diameter scale path: O(log n) rounds
+    * regardless of component shape, where propagation needs diameter
+    * rounds (a 10⁶-long chain of near-dups would take 10⁶ propagation
+    * rounds but ~20 contraction rounds).
+    *
+    *  - large-star(u): link every LARGER neighbor of u to
+    *    m(u) = min(Γ(u) ∪ {u});
+    *  - small-star(u): link every smaller neighbor of u, and u itself, to
+    *    the minimum smaller neighbor.
+    *
+    * Both are one groupBy + one join per round on the canonical edge set.
+    * At the fixed point every component is a star centered at its minimum
+    * vertex, so cluster sizes fall out of one count per center.
+    */
+  private def ccStarContraction(pairs: DataFrame, maxRounds: Int): DataFrame = {
+    var edges = pairs
+      .select(least(col("id_a"), col("id_b")).as("a"),
+        greatest(col("id_a"), col("id_b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .coalesce(8).persist()
+    var oldCnt = edges.count()
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      // large-star: from the smaller endpoint u of each edge, the larger
+      // endpoint v re-links to m(u) = min(Γ(u) ∪ {u}); m ≤ u < v keeps
+      // the (m, v) output canonical with no self-loops
+      val sym = edges.select(col("a").as("u"), col("b").as("v"))
+        .union(edges.select(col("b").as("u"), col("a").as("v")))
+      val mins = sym.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      val large = sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("m").as("a"), col("v").as("b"))
+        .distinct()
+      // small-star: from the larger endpoint u, all smaller neighbors and
+      // u itself link to the minimum smaller neighbor m < u
+      val symL = large.select(col("a").as("u"), col("b").as("v"))
+        .union(large.select(col("b").as("u"), col("a").as("v")))
+      val smallNbrs = symL.filter(col("v") < col("u"))
+      val minsS = smallNbrs.groupBy("u").agg(min(col("v")).as("m"))
+      val next = smallNbrs.join(minsS, "u")
+        .select(col("v").as("x"), col("m"))
+        .filter(col("x") =!= col("m"))
+        .union(minsS.select(col("u").as("x"), col("m")))
+        .select(col("m").as("a"), col("x").as("b"))
+        .distinct()
+        .persist()
+      val newCnt = next.count()
+      // fixed point: same canonical edge set (counts equal and no new
+      // edges outside the old set)
+      done = newCnt == oldCnt && next.except(edges).limit(1).count() == 0
+      edges.unpersist()
+      edges = next
+      oldCnt = newCnt
+      round += 1
+    }
+    // star forest: every edge is (component-min, member); the center
+    // itself adds 1 to the size
+    val out = edges.groupBy(col("a").as("cluster_id"))
+      .agg((count(lit(1)) + 1).as("n_members"))
+      .localCheckpoint(eager = true)
+    edges.unpersist(blocking = false)
     out
   }
 

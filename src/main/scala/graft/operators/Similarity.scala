@@ -88,6 +88,41 @@ object Similarity {
     topKPerQuery(s, scored, k)
   }
 
+  /** Multi-probe LSH ANN (Lv et al., "Multi-probe LSH", VLDB 2007): the
+    * corpus is bucketed once by hyperplane sign pattern (each vector in
+    * exactly ONE bucket — the index is unchanged); each query probes its
+    * home bucket plus every bucket at Hamming distance 1 (one flipped
+    * hyperplane bit — the perturbations most likely to hold a near
+    * neighbor, since a near-threshold vector sits close to few planes).
+    * Recall rises from per-bucket to per-ball coverage for (1+numPlanes)×
+    * candidate cost, with NO extra index storage — the multi-probe trade.
+    * The probe fan-out lives on the (small) query side as an explode
+    * feeding the same broadcast equi-join as the single-probe form; no
+    * duplicate (query, neighbor) pairs arise because corpus membership is
+    * single-bucket.
+    */
+  def annLshMultiProbe(s: SparkSession, dir: String, numQueries: Int = 10,
+                       k: Int = 5, numPlanes: Int = 4, dim: Int = Dim): DataFrame = {
+    DotProduct.register(s)
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", sqrt(call_function("graft_dot", col("v"), col("v"))))
+      .withColumn("bucket", lshBucket(numPlanes, dim)(col("v")))
+    val q = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("bucket"))
+      .withColumn("bucket", explode(array(
+        col("bucket") +: (0 until numPlanes).map(i =>
+          col("bucket").bitwiseXOR(lit(1 << i))): _*)))
+    val scored = e.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("vec_id").as("neighbor_id"),
+        round(call_function("graft_dot", col("v"), col("qv")) / (col("nrm") * col("qn")), 6).as("cosine"))
+    topKPerQuery(s, scored, k)
+  }
+
   /** IVF-style ANN: a KMeans coarse quantizer assigns every corpus vector
     * to a cell; each query probes only the `nprobe` cells whose centroids
     * are nearest, scoring candidates exactly. The index build runs

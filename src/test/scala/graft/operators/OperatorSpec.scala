@@ -63,12 +63,15 @@ class OperatorSpec extends AnyFunSuite {
     assert(exact.nonEmpty)
   }
 
-  test("cluster paths agree: driver union-find vs distributed propagation") {
+  test("cluster paths agree: driver union-find vs propagation vs star contraction") {
     def asMap(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val viaUnionFind = asMap(Dedup.clusters(spark, sf))
-    val viaPropagation = asMap(Dedup.clusters(spark, sf, driverMaxPairs = 0L))
+    val viaPropagation = asMap(Dedup.clusters(spark, sf, driverMaxPairs = 0L,
+      distributedAlgo = "propagation"))
+    val viaStar = asMap(Dedup.clusters(spark, sf, driverMaxPairs = 0L))
     assert(viaUnionFind === viaPropagation)
+    assert(viaUnionFind === viaStar)
     assert(viaUnionFind.nonEmpty)
   }
 
@@ -137,6 +140,41 @@ class OperatorSpec extends AnyFunSuite {
     // concentrate in the probed cells, so recall must beat that floor
     // comfortably (observed ~0.9 on fixtures; 0.5 guards regressions)
     assert(recall >= 0.5, s"IVF recall $recall")
+  }
+
+  test("multi-probe LSH recall dominates single-probe and clears a floor") {
+    def topSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = topSet(Similarity.bruteForceTopK(spark, sf, numQueries = 10, k = 5))
+    val single = topSet(Similarity.annLsh(spark, sf, numQueries = 10, k = 5))
+    val multi = topSet(Similarity.annLshMultiProbe(spark, sf, numQueries = 10, k = 5))
+    val rSingle = (brute & single).size.toDouble / brute.size
+    val rMulti = (brute & multi).size.toDouble / brute.size
+    // radius-1 probing scans a strict superset of the single-probe
+    // candidates, so recall can only improve
+    assert(rMulti >= rSingle, s"multi $rMulti < single $rSingle")
+    // 5 of 16 buckets probed (~31% of an isotropic corpus) — near
+    // neighbors concentrate in the probed ball, so recall must beat the
+    // floor comfortably (observed ~0.9+ on fixtures; 0.5 guards)
+    assert(rMulti >= 0.5, s"multi-probe recall $rMulti")
+  }
+
+  test("dedup/ANN operators release persisted intermediates") {
+    // the CacheLifecycle contract: each operator may retain its
+    // checkpointed (output-sized) result, never its working set — a leak
+    // shows up as extra persistent RDD entries beyond one per operator
+    Dedup.releasePairs()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val ops: Seq[() => org.apache.spark.sql.DataFrame] = Seq(
+      () => Dedup.minhashLsh(spark, sf),
+      () => Dedup.simhashPairs(spark, sf),
+      () => Dedup.fuzzyNames(spark, sf),
+      () => Dedup.embeddingCosine(spark, sf),
+      () => Similarity.annIvf(spark, sf))
+    ops.foreach(op => assert(op().count() > 0))
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= ops.length,
+      s"leaked persisted intermediates: $before -> $after for ${ops.length} ops")
   }
 
   test("approximate aggregates stay within tolerance of exact values") {
