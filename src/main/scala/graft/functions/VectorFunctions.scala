@@ -77,6 +77,27 @@ object VectorFunctions {
       math.sqrt(s)
     }
 
+  /** Sorted-long-array intersection-count kernel — the exact-Jaccard
+    * verify primitive. One compiled merge scan, O(|a|+|b|) per candidate
+    * pair over unboxed primitive arrays (`array_intersect` +
+    * `size` would run CodegenFallback-interpreted and allocate the
+    * intersection it only needs to count). Inputs must be sorted
+    * ascending and duplicate-free — sort_array(collect_list) over
+    * per-doc DISTINCT shingles guarantees both.
+    */
+  val sortedIntersectKernel: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (a: Array[Long], b: Array[Long]) =>
+      var i = 0
+      var j = 0
+      var c = 0
+      while (i < a.length && j < b.length) {
+        if (a(i) < b(j)) i += 1
+        else if (a(i) > b(j)) j += 1
+        else { c += 1; i += 1; j += 1 }
+      }
+      c
+    }
+
   /** Deterministic pseudo-random hyperplanes as a flattened row-major
     * matrix (numPlanes × dim): component c of plane p is a
     * splitmix64-scrambled value in [-1, 1). Fixed seed → reproducible

@@ -62,28 +62,38 @@ object Dedup {
         explode(shingles(col("text"), ShingleK)).as("sh_str"))
       .select(col("doc_id"), xxhash64(col("sh_str")).as("sh"))
 
-  /** Exact-Jaccard verification of candidate pairs via a join-based
-    * intersection count on the inverted index (fully codegen'd hash joins +
-    * aggregate; per-pair array intersection would run interpreted). Only
-    * pairs with nonzero intersection survive the join, which is fine: a
-    * zero-overlap pair cannot clear any positive threshold.
+  /** Per-document sorted shingle-hash arrays (plus size) — the verify-side
+    * representation: one corpus-sized aggregate producing one row per doc.
+    * Array length is bounded by document length (the same bound the
+    * shingling itself carries); enormous documents would be chunk-level
+    * deduplicated upstream.
     */
-  private def verifyJaccard(sh: DataFrame, sizes: DataFrame,
-                            candidates: DataFrame): DataFrame = {
-    val inter = candidates
-      .join(sh.as("a"), col("id_a") === col("a.doc_id"))
-      .select(col("id_a"), col("id_b"), col("a.sh").as("sh_a"))
-      .join(sh.as("b"),
-        col("id_b") === col("b.doc_id") && col("sh_a") === col("b.sh"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("c"))
-    inter
-      .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
+  private def shingleArrays(sh: DataFrame): DataFrame =
+    sh.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("sh"))).as("shs"),
+        count(lit(1)).as("n"))
+
+  /** Exact-Jaccard verification of candidate pairs: join each pair to the
+    * two per-doc sorted arrays and count the intersection with one
+    * compiled merge scan per pair (VectorFunctions.sortedIntersectKernel).
+    * The join sides are doc-count-sized (one row per document), not
+    * inverted-index-sized — at fixture scale AQE broadcasts them; at
+    * 100 TB they are standard shuffle equi-joins on doc_id. A zero-overlap
+    * candidate cannot clear any positive threshold, so the jaccard filter
+    * subsumes the old nonzero-intersection join semantics.
+    */
+  private def verifyJaccard(shArrays: DataFrame,
+                            candidates: DataFrame): DataFrame =
+    candidates
+      .join(shArrays.select(col("doc_id").as("id_a"), col("shs").as("shs_a"),
+        col("n").as("n_a")), "id_a")
+      .join(shArrays.select(col("doc_id").as("id_b"), col("shs").as("shs_b"),
+        col("n").as("n_b")), "id_b")
+      .withColumn("c", sortedIntersectKernel(col("shs_a"), col("shs_b")))
       .withColumn("jaccard",
-        round(col("c") / (col("sa.n") + col("sb.n") - col("c")), 6))
+        round(col("c") / (col("n_a") + col("n_b") - col("c")), 6))
       .filter(col("jaccard") >= JaccardThreshold)
       .select("id_a", "id_b", "jaccard")
-  }
 
   /** Exact n-gram Jaccard near-duplicate pairs (id_a < id_b, jaccard ≥ τ)
     * with PPJoin-style prefix filtering (Xiao et al., "Efficient similarity
@@ -143,7 +153,7 @@ object Dedup {
     */
   private def ngramJaccardPlan(s: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
     val sh = shinglePairs(s, dir)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val arrays = shingleArrays(sh)
     val docFreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     // Per-doc prefix selection (rarest-first rank ≤ |d| − ⌈τ·|d|⌉ + 1) as
     // ONE aggregate: collect the doc's (df, sh) pairs, sort the (small,
@@ -178,7 +188,7 @@ object Dedup {
             ceil((col("a.n") + col("b.n")) * alpha))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    (verifyJaccard(sh, sizes, candidates), Seq(sh, prefixKeyed))
+    (verifyJaccard(arrays, candidates), Seq(sh, prefixKeyed, arrays))
   }
 
   /** MinHash signatures per document via the custom `graft_minhash`
@@ -205,7 +215,7 @@ object Dedup {
     */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     val sh = shinglePairs(s, dir)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val arrays = shingleArrays(sh)
     val bands = minhashSignaturesFrom(s, sh)
       .select(col("doc_id"),
         posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
@@ -214,7 +224,7 @@ object Dedup {
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    CacheLifecycle.materialize(verifyJaccard(sh, sizes, candidates), sh, bands)
+    CacheLifecycle.materialize(verifyJaccard(arrays, candidates), sh, bands, arrays)
   }
 
   /** SimHash near-dup pairs: signature from exploded token hashes via the
