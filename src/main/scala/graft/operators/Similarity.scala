@@ -55,7 +55,9 @@ object Similarity {
         col("query_id"),
         col("vec_id").as("neighbor_id"),
         round(call_function("graft_dot", col("v"), col("qv")) / (col("nrm") * col("qn")), 6).as("cosine"))
-    topKPerQuery(s, scored, k)
+    // e feeds both the corpus side and the (filtered) query side — one
+    // scan + norm pass instead of two, released after the k·q result rows
+    CacheLifecycle.materialize(topKPerQuery(s, scored, k), e)
   }
 
   /** Sign-pattern bucket id from `numPlanes` hyperplane projections
@@ -85,7 +87,7 @@ object Similarity {
         col("query_id"),
         col("vec_id").as("neighbor_id"),
         round(call_function("graft_dot", col("v"), col("qv")) / (col("nrm") * col("qn")), 6).as("cosine"))
-    topKPerQuery(s, scored, k)
+    CacheLifecycle.materialize(topKPerQuery(s, scored, k), e)
   }
 
   /** Multi-probe LSH ANN (Lv et al., "Multi-probe LSH", VLDB 2007): the
@@ -120,7 +122,7 @@ object Similarity {
         col("query_id"),
         col("vec_id").as("neighbor_id"),
         round(call_function("graft_dot", col("v"), col("qv")) / (col("nrm") * col("qn")), 6).as("cosine"))
-    topKPerQuery(s, scored, k)
+    CacheLifecycle.materialize(topKPerQuery(s, scored, k), e)
   }
 
   /** IVF-style ANN: a KMeans coarse quantizer assigns every corpus vector

@@ -117,17 +117,21 @@ object TextOps {
     val pairs = docs.select(col("doc_id"),
       explode(tokens(lower(col("text")))).as("term"))
     val tf = pairs.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = pairs.select("doc_id", "term").distinct()
-      .groupBy("term").agg(count(lit(1)).as("df"))
+    // tf already holds one row per (doc, term), so document frequency
+    // falls out of tf directly — no second explode + distinct pass over
+    // the corpus; tf is the one shared intermediate (released after the
+    // top-k result materializes)
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.count() // one tiny metadata job: corpus size for idf
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("term").asc)
-    tf.join(df, "term")
+    val result = tf.join(df, "term")
       .withColumn("score", col("tf") * (lit(n + 1.0) / (col("df") + lit(1.0))))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("term"), round(col("score"), 6).as("score"),
         col("rank"))
+    CacheLifecycle.materialize(result, tf)
   }
 
   /** Context-window chunking — split each document into overlapping
