@@ -100,6 +100,30 @@ object ReportCli {
     sb.toString
   }
 
+  /** Xlsx report (reference report_xlsx.py:23-98): one sheet per
+    * benchmark in the reference's transposed layout — header row
+    * `backend | <backend...>`, one row per measurement with the
+    * aggregated duration per backend — plus a HostInfo sheet. Written by
+    * the dependency-free OOXML writer (harness.Xlsx).
+    */
+  def xlsxSheets(agg: DataFrame,
+                 host: Seq[(String, String)]): Seq[(String, Seq[Seq[Any]])] = {
+    val rows = agg.select("benchmark", "backend", "name", "duration_s")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3)))
+    val perBench = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (bench, rs) =>
+      val backends = rs.map(_._2).distinct.sorted
+      val header: Seq[Any] = "backend" +: backends
+      val body: Seq[Seq[Any]] = rs.map(_._3).distinct.sorted.toSeq.map { m =>
+        val byBackend = rs.filter(_._3 == m).map(t => t._2 -> t._4).toMap
+        (m +: backends.map(b => byBackend.get(b).map(d => d: Any).orNull)).toSeq
+      }
+      bench -> (header +: body)
+    }
+    val hostSheet: Seq[Seq[Any]] = host.map { case (k, v) => Seq[Any](k, v) }
+    perBench :+ ("HostInfo" -> hostSheet)
+  }
+
   /** Host uniformity check (reference report_xlsx.py:169-173): warn when
     * iterations come from differing hosts.
     */
@@ -110,17 +134,19 @@ object ReportCli {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: ReportCli <results.jsonl> <out.md> [-agg median] [-benchmark NAME] [-charts DIR]")
+      "usage: ReportCli <results.jsonl> <out.md> [-agg median] [-benchmark NAME] [-charts DIR] [-xlsx PATH]")
     val (jsonl, outMd) = (args(0), args(1))
     var how = "median"
     var benchFilter: Option[String] = None
     var chartsDir: Option[String] = None
+    var xlsxPath: Option[String] = None
     var i = 2
     while (i < args.length) {
       args(i) match {
         case "-agg" => how = args(i + 1); i += 2
         case "-benchmark" => benchFilter = Some(args(i + 1)); i += 2
         case "-charts" => chartsDir = Some(args(i + 1)); i += 2
+        case "-xlsx" => xlsxPath = Some(args(i + 1)); i += 2
         case other => throw new IllegalArgumentException(s"unknown flag: $other")
       }
     }
@@ -131,6 +157,10 @@ object ReportCli {
     val series = chartSeries(agg)
     chartsDir.foreach { d =>
       writeChartCsvs(series, d).foreach(p => println(s"wrote $p"))
+    }
+    xlsxPath.foreach { p =>
+      Xlsx.write(p, xlsxSheets(agg, Results.hostInfo().toSeq.sorted))
+      println(s"wrote $p")
     }
     val report = markdown(agg, how) + asciiCharts(series) +
       (if (hostUniform(spark, jsonl)) "" else "\n> WARNING: results mix different hosts\n")

@@ -68,4 +68,51 @@ class ReportSpec extends AnyFunSuite {
     assert(md.contains("| total | 4.000 | 3 |"))
     assert(ReportCli.hostUniform(spark, path))
   }
+
+  test("xlsx report is a valid OOXML package with the reference layout") {
+    val path = writeFixture()
+    val agg = ReportCli.aggregate(ReportCli.measurementsLong(spark, path), "median")
+    val sheets = ReportCli.xlsxSheets(agg, Seq("node" -> "n1"))
+    assert(sheets.map(_._1) === Seq("ny_taxi", "HostInfo"))
+    // reference layout: header row (backend, <backends...>), then one row
+    // per measurement with the aggregated duration
+    val ny = sheets.head._2
+    assert(ny.head === Seq("backend", "spark"))
+    assert(ny.contains(Seq("total", 4.0)))
+    assert(ny.contains(Seq("total.Query1", 2.0)))
+
+    val out = Files.createTempDirectory("graft-xlsx").toString + "/report.xlsx"
+    Xlsx.write(out, sheets)
+    val zip = new java.util.zip.ZipFile(out)
+    try {
+      val entries = {
+        val e = zip.entries(); val b = Seq.newBuilder[String]
+        while (e.hasMoreElements) b += e.nextElement().getName
+        b.result().toSet
+      }
+      // the minimal OOXML part set every reader requires
+      assert(entries === Set("[Content_Types].xml", "_rels/.rels",
+        "xl/workbook.xml", "xl/_rels/workbook.xml.rels",
+        "xl/worksheets/sheet1.xml", "xl/worksheets/sheet2.xml"))
+      def read(name: String): String = {
+        val in = zip.getInputStream(zip.getEntry(name))
+        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      }
+      val wb = read("xl/workbook.xml")
+      assert(wb.contains("""<sheet name="ny_taxi" sheetId="1" r:id="rId1"/>"""))
+      assert(wb.contains("""<sheet name="HostInfo" sheetId="2" r:id="rId2"/>"""))
+      val s1 = read("xl/worksheets/sheet1.xml")
+      assert(s1.contains("""<c r="A1" t="inlineStr"><is><t>backend</t></is></c>"""))
+      assert(s1.contains("""<c r="B2"><v>4.0</v></c>""") ||
+        s1.contains("""<c r="B3"><v>4.0</v></c>"""))
+      val ct = read("[Content_Types].xml")
+      assert(ct.contains("/xl/worksheets/sheet2.xml"))
+    } finally zip.close()
+    // helpers: A1-style refs and Excel's sheet-name rules
+    assert(Xlsx.colRef(0) === "A" && Xlsx.colRef(25) === "Z" &&
+      Xlsx.colRef(26) === "AA" && Xlsx.colRef(27 * 26) === "AAA")
+    assert(Xlsx.sanitizeSheetName("a/b[c]:d*e?f\\g") === "a_b_c__d_e_f_g")
+    assert(Xlsx.sanitizeSheetName("x" * 40).length === 31)
+  }
 }
