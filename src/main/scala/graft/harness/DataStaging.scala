@@ -50,6 +50,38 @@ object DataStaging {
     } else
       Files.copy(from, to, StandardCopyOption.REPLACE_EXISTING)
 
+  /** Extract a .zip archive into `targetDir` with the same traversal
+    * guard as [[extractTarGz]] (the reference's Kaggle loader extracts
+    * competition zips — timedf/tools/kaggle_load.py:59-63 — without one;
+    * zip-slip entries fail the whole archive here). Returns extracted
+    * entry names in archive order.
+    */
+  def extractZip(archive: String, targetDir: String): Seq[String] = {
+    val tgt = Paths.get(targetDir).toAbsolutePath.normalize()
+    Files.createDirectories(tgt)
+    val zip = new java.util.zip.ZipFile(archive)
+    val extracted = Seq.newBuilder[String]
+    try {
+      val entries = zip.entries()
+      while (entries.hasMoreElements) {
+        val entry = entries.nextElement()
+        val dest = tgt.resolve(entry.getName).normalize()
+        if (!dest.startsWith(tgt) || dest == tgt && !entry.isDirectory)
+          throw new IllegalArgumentException(
+            s"Unsafe zip archive, possible security issue with entry ${entry.getName}")
+        if (entry.isDirectory) Files.createDirectories(dest)
+        else {
+          Files.createDirectories(dest.getParent)
+          val in = zip.getInputStream(entry)
+          try Files.copy(in, dest, StandardCopyOption.REPLACE_EXISTING)
+          finally in.close()
+        }
+        extracted += entry.getName
+      }
+    } finally zip.close()
+    extracted.result()
+  }
+
   /** Extract a .tar.gz archive into `targetDir` with the reference's
     * path-traversal guard (ny_taxi_ml/ny_taxi_ml.py:314-322): every
     * entry's resolved destination must stay under the resolved target
@@ -93,6 +125,45 @@ object DataStaging {
   * `-source` is the offline extension point standing in for the
   * reference's per-benchmark hardcoded public bucket.
   */
+/** Offline analog of the reference's Kaggle competition loader
+  * (/root/reference/timedf/tools/kaggle_load.py:10-63): resolve
+  * `<competition>.zip`, skip the transfer when the archive already exists
+  * locally unless `reload` (the reference's `force` flag), then extract
+  * everything in place. The byte transport is a local source directory —
+  * the stand-in for the authenticated Kaggle API in this zero-egress
+  * environment (the reference's interactive auth/rules-acceptance loop is
+  * a terminal prompt around exactly this control flow). Extraction adds
+  * the zip-slip guard the reference lacks.
+  */
+object KaggleLoad {
+
+  def load(competition: String, targetDir: String, sourceDir: String,
+           reload: Boolean): Seq[String] = {
+    val tgt = Paths.get(targetDir)
+    Files.createDirectories(tgt)
+    val zipName = s"$competition.zip"
+    val local = tgt.resolve(zipName)
+    if (Files.exists(local) && !reload)
+      println(s"""Skipping "$zipName", already exists locally""")
+    else {
+      val src = Paths.get(sourceDir).resolve(zipName)
+      require(Files.exists(src), s"competition archive not found: $src")
+      Files.copy(src, local, StandardCopyOption.REPLACE_EXISTING)
+      println(s"""Downloaded "$zipName" from "$sourceDir"""")
+    }
+    println("Unzipping file...")
+    DataStaging.extractZip(local.toString, targetDir)
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3,
+      "usage: KaggleLoad <competition> <target_dir> <source_dir> [-r|--reload]")
+    val reload = args.length > 3 && (args(3) == "-r" || args(3) == "--reload")
+    val files = load(args(0), args(1), args(2), reload)
+    println(s"Extracted ${files.size} files into ${args(1)}")
+  }
+}
+
 object BenchmarkLoad {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,

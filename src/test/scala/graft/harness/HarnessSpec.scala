@@ -189,6 +189,33 @@ class HarnessSpec extends AnyFunSuite {
     assert(!Files.exists(Paths.get(s"$dir/escape.txt")))
   }
 
+  test("KaggleLoad stages a competition zip, skips when present, guards zip-slip") {
+    import java.nio.file.{Files, Paths}
+    def writeZip(path: String, entries: Seq[(String, String)]): Unit = {
+      val out = new java.util.zip.ZipOutputStream(Files.newOutputStream(Paths.get(path)))
+      entries.foreach { case (name, content) =>
+        out.putNextEntry(new java.util.zip.ZipEntry(name))
+        out.write(content.getBytes("UTF-8"))
+        out.closeEntry()
+      }
+      out.close()
+    }
+    val src = Files.createTempDirectory("graft-kaggle-src").toString
+    val tgt = Files.createTempDirectory("graft-kaggle-tgt").toString
+    writeZip(s"$src/plasticc.zip",
+      Seq("training_set.csv" -> "id,flux\n1,0.5\n", "meta/test_set_metadata.csv" -> "id\n1\n"))
+    val files = KaggleLoad.load("plasticc", tgt, src, reload = false)
+    assert(files === Seq("training_set.csv", "meta/test_set_metadata.csv"))
+    assert(Files.readString(Paths.get(s"$tgt/training_set.csv")) === "id,flux\n1,0.5\n")
+    // second load skips the transfer (reference force=False semantics)
+    KaggleLoad.load("plasticc", tgt, "/nonexistent-source", reload = false)
+    // zip-slip rejected whole-archive
+    writeZip(s"$src/evil.zip", Seq("../escape.txt" -> "pwned"))
+    intercept[IllegalArgumentException] {
+      KaggleLoad.load("evil", Files.createTempDirectory("graft-evil").toString, src, reload = false)
+    }
+  }
+
   test("hostInfo reports basic facts") {
     val h = Results.hostInfo()
     assert(h("cpu_count").toInt > 0)
