@@ -30,7 +30,8 @@ import graft.functions.VectorFunctions._
   *  - Embedding near-dup is sketch-prefilter → grid equi-join → exact
   *    verify (see embeddingCosine — no nested-loop join in the plan).
   *  - clusters() turns pair matches into dedup groups: driver union-find
-  *    under a size guard, distributed min-label propagation past it.
+  *    under a size guard, distributed star contraction (or min-label
+  *    propagation) past it.
   */
 object Dedup {
 
@@ -105,8 +106,8 @@ object Dedup {
     *     J ≥ τ must share a prefix shingle (overlap ≥ τ·|A∪B| ≥ τ·max sizes);
     *  3. candidate-join on prefix shingles with the length filter
     *     τ·max(|a|,|b|) ≤ min(|a|,|b|);
-    *  4. verify candidates with the exact intersection count from the full
-    *     inverted index.
+    *  4. verify candidates exactly against the per-doc sorted shingle
+    *     arrays (one compiled merge scan per pair — see verifyJaccard).
     *
     * Exact result, but the quadratic inverted-index join runs only over
     * rare prefix shingles instead of every shingle.
