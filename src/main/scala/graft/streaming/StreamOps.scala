@@ -22,7 +22,7 @@ object StreamOps {
     * streaming query gets its own `newSession()`: same SparkContext and
     * cached data, isolated SQLConf.
     */
-  private[streaming] def streamingSession(s: SparkSession, partitions: Int = 8): SparkSession = {
+  private[streaming] def streamingSession(s: SparkSession, partitions: Int = 4): SparkSession = {
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", partitions.toString)
     // events.parquet stores TIMESTAMP(NANOS) — see Tables.events
