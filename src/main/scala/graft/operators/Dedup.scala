@@ -379,9 +379,12 @@ object Dedup {
     * which would race with concurrent queries on a shared session.
     */
   private def ccPropagation(pairs: DataFrame, maxRounds: Int): DataFrame = {
+    // NO coalesce here: this path only runs past the driver guard, where
+    // the edge set is large by definition — capping its parallelism would
+    // be the scale bug; AQE already coalesces small shuffles
     val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
       .union(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
-      .coalesce(8).persist()
+      .persist()
     var labels = pairs
       .select(explode(array(col("id_a"), col("id_b"))).as("v")).distinct()
       .withColumn("lbl", col("v")).persist()
@@ -427,7 +430,7 @@ object Dedup {
       .select(least(col("id_a"), col("id_b")).as("a"),
         greatest(col("id_a"), col("id_b")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
-      .coalesce(8).persist()
+      .persist() // parallelism follows the data; AQE coalesces when small
     var oldCnt = edges.count()
     var round = 0
     var done = false
