@@ -85,6 +85,7 @@ object SparkEntry {
       Multimodal.frameSample(Multimodal.asBinaryPayload(s, d))),
     "stream_tumbling_agg" -> ((s: SparkSession, d: String) => StreamOps.tumblingWindowAgg(s, d)),
     "stream_dedup" -> (StreamOps.streamingDedup _),
+    "stream_dedup_bounded" -> (StreamOps.streamingDedupBounded _),
     "stream_stream_join" -> (StreamOps.streamStreamJoin _),
     "q28_cube" -> (Relational.q28Cube _),
     "q29_window_ranks" -> (Relational.q29WindowRanks _),
@@ -520,6 +521,11 @@ object SparkEntry {
     // nondeterministic, the SET is not)
     "stream_dedup" ->
       "SELECT DISTINCT md5(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS fp FROM documents",
+    // a finite source drained in one micro-batch dedups all duplicates
+    // against live state → emitted set = batch DISTINCT exactly
+    "stream_dedup_bounded" ->
+      """SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hour_start
+        |FROM events""".stripMargin,
     "mm_frame_sample" ->
       """WITH n AS (SELECT doc_id, text, CAST(length(text) AS INTEGER) AS n_bytes FROM documents),
         |f AS (SELECT doc_id, n_bytes, CAST(i AS INTEGER) AS frame_idx,

@@ -149,13 +149,34 @@ object Dedup {
     */
   def releasePairs(): Unit = pairCache.clear()
 
+  /** df-capped variant (unmemoized — the cap is a tuning parameter, not
+    * part of the canonical pair set). See ngramJaccardPlan for semantics.
+    */
+  def ngramJaccardCapped(s: SparkSession, dir: String, dfCap: Long): DataFrame = {
+    val (result, shared) = ngramJaccardPlan(s, dir, dfCap)
+    CacheLifecycle.materialize(result, shared: _*)
+  }
+
   /** Lazy plan + the shared intermediates it reads twice (for lifecycle
     * management and plan inspection in specs).
+    *
+    * `dfCap` is the 100 TB index-side lever: shingles appearing in more
+    * than `dfCap` documents are dropped from the PREFIX INDEX (a shingle
+    * shared by millions of docs generates m²/2 candidate pairs and
+    * carries no discriminative signal) while verification still runs on
+    * the full shingle sets, so precision stays exact. With a finite cap
+    * the prefix/length filters operate on per-doc INDEXED-shingle counts
+    * (conservatively longer prefixes), and recall loss is confined to
+    * pairs whose shared shingles are all capped. Long.MaxValue (the
+    * default, used by the oracle-checked query) disables the cap — the
+    * result is then exactly PPJoin.
     */
-  private def ngramJaccardPlan(s: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
+  private def ngramJaccardPlan(s: SparkSession, dir: String,
+                               dfCap: Long = Long.MaxValue): (DataFrame, Seq[DataFrame]) = {
     val sh = shinglePairs(s, dir)
     val arrays = shingleArrays(sh)
     val docFreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
     // Per-doc prefix selection (rarest-first rank ≤ |d| − ⌈τ·|d|⌉ + 1) as
     // ONE aggregate: collect the doc's (df, sh) pairs, sort the (small,
     // doc-length-bounded) array, slice the prefix. Replaces the previous

@@ -117,6 +117,39 @@ object StreamOps {
     * partition-nondeterministic, so only order-insensitive columns are
     * emitted (the batch oracle is SELECT DISTINCT of the same expression).
     */
+  /** Streaming dedup with BOUNDED state — the form a real ingest pipeline
+    * runs: `dropDuplicatesWithinWatermark` evicts a key's state once the
+    * watermark passes its event time plus the delay, so state is ∝
+    * traffic inside the watermark horizon rather than ∝ all distinct
+    * history (the `streamingDedup` variant above). Dedup key:
+    * (user_id, event_type, event-hour) over the events stream. The
+    * emitted first-arrival rows carry nondeterministic arrival order, so
+    * only the key columns are emitted; a finite source drained in one
+    * micro-batch dedups every duplicate against live state, making the
+    * emitted set exactly the batch DISTINCT (the oracle).
+    */
+  def streamingDedupBounded(s: SparkSession, dir: String): DataFrame = {
+    val ss = streamingSession(s)
+    val path = s"$dir/events.parquet"
+    val schema = ss.read.parquet(path).schema
+    val name = s"graft_stream_${counter.incrementAndGet()}"
+    val stream = ss.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "1 hour")
+      .withColumn("hour_start", date_trunc("hour", col("ts")))
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "hour_start")
+      .select("user_id", "event_type", "hour_start")
+    val q = stream.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    ss.table(name)
+  }
+
   def streamingDedup(s: SparkSession, dir: String): DataFrame = {
     val ss = streamingSession(s)
     val path = s"$dir/documents.parquet"

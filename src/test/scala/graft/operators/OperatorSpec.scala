@@ -75,6 +75,18 @@ class OperatorSpec extends AnyFunSuite {
     assert(viaUnionFind.nonEmpty)
   }
 
+  test("df-capped ngram index: no-op above max df, subset below, precision exact") {
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(Dedup.ngramJaccard(spark, sf))
+    // a cap above every shingle's document frequency changes nothing
+    assert(pairSet(Dedup.ngramJaccardCapped(spark, sf, Long.MaxValue >> 1)) === exact)
+    // an aggressive cap can only LOSE pairs (verification keeps precision
+    // exact), never invent them
+    val capped = pairSet(Dedup.ngramJaccardCapped(spark, sf, 2L))
+    assert(capped.subsetOf(exact), s"capped produced non-exact pairs: ${capped -- exact}")
+  }
+
   test("shingles: short and empty documents yield empty sets") {
     import spark.implicits._
     val df = Seq("", "one two", "a b c d").toDF("text")
