@@ -54,6 +54,7 @@ object SparkEntry {
     "text_chunk" -> ((s: SparkSession, d: String) => TextOps.chunk(s, d)),
     "text_scrub" -> (TextOps.scrub _),
     "emb_quantize_int8" -> (Similarity.quantizeInt8 _),
+    "emb_split_stratified" -> ((s: SparkSession, d: String) => Similarity.stratifiedSplit(s, d)),
     "emb_label_encode" -> (Similarity.labelEncode _),
     // ---- training-data pipeline extensions ----
     "dedup_exact_docs" -> (Dedup.exact _),
@@ -466,6 +467,19 @@ object SparkEntry {
         |SELECT vec_id, e.label, label_id FROM embeddings e JOIN d USING (label)""".stripMargin,
     "ann_lsh" -> annLshOracle,
     "ann_lsh_multiprobe" -> annLshMultiProbeOracle,
+    // split assignment = md5-prefix hash (the engine-portable 60-bit
+    // hex-horner parse, as in the simhash oracle) mod 100 vs train pct
+    "emb_split_stratified" ->
+      """WITH h AS (SELECT vec_id, label,
+        |  list_reduce(list_transform(range(1, 16), i ->
+        |    CAST(ord(substr(md5(CAST(vec_id AS VARCHAR)), i, 1)) -
+        |         CASE WHEN substr(md5(CAST(vec_id AS VARCHAR)), i, 1) BETWEEN '0' AND '9'
+        |              THEN 48 ELSE 87 END AS BIGINT)),
+        |    (a, x) -> a * 16 + x) AS h
+        |  FROM embeddings)
+        |SELECT vec_id, label, CAST(h % 100 AS INTEGER) AS bucket,
+        |  CASE WHEN h % 100 < 80 THEN 'train' ELSE 'test' END AS split
+        |FROM h""".stripMargin,
     "mm_decode_batched" -> mmDecodeOracle,
     "mm_binary_features" ->
       """SELECT doc_id, 'text/plain' AS mime, CAST(length(text) AS INTEGER) AS n_bytes,

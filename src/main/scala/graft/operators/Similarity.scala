@@ -263,6 +263,27 @@ object Similarity {
       .select("vec_id", "label", "label_id")
   }
 
+  /** Deterministic stratified train/test split (reference M1 — plasticc's
+    * per-class split with a fixed seed,
+    * /root/reference/timedf_benchmarks/plasticc/plasticc_pandas_modin.py:
+    * the stratified_split with seed 126): here the assignment is a pure
+    * function of the row key — engine-portable md5-prefix hash mod 100
+    * compared to the train percentage — so the split reproduces across
+    * engines, runs, and partitionings with NO RNG state and no shuffle
+    * (the seeded-sample variant used by the benchmark port lives in
+    * PlasticcBenchmark). Stratification is per-label by construction:
+    * a uniform hash splits every label at the same rate.
+    */
+  def stratifiedSplit(s: SparkSession, dir: String, trainPct: Int = 80): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"))
+      .withColumn("bucket",
+        pmod(graft.functions.TextFunctions.portableTokenHash(
+          col("vec_id").cast("string")), lit(100)).cast("int"))
+      .withColumn("split",
+        when(col("bucket") < trainPct, lit("train")).otherwise(lit("test")))
+      .select("vec_id", "label", "bucket", "split")
+
   /** Centroid summary per label — the "coarse quantizer" statistics an IVF
     * index maintains (per-cell counts + mean vector), computed distributed:
     * explode to (label, dim_idx, component), aggregate, reassemble.

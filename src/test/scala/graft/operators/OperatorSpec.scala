@@ -154,6 +154,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall $recall")
   }
 
+  test("stratified split is deterministic and splits every label near the rate") {
+    val rows = Similarity.stratifiedSplit(spark, sf).collect()
+      .map(r => (r.getLong(0), String.valueOf(r.get(1)), r.getString(3)))
+    val again = Similarity.stratifiedSplit(spark, sf).collect()
+      .map(r => (r.getLong(0), String.valueOf(r.get(1)), r.getString(3)))
+    assert(rows.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq) // pure function of the key
+    val byLabel = rows.groupBy(_._2)
+    assert(byLabel.size > 1)
+    byLabel.foreach { case (label, rs) =>
+      val frac = rs.count(_._3 == "train").toDouble / rs.length
+      // binomial noise at ~50 rows/label: generous band around 0.8
+      assert(frac > 0.55 && frac < 0.95, s"label $label train fraction $frac")
+    }
+    val global = rows.count(_._3 == "train").toDouble / rows.length
+    assert(global > 0.72 && global < 0.88, s"global train fraction $global")
+  }
+
   test("multi-probe LSH recall dominates single-probe and clears a floor") {
     def topSet(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
