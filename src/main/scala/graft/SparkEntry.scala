@@ -67,6 +67,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> (Dedup.minhashLsh _),
     "dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     "dedup_clusters" -> ((s: SparkSession, d: String) => Dedup.clusters(s, d)),
+    "dedup_purge_list" -> (Dedup.purge _),
     "dedup_fuzzy_names" -> ((s: SparkSession, d: String) => Dedup.fuzzyNames(s, d)),
     "dedup_embedding_cosine" -> ((s: SparkSession, d: String) => Dedup.embeddingCosine(s, d)),
     "ann_brute_topk" -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
@@ -337,6 +338,16 @@ object SparkEntry {
          |  SELECT e.a, r.l FROM e JOIN reach r ON e.b = r.v),
          |lbl AS (SELECT v, min(l) AS cluster_id FROM reach GROUP BY 1)
          |SELECT cluster_id, count(*) AS n_members FROM lbl GROUP BY 1""".stripMargin,
+    // same closure, vertex-level: survivor + purge flag per clustered doc
+    "dedup_purge_list" ->
+      s"""WITH RECURSIVE $shingleCtes,
+         |e AS (SELECT id_a AS a, id_b AS b FROM jac UNION SELECT id_b, id_a FROM jac),
+         |reach(v, l) AS (
+         |  SELECT DISTINCT a, a FROM e
+         |  UNION
+         |  SELECT e.a, r.l FROM e JOIN reach r ON e.b = r.v),
+         |lbl AS (SELECT v, min(l) AS cluster_id FROM reach GROUP BY 1)
+         |SELECT v AS doc_id, cluster_id AS keep_id, v <> cluster_id AS purge FROM lbl""".stripMargin,
     "dedup_embedding_cosine" ->
       s"""$cosineCte
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,

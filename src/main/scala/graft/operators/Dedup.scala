@@ -356,7 +356,17 @@ object Dedup {
     */
   def clusters(s: SparkSession, dir: String, maxRounds: Int = 20,
                driverMaxPairs: Long = 10000000L,
-               distributedAlgo: String = "star"): DataFrame = {
+               distributedAlgo: String = "star"): DataFrame =
+    clusterMembers(s, dir, maxRounds, driverMaxPairs, distributedAlgo)
+      .groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+
+  /** Per-document cluster assignment (doc_id → cluster_id = component
+    * minimum): the vertex-level view [[clusters]] aggregates and
+    * [[purge]] consumes. Documents in no near-dup pair are absent.
+    */
+  def clusterMembers(s: SparkSession, dir: String, maxRounds: Int = 20,
+                     driverMaxPairs: Long = 10000000L,
+                     distributedAlgo: String = "star"): DataFrame = {
     // ngramJaccard returns the memoized, already-materialized pair set
     val pairs = ngramJaccard(s, dir).select(col("id_a"), col("id_b"))
     val nPairs = pairs.count()
@@ -383,14 +393,25 @@ object Dedup {
         val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
-      val members = parent.keys.toSeq.map(v => (find(v), 1L))
-      val counts = members.groupBy(_._1).map { case (c, m) => (c, m.size.toLong) }
       import s.implicits._
-      return counts.toSeq.toDF("cluster_id", "n_members")
+      return parent.keys.toSeq.map(v => (v, find(v)))
+        .toDF("doc_id", "cluster_id")
     }
     if (distributedAlgo == "star") ccStarContraction(pairs, maxRounds)
     else ccPropagation(pairs, maxRounds)
   }
+
+  /** The dedup pipeline's actionable output: for every document in a
+    * near-dup cluster, its canonical survivor (the component-minimum
+    * doc_id) and whether the row is purged (everything but the
+    * survivor). Joining the purge=true set against the corpus as a
+    * broadcast/shuffle anti-join is how the cleaned corpus materializes
+    * at scale.
+    */
+  def purge(s: SparkSession, dir: String): DataFrame =
+    clusterMembers(s, dir)
+      .select(col("doc_id"), col("cluster_id").as("keep_id"),
+        (col("doc_id") =!= col("cluster_id")).as("purge"))
 
   /** Distributed CC via min-label propagation: every vertex starts as its
     * own label, each round adopts the minimum label among itself and its
@@ -422,8 +443,7 @@ object Dedup {
       labels = next
       round += 1
     }
-    val out = labels.groupBy(col("lbl").as("cluster_id"))
-      .agg(count(lit(1)).as("n_members"))
+    val out = labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
       .localCheckpoint(eager = true) // then release the iteration state
     edges.unpersist(blocking = false)
     labels.unpersist(blocking = false)
@@ -444,7 +464,7 @@ object Dedup {
     *
     * Both are one groupBy + one join per round on the canonical edge set.
     * At the fixed point every component is a star centered at its minimum
-    * vertex, so cluster sizes fall out of one count per center.
+    * vertex, so the (doc_id, cluster_id) labels are the edges themselves.
     */
   private def ccStarContraction(pairs: DataFrame, maxRounds: Int): DataFrame = {
     var edges = pairs
@@ -489,9 +509,10 @@ object Dedup {
       round += 1
     }
     // star forest: every edge is (component-min, member); the center
-    // itself adds 1 to the size
-    val out = edges.groupBy(col("a").as("cluster_id"))
-      .agg((count(lit(1)) + 1).as("n_members"))
+    // labels itself
+    val out = edges.select(col("b").as("doc_id"), col("a").as("cluster_id"))
+      .union(edges.select(col("a")).distinct()
+        .select(col("a").as("doc_id"), col("a").as("cluster_id")))
       .localCheckpoint(eager = true)
     edges.unpersist(blocking = false)
     out
