@@ -55,6 +55,7 @@ object SparkEntry {
     "text_scrub" -> (TextOps.scrub _),
     "emb_quantize_int8" -> (Similarity.quantizeInt8 _),
     "emb_split_stratified" -> ((s: SparkSession, d: String) => Similarity.stratifiedSplit(s, d)),
+    "emb_normalize" -> (Similarity.normalize _),
     "emb_label_encode" -> (Similarity.labelEncode _),
     // ---- training-data pipeline extensions ----
     "dedup_exact_docs" -> (Dedup.exact _),
@@ -478,6 +479,11 @@ object SparkEntry {
         |SELECT vec_id, e.label, label_id FROM embeddings e JOIN d USING (label)""".stripMargin,
     "ann_lsh" -> annLshOracle,
     "ann_lsh_multiprobe" -> annLshMultiProbeOracle,
+    "emb_normalize" ->
+      s"""$cosineCte
+         |SELECT vec_id, round(nrm, 6) AS norm, CAST(i - 1 AS INTEGER) AS dim_idx,
+         |  round(CASE WHEN nrm = 0 THEN 0 ELSE e[i] / nrm END, 6) AS xn
+         |FROM v, UNNEST(range(1, len(e) + 1)) t(i)""".stripMargin,
     // split assignment = md5-prefix hash (the engine-portable 60-bit
     // hex-horner parse, as in the simhash oracle) mod 100 vs train pct
     "emb_split_stratified" ->

@@ -263,6 +263,24 @@ object Similarity {
       .select("vec_id", "label", "label_id")
   }
 
+  /** L2 normalization — the vector-pipeline staple upstream of dot-product
+    * ANN (cosine reduces to dot on unit vectors): per-vector norm via the
+    * codegen'd `graft_dot`, components divided out in an exploded narrow
+    * projection (no shuffle). Zero vectors normalize to zero (ANSI mode
+    * would otherwise throw on the division).
+    */
+  def normalize(s: SparkSession, dir: String): DataFrame = {
+    DotProduct.register(s)
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", sqrt(call_function("graft_dot", col("v"), col("v"))))
+      .select(col("vec_id"), col("nrm"),
+        posexplode(col("v")).as(Seq("dim_idx", "x")))
+      .select(col("vec_id"), round(col("nrm"), 6).as("norm"), col("dim_idx"),
+        round(when(col("nrm") === 0.0, 0.0)
+          .otherwise(col("x").cast("double") / col("nrm")), 6).as("xn"))
+  }
+
   /** Deterministic stratified train/test split (reference M1 — plasticc's
     * per-class split with a fixed seed,
     * /root/reference/timedf_benchmarks/plasticc/plasticc_pandas_modin.py:
