@@ -420,33 +420,38 @@ object Dedup {
     * (tiny) post-shuffle partitions — no session-global conf mutation,
     * which would race with concurrent queries on a shared session.
     */
-  private def ccPropagation(pairs: DataFrame, maxRounds: Int): DataFrame = {
+  private[operators] def ccPropagation(pairs: DataFrame, maxRounds: Int): DataFrame = {
     // NO coalesce here: this path only runs past the driver guard, where
     // the edge set is large by definition — capping its parallelism would
     // be the scale bug; AQE already coalesces small shuffles
     val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
       .union(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
       .persist()
+    // Every round CHECKPOINTS (not just persists): an iterative DataFrame
+    // algorithm otherwise nests each round's logical plan inside the
+    // next — caching shortcuts execution but the analyzer/optimizer still
+    // walk the whole accumulated tree, so driver planning time grows
+    // exponentially with rounds (the ConnectedComponentsSpec chain case
+    // wedged the driver before this). localCheckpoint truncates lineage
+    // to the materialized RDD each round.
     var labels = pairs
       .select(explode(array(col("id_a"), col("id_b"))).as("v")).distinct()
-      .withColumn("lbl", col("v")).persist()
+      .withColumn("lbl", col("v")).localCheckpoint(eager = true)
     var round = 0
     var changed = 1L
     while (changed > 0 && round < maxRounds) {
       val msgs = edges.join(labels, col("b") === col("v"))
         .select(col("a").as("v"), col("lbl"))
       val next = labels.select("v", "lbl").union(msgs)
-        .groupBy("v").agg(min("lbl").as("lbl")).persist()
+        .groupBy("v").agg(min("lbl").as("lbl")).localCheckpoint(eager = true)
       changed = next.as("n").join(labels.as("o"), "v")
         .filter(col("n.lbl") =!= col("o.lbl")).count()
-      labels.unpersist()
       labels = next
       round += 1
     }
     val out = labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
       .localCheckpoint(eager = true) // then release the iteration state
     edges.unpersist(blocking = false)
-    labels.unpersist(blocking = false)
     out
   }
 
@@ -466,12 +471,17 @@ object Dedup {
     * At the fixed point every component is a star centered at its minimum
     * vertex, so the (doc_id, cluster_id) labels are the edges themselves.
     */
-  private def ccStarContraction(pairs: DataFrame, maxRounds: Int): DataFrame = {
+  private[operators] def ccStarContraction(pairs: DataFrame, maxRounds: Int): DataFrame = {
+    // checkpoint (not persist) per round — see ccPropagation: nested
+    // round-over-round logical plans blow up driver planning time even
+    // when execution reads the cache; truncating lineage keeps every
+    // round's plan shallow. Parallelism follows the data; AQE coalesces
+    // when small.
     var edges = pairs
       .select(least(col("id_a"), col("id_b")).as("a"),
         greatest(col("id_a"), col("id_b")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
-      .persist() // parallelism follows the data; AQE coalesces when small
+      .localCheckpoint(eager = true)
     var oldCnt = edges.count()
     var round = 0
     var done = false
@@ -498,12 +508,11 @@ object Dedup {
         .union(minsS.select(col("u").as("x"), col("m")))
         .select(col("m").as("a"), col("x").as("b"))
         .distinct()
-        .persist()
+        .localCheckpoint(eager = true)
       val newCnt = next.count()
       // fixed point: same canonical edge set (counts equal and no new
       // edges outside the old set)
       done = newCnt == oldCnt && next.except(edges).limit(1).count() == 0
-      edges.unpersist()
       edges = next
       oldCnt = newCnt
       round += 1
