@@ -79,6 +79,9 @@ object SparkEntry {
       Multimodal.decodeBatchedFlat(Multimodal.asBinaryPayload(s, d))),
     "emb_label_centroids" -> (Similarity.labelCentroids _),
     "text_token_counts" -> (TextOps.tokenCounts _),
+    "text_decontaminate" -> ((s: SparkSession, d: String) => TextOps.decontaminate(s, d)),
+    "text_repetition" -> (TextOps.repetition _),
+    "doc_sample_balanced" -> (TextOps.sampleBalanced _),
     "text_quality" -> (TextOps.qualityScore _),
     "text_lang_id" -> (TextOps.langId _),
     "text_fingerprint" -> (TextOps.fingerprints _),
@@ -371,6 +374,51 @@ object SparkEntry {
         |m AS (SELECT label, dim_idx, avg(x) AS mean_x, count(*) AS n FROM ex GROUP BY 1, 2)
         |SELECT label, max(n) AS n_vectors, round(sqrt(sum(mean_x * mean_x)), 6) AS centroid_norm
         |FROM m GROUP BY 1""".stripMargin,
+    // eval slice = doc_id % 10 = 0; shared-shingle counts over the same
+    // distinct 3-gram shingle sets as the near-dup oracles
+    "text_decontaminate" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+        |       FROM w, UNNEST(range(1, len(w)-1)) AS t(i) WHERE len(w) >= 3),
+        |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 10 = 0),
+        |hits AS (SELECT s.doc_id, count(*) AS n_shared FROM sh s JOIN ev USING (sh)
+        |         WHERE s.doc_id % 10 <> 0 GROUP BY 1)
+        |SELECT d.doc_id, coalesce(h.n_shared, 0) AS n_shared,
+        |  coalesce(h.n_shared, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN hits h USING (doc_id)
+        |WHERE d.doc_id % 10 <> 0""".stripMargin,
+    "text_repetition" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |uc AS (SELECT doc_id, g, count(*) AS c
+        |       FROM (SELECT doc_id, unnest(t) AS g FROM w) GROUP BY 1, 2),
+        |umax AS (SELECT doc_id, max(c) AS uni_mc FROM uc GROUP BY 1),
+        |bc AS (SELECT doc_id, g, count(*) AS c
+        |       FROM (SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+        |             FROM w, UNNEST(range(1, len(t))) x(i) WHERE len(t) >= 2) GROUP BY 1, 2),
+        |bmax AS (SELECT doc_id, max(c) AS bi_mc FROM bc GROUP BY 1),
+        |d3 AS (SELECT doc_id, len(list_distinct(list_transform(range(1, len(t)-1),
+        |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS d3
+        |       FROM w WHERE len(t) >= 3)
+        |SELECT w.doc_id, CAST(len(w.t) AS INTEGER) AS n_tokens,
+        |  round(umax.uni_mc / len(w.t), 6) AS top_unigram_frac,
+        |  CASE WHEN len(w.t) > 1 THEN round(bmax.bi_mc / (len(w.t) - 1), 6) END AS top_bigram_frac,
+        |  CASE WHEN len(w.t) > 2 THEN round(1.0 - d3.d3 / (len(w.t) - 2), 6) END AS dup_3gram_frac
+        |FROM w LEFT JOIN umax USING (doc_id) LEFT JOIN bmax USING (doc_id)
+        |LEFT JOIN d3 USING (doc_id)""".stripMargin,
+    // keep decision = md5-prefix hash (the engine-portable hex-horner
+    // parse, as in emb_split_stratified) mod per-source count vs min count
+    "doc_sample_balanced" ->
+      """WITH c AS (SELECT source, count(*) AS n_source FROM documents GROUP BY 1),
+        |m AS (SELECT min(n_source) AS min_count FROM c),
+        |h AS (SELECT doc_id, source,
+        |  list_reduce(list_transform(range(1, 16), i ->
+        |    CAST(ord(substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) -
+        |         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), i, 1) BETWEEN '0' AND '9'
+        |              THEN 48 ELSE 87 END AS BIGINT)),
+        |    (a, x) -> a * 16 + x) AS h
+        |  FROM documents)
+        |SELECT h.doc_id, h.source, c.n_source, (h.h % c.n_source) < m.min_count AS keep
+        |FROM h JOIN c USING (source), m""".stripMargin,
     "text_token_counts" ->
       """SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars_m,
         |CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens,

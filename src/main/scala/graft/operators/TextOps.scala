@@ -180,4 +180,115 @@ object TextOps {
     val groups = fp.groupBy("fp").agg(count(lit(1)).as("n_same"))
     fp.join(groups, Seq("fp")).select("doc_id", "fp", "n_same")
   }
+
+  /** Benchmark decontamination — flag training documents that share any
+    * word k-shingle with a held-out evaluation set (the GPT-3/PaLM-style
+    * n-gram-collision test-set filter). The eval set here is the
+    * deterministic slice `doc_id % evalMod == 0`; in production it is the
+    * benchmark suite itself.
+    *
+    * Distributed shape: the eval set is tiny relative to a 100 TB corpus,
+    * so its distinct shingle dictionary is built once and BROADCAST — the
+    * contamination check is then a map-side hash probe per training
+    * shingle (no shuffle of the corpus), followed by one aggregation on
+    * doc_id. At cluster scale the shingle strings would be 64-bit-hashed
+    * first (`TextFunctions.portableTokenHash`) to shrink the broadcast;
+    * strings are kept here so the SQL oracle replays the join exactly.
+    *
+    * Output: every training doc with its distinct-shared-shingle count
+    * and a contaminated flag.
+    */
+  def decontaminate(s: SparkSession, dir: String,
+                    k: Int = 3, evalMod: Int = 10): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val isEval = col("doc_id") % evalMod === 0
+    val evalShingles = docs.filter(isEval)
+      .select(explode(shingles(col("text"), k)).as("sh"))
+      .distinct()
+    val trainShingles = docs.filter(!isEval)
+      .select(col("doc_id"), explode(shingles(col("text"), k)).as("sh"))
+    // shingles() emits DISTINCT shingles per doc, so this count is the
+    // number of distinct k-grams the doc shares with the eval set
+    val hits = trainShingles.join(broadcast(evalShingles), Seq("sh"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    docs.filter(!isEval).select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Repetition filters (Gopher / MassiveText quality rules, Rae et al.
+    * 2021 §A1.1): fraction of tokens claimed by the most frequent unigram
+    * and bigram, and the duplicate-3-gram fraction (1 − distinct/total).
+    * High values mark boilerplate / degenerate generations for removal.
+    *
+    * Distributed shape: one explode to (doc, gram) pairs, two hash
+    * aggregations (gram counts, per-doc max) per gram order — shuffles on
+    * the doc key only, no windows. The bigram array is built per-row with
+    * `zip_with` over two slices (one pass, no self-join); the distinct
+    * 3-gram count rides the compiled shingle kernel.
+    */
+  def repetition(s: SparkSession, dir: String): DataFrame =
+    repetitionOf(Tables.documents(s, dir))
+
+  /** Core of [[repetition]] over any frame with (doc_id, text). */
+  def repetitionOf(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val base = docs.select(
+      col("doc_id"), t.as("t"),
+      shingles(col("text"), 3).as("sh3"))
+
+    def maxGramCount(grams: Column): DataFrame = base
+      .select(col("doc_id"), explode(grams).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("mc"))
+
+    val uniMax = maxGramCount(col("t")).withColumnRenamed("mc", "uni_mc")
+    val bigrams = zip_with(
+      slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
+      slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))),
+      (a, b) => concat_ws(" ", a, b))
+    val biMax = maxGramCount(bigrams).withColumnRenamed("mc", "bi_mc")
+
+    base.select(col("doc_id"), size(col("t")).as("n_tokens"),
+      size(col("sh3")).as("d3"))
+      .join(uniMax, Seq("doc_id"), "left")
+      .join(biMax, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        round(col("uni_mc") / col("n_tokens").cast("double"), 6)
+          .as("top_unigram_frac"),
+        when(col("n_tokens") > 1,
+          round(col("bi_mc") / (col("n_tokens") - 1).cast("double"), 6))
+          .as("top_bigram_frac"),
+        when(col("n_tokens") > 2,
+          round(lit(1.0) - col("d3") / (col("n_tokens") - 2).cast("double"), 6))
+          .as("dup_3gram_frac"))
+  }
+
+  /** Deterministic source-balanced downsampling — cap every source at the
+    * size of the smallest source (the domain-mixing step of a training-data
+    * pipeline, made reproducible). A doc survives iff
+    * `h(doc_id) mod n_source < min_source_count`: pure integer arithmetic
+    * on the engine-portable md5-prefix hash, so the keep decision is a
+    * pure function of the row (rerunnable, auditable) and any SQL engine
+    * replays it exactly. E[kept per source] = min_source_count.
+    *
+    * Distributed shape: one aggregation for the per-source census, its
+    * global min folded in by a cross join of a 1-row frame — both sides
+    * broadcast to the corpus scan, so the keep decision itself is
+    * map-side with no corpus shuffle.
+    */
+  def sampleBalanced(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_source"))
+    val minCount = counts.agg(min(col("n_source")).as("min_count"))
+    val h = portableTokenHash(col("doc_id").cast("string"))
+    docs.select(col("doc_id"), col("source"), h.as("h"))
+      .join(broadcast(counts), Seq("source"))
+      .crossJoin(broadcast(minCount))
+      .select(col("doc_id"), col("source"), col("n_source"),
+        (col("h") % col("n_source") < col("min_count")).as("keep"))
+  }
 }

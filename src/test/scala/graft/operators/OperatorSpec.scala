@@ -273,6 +273,69 @@ class OperatorSpec extends AnyFunSuite {
     assert(out === 0)
   }
 
+  test("decontamination excludes the eval slice and flags consistently") {
+    val rows = TextOps.decontaminate(spark, sf).collect()
+    val nTrain = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 10 =!= 0).count()
+    assert(rows.length.toLong === nTrain) // every training doc, exactly once
+    rows.foreach { r =>
+      assert(r.getLong(0) % 10 != 0, "eval doc leaked into training output")
+      assert(r.getBoolean(2) === (r.getLong(1) > 0), "flag inconsistent with count")
+    }
+    // an exact copy of an eval doc must be flagged (fixture has exact dups;
+    // guard only when such a cross-slice pair exists at this sf)
+    val texts = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1))
+    val evalTexts = texts.filter(_._1 % 10 == 0).map(_._2).toSet
+    val copies = texts.filter { case (id, t) =>
+      id % 10 != 0 && evalTexts.contains(t) && t.trim.split("\\s+").length >= 3 }
+    val flagged = rows.filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    copies.foreach { case (id, _) =>
+      assert(flagged.contains(id), s"doc $id copies an eval doc but is not flagged")
+    }
+  }
+
+  test("repetition metrics match hand-computed values and stay in [0,1]") {
+    import spark.implicits._
+    // "a a a b": top unigram a=3/4; bigrams [a a, a a, a b] → 2/3;
+    // 3-grams [a a a, a a b] distinct=2 of 2 → dup frac 0
+    val crafted = Seq((1L, "a a a b"), (2L, "x y")).toDF("doc_id", "text")
+    val m = TextOps.repetitionOf(crafted).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getInt(1) === 4)
+    assert(m(1L).getDouble(2) === 0.75)
+    assert(m(1L).getDouble(3) === 0.666667)
+    assert(m(1L).getDouble(4) === 0.0)
+    assert(m(2L).getInt(1) === 2)
+    assert(m(2L).getDouble(3) === 1.0) // "x y": its only bigram fills the doc
+    assert(m(2L).isNullAt(4)) // no 3-grams → null, not a fake 0
+    TextOps.repetition(spark, sf).collect().foreach { r =>
+      Seq(2, 3, 4).filterNot(r.isNullAt).foreach { i =>
+        val v = r.getDouble(i)
+        assert(v >= 0.0 && v <= 1.0, s"metric $i out of range: $v")
+      }
+    }
+  }
+
+  test("balanced sampling is deterministic and respects the per-source census") {
+    val a = TextOps.sampleBalanced(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    val b = TextOps.sampleBalanced(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    assert(a.sortBy(_._1).toSeq === b.sortBy(_._1).toSeq)
+    val docs = graft.Tables.documents(spark, sf)
+    assert(a.length.toLong === docs.count()) // decision emitted per doc
+    val census = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    a.groupBy(_._2).foreach { case (src, rows) =>
+      assert(rows.head._3 === census(src), s"n_source wrong for $src")
+      assert(rows.map(_._1).distinct.length === rows.length)
+    }
+    // the smallest source is always kept whole: h mod min < min is a tautology
+    val minSrc = census.minBy(_._2)._1
+    assert(a.filter(_._2 == minSrc).forall(_._4), "smallest source must survive intact")
+  }
+
   test("multimodal pipeline preserves byte length through binary payload") {
     val out = Multimodal.pipeline(spark, sf)
     val bad = out.join(graft.Tables.documents(spark, sf), Seq("doc_id"))
