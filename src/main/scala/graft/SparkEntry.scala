@@ -82,6 +82,7 @@ object SparkEntry {
     "text_decontaminate" -> ((s: SparkSession, d: String) => TextOps.decontaminate(s, d)),
     "text_repetition" -> (TextOps.repetition _),
     "doc_sample_balanced" -> (TextOps.sampleBalanced _),
+    "pipeline_manifest" -> ((s: SparkSession, d: String) => TextOps.trainingManifest(s, d)),
     "text_quality" -> (TextOps.qualityScore _),
     "text_lang_id" -> (TextOps.langId _),
     "text_fingerprint" -> (TextOps.fingerprints _),
@@ -405,6 +406,31 @@ object SparkEntry {
         |  CASE WHEN len(w.t) > 2 THEN round(1.0 - d3.d3 / (len(w.t) - 2), 6) END AS dup_3gram_frac
         |FROM w LEFT JOIN umax USING (doc_id) LEFT JOIN bmax USING (doc_id)
         |LEFT JOIN d3 USING (doc_id)""".stripMargin,
+    // the whole curation chain composed: quality gate ∧ not-eval ∧
+    // not-contaminated ∧ not-purged (same recursive closure as
+    // dedup_purge_list) ⋈ embedding norms
+    "pipeline_manifest" ->
+      s"""WITH RECURSIVE $shingleCtes,
+         |e AS (SELECT id_a AS a, id_b AS b FROM jac UNION SELECT id_b, id_a FROM jac),
+         |reach(v, l) AS (
+         |  SELECT DISTINCT a, a FROM e
+         |  UNION
+         |  SELECT e.a, r.l FROM e JOIN reach r ON e.b = r.v),
+         |lbl AS (SELECT v, min(l) AS cluster_id FROM reach GROUP BY 1),
+         |q AS (SELECT doc_id, source, lang,
+         |       CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
+         |       len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))::DOUBLE
+         |         / len(regexp_split_to_array(trim(text), '\\s+')) AS dr
+         |      FROM documents),
+         |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 10 = 0),
+         |hits AS (SELECT DISTINCT s.doc_id FROM sh s JOIN ev USING (sh) WHERE s.doc_id % 10 <> 0),
+         |nv AS (SELECT vec_id, sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+         |       FROM embeddings)
+         |SELECT q.doc_id, q.source, q.lang, q.n_tokens, round(nv.nrm, 6) AS emb_norm
+         |FROM q JOIN nv ON nv.vec_id = q.doc_id
+         |WHERE q.n_tokens >= 20 AND q.dr >= 0.3 AND q.doc_id % 10 <> 0
+         |AND q.doc_id NOT IN (SELECT doc_id FROM hits)
+         |AND q.doc_id NOT IN (SELECT v FROM lbl WHERE v <> cluster_id)""".stripMargin,
     // keep decision = md5-prefix hash (the engine-portable hex-horner
     // parse, as in emb_split_stratified) mod per-source count vs min count
     "doc_sample_balanced" ->

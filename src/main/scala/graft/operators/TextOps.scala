@@ -280,6 +280,44 @@ object TextOps {
     * broadcast to the corpus scan, so the keep decision itself is
     * map-side with no corpus shuffle.
     */
+  /** End-to-end training-data manifest — the full curation chain composed
+    * as ONE declarative plan: quality gate (token count + distinct ratio)
+    * → eval holdout removed → benchmark-contaminated docs removed
+    * ([[decontaminate]]) → near-duplicate purge victims removed
+    * ([[Dedup.purge]] transitive-closure survivors only) → embedding
+    * metadata joined in. The output is the manifest a trainer consumes:
+    * one row per surviving document with its source, language, token
+    * count, and embedding norm.
+    *
+    * Distributed shape: the exclusion sets are products of already
+    * scale-safe operators and arrive as left-anti joins (both far smaller
+    * than the corpus → broadcast-able; AQE picks the strategy); the
+    * quality gate is a narrow codegen projection on the scan; the
+    * embedding join is an equi-join on the id key. No new shuffle beyond
+    * the operators it composes.
+    */
+  def trainingManifest(s: SparkSession, dir: String, evalMod: Int = 10): DataFrame = {
+    graft.expressions.DotProduct.register(s)
+    val t = tokens(col("text"))
+    val quality = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        size(t).as("n_tokens"),
+        (size(array_distinct(t)) / size(t).cast("double")).as("distinct_ratio"))
+      .filter(col("n_tokens") >= 20 && col("distinct_ratio") >= 0.3 &&
+        col("doc_id") % evalMod =!= 0)
+    val contaminated = decontaminate(s, dir, 3, evalMod)
+      .filter(col("contaminated")).select("doc_id")
+    val purged = Dedup.purge(s, dir).filter(col("purge")).select("doc_id")
+    val emb = Tables.embeddings(s, dir).select(col("vec_id").as("doc_id"),
+      sqrt(call_function("graft_dot", col("embedding"), col("embedding"))).as("nrm"))
+    quality
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .join(purged, Seq("doc_id"), "left_anti")
+      .join(emb, Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"),
+        round(col("nrm"), 6).as("emb_norm"))
+  }
+
   def sampleBalanced(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val counts = docs.groupBy("source").agg(count(lit(1)).as("n_source"))

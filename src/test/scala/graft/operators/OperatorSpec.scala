@@ -336,6 +336,21 @@ class OperatorSpec extends AnyFunSuite {
     assert(a.filter(_._2 == minSrc).forall(_._4), "smallest source must survive intact")
   }
 
+  test("training manifest excludes eval, contaminated, and purged docs") {
+    val rows = TextOps.trainingManifest(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ids = rows.map(_.getLong(0)).toSet
+    assert(ids.size === rows.length) // one manifest row per doc
+    rows.foreach(r => assert(r.getInt(3) >= 20, "quality gate violated"))
+    assert(ids.forall(_ % 10 != 0), "eval doc in manifest")
+    val contaminated = TextOps.decontaminate(spark, sf)
+      .filter(col("contaminated")).collect().map(_.getLong(0)).toSet
+    val purged = Dedup.purge(spark, sf)
+      .filter(col("purge")).collect().map(_.getLong(0)).toSet
+    assert((ids & contaminated).isEmpty, "contaminated doc in manifest")
+    assert((ids & purged).isEmpty, "purged near-dup in manifest")
+  }
+
   test("multimodal pipeline preserves byte length through binary payload") {
     val out = Multimodal.pipeline(spark, sf)
     val bad = out.join(graft.Tables.documents(spark, sf), Seq("doc_id"))
