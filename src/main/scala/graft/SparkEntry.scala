@@ -83,6 +83,8 @@ object SparkEntry {
     "text_repetition" -> (TextOps.repetition _),
     "doc_sample_balanced" -> (TextOps.sampleBalanced _),
     "pipeline_manifest" -> ((s: SparkSession, d: String) => TextOps.trainingManifest(s, d)),
+    "text_heavy_hitters" -> ((s: SparkSession, d: String) => TextOps.heavyHitters(s, d)),
+    "stream_static_join" -> ((s: SparkSession, d: String) => StreamOps.streamStaticJoin(s, d)),
     "text_quality" -> (TextOps.qualityScore _),
     "text_lang_id" -> (TextOps.langId _),
     "text_fingerprint" -> (TextOps.fingerprints _),
@@ -406,6 +408,20 @@ object SparkEntry {
         |  CASE WHEN len(w.t) > 2 THEN round(1.0 - d3.d3 / (len(w.t) - 2), 6) END AS dup_3gram_frac
         |FROM w LEFT JOIN umax USING (doc_id) LEFT JOIN bmax USING (doc_id)
         |LEFT JOIN d3 USING (doc_id)""".stripMargin,
+    "text_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term FROM documents),
+        |c AS (SELECT term, count(*) AS cnt FROM t GROUP BY 1)
+        |SELECT term, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, term) AS INTEGER) AS rank
+        |FROM c ORDER BY cnt DESC, term LIMIT 20""".stripMargin,
+    // the stream-static join drains a finite source through a stateless
+    // broadcast join + complete-mode agg → exactly the batch overlap counts
+    "stream_static_join" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+        |       FROM w, UNNEST(range(1, len(w)-1)) AS t(i) WHERE len(w) >= 3),
+        |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 10 = 0)
+        |SELECT s.doc_id, count(*) AS n_shared FROM sh s JOIN ev USING (sh)
+        |WHERE s.doc_id % 10 <> 0 GROUP BY 1""".stripMargin,
     // the whole curation chain composed: quality gate ∧ not-eval ∧
     // not-contaminated ∧ not-purged (same recursive closure as
     // dedup_purge_list) ⋈ embedding norms

@@ -267,6 +267,28 @@ object TextOps {
           .as("dup_3gram_frac"))
   }
 
+  /** Exact global heavy hitters — the top-k most frequent terms across the
+    * corpus, with a deterministic rank (count desc, term asc). The plan is
+    * the one that scales: explode → two-phase hash aggregation on the term
+    * key → TakeOrdered k (no full sort of the dictionary).
+    *
+    * The approximate counterpart is the `graft_cms` Count-Min sketch
+    * aggregate (expressions.CountMinAgg — one 32 KiB sketch per partition
+    * merged associatively, never an underestimate), spec-bounded against
+    * these exact counts; at 100 TB the sketch replaces the term shuffle
+    * when an ε-approximate answer suffices.
+    */
+  def heavyHitters(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(s, dir)
+      .select(explode(tokens(lower(col("text")))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc).limit(k)
+      // rank over the k surviving rows only — a tiny single-partition window
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("term").asc)))
+  }
+
   /** Deterministic source-balanced downsampling — cap every source at the
     * size of the smallest source (the domain-mixing step of a training-data
     * pipeline, made reproducible). A doc survives iff

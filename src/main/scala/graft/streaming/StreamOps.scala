@@ -150,6 +150,43 @@ object StreamOps {
     ss.table(name)
   }
 
+  /** Stream-static join — the remaining canonical streaming join shape:
+    * a document stream decontaminated against a STATIC eval-set shingle
+    * dictionary (the batch frame is re-read per micro-batch; broadcast
+    * keeps the probe map-side, exactly as in the batch
+    * `TextOps.decontaminate`). The join itself is STATELESS — no
+    * watermark, no state store; the per-doc overlap aggregation runs in
+    * complete mode, so draining the finite source emits exactly the
+    * batch contamination counts (the oracle). Emits only contaminated
+    * docs (inner join) with their distinct-shared-shingle counts.
+    */
+  def streamStaticJoin(s: SparkSession, dir: String,
+                       k: Int = 3, evalMod: Int = 10): DataFrame = {
+    import graft.functions.TextFunctions.shingles
+    val ss = streamingSession(s)
+    val path = s"$dir/documents.parquet"
+    val schema = ss.read.parquet(path).schema
+    val name = s"graft_stream_${counter.incrementAndGet()}"
+    val evalShingles = ss.read.parquet(path)
+      .filter(col("doc_id") % evalMod === 0)
+      .select(explode(shingles(col("text"), k)).as("sh"))
+      .distinct()
+    val stream = ss.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .filter(col("doc_id") % evalMod =!= 0)
+      .select(col("doc_id"), explode(shingles(col("text"), k)).as("sh"))
+      .join(broadcast(evalShingles), Seq("sh"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    ss.table(name)
+  }
+
   def streamingDedup(s: SparkSession, dir: String): DataFrame = {
     val ss = streamingSession(s)
     val path = s"$dir/documents.parquet"

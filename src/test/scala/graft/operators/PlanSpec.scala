@@ -67,6 +67,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
 
+  test("decontamination probes a broadcast eval dictionary — corpus unshuffled") {
+    val p = planOf(TextOps.decontaminate(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("balanced sampling broadcasts the census — keep decision is map-side") {
+    val p = planOf(TextOps.sampleBalanced(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1, p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("training manifest composes without nested-loop or cartesian joins") {
+    val p = planOf(TextOps.trainingManifest(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("q08 projection prunes the events scan to referenced columns") {
     val p = planOf(Relational.q08DerivedCols(spark, sf))
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")

@@ -17,6 +17,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("stream-static join equals the batch decontamination overlap counts") {
+    import org.apache.spark.sql.functions._
+    val streamed = StreamOps.streamStaticJoin(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.operators.TextOps.decontaminate(spark, sf)
+      .filter(col("contaminated"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming sessions are a subset of batch sessions; only tail sessions withheld") {
     val batch = Sessionize.batch(spark, sf)
       .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(3))).toSet
