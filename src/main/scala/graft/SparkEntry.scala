@@ -56,6 +56,8 @@ object SparkEntry {
     "emb_quantize_int8" -> (Similarity.quantizeInt8 _),
     "emb_split_stratified" -> ((s: SparkSession, d: String) => Similarity.stratifiedSplit(s, d)),
     "emb_normalize" -> (Similarity.normalize _),
+    "emb_dim_reduce" -> ((s: SparkSession, d: String) => Similarity.dimReduce(s, d)),
+    "dedup_containment" -> ((s: SparkSession, d: String) => Dedup.containment(s, d)),
     "emb_label_encode" -> (Similarity.labelEncode _),
     // ---- training-data pipeline extensions ----
     "dedup_exact_docs" -> (Dedup.exact _),
@@ -216,7 +218,39 @@ object SparkEntry {
        |FROM s""".stripMargin
   }
 
+  /** The dim-reduce oracle embeds the same deterministic projection matrix
+    * as SQL literals (annLshOracle's technique) and replays
+    * y_j = Σ_i x_i·R_ji / √outDim with identical left-to-right summation.
+    */
+  private def dimReduceOracle: String = {
+    import graft.functions.VectorFunctions
+    val dim = VectorFunctions.Dim
+    val outDim = 8
+    val flat = VectorFunctions.hyperplanesFlat(outDim, dim)
+    val planes = (0 until outDim).map { j =>
+      (0 until dim).map(c => flat(j * dim + c).toString).mkString("[", ",", "]")
+    }
+    val ys = (0 until outDim).map { j =>
+      s"round(list_sum(list_transform(range(1, ${dim + 1}), i -> embedding[i]::DOUBLE * w$j[i])) / sqrt(${outDim}.0), 6) AS y$j"
+    }.mkString(",\n")
+    s"""WITH p AS (SELECT ${planes.zipWithIndex.map { case (l, j) => s"$l AS w$j" }.mkString(", ")})
+       |SELECT vec_id,
+       |$ys
+       |FROM embeddings, p""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "emb_dim_reduce" -> dimReduceOracle,
+    "dedup_containment" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+        |       FROM w, UNNEST(range(1, len(w)-1)) AS t(i) WHERE len(w) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b, round(c / sa.n, 6) AS containment
+        |FROM inter JOIN sizes sa ON id_a = sa.doc_id
+        |WHERE round(c / sa.n, 6) >= 0.8""".stripMargin,
     "q01_group_count" ->
       "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type",
     "q02_group_avg" ->

@@ -149,6 +149,37 @@ object Dedup {
     */
   def releasePairs(): Unit = pairCache.clear()
 
+  /** Directed shingle containment C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)| —
+    * the near-SUPERSET detector: a document quoted or embedded inside a
+    * larger one has high containment in it but low symmetric Jaccard
+    * (the measure of Broder 1997 that the Jaccard family drops). Emits
+    * every ordered pair with C ≥ τ.
+    *
+    * Distributed shape: inverted-index self-equi-join on the 64-bit
+    * shingle token → one (id_a, id_b) hash aggregation for intersection
+    * sizes → broadcast-able join to per-doc set sizes. PPJoin-style
+    * prefix filtering does not transfer directly (the containment bound
+    * depends on |A| alone), so the 100 TB lever here is the df-cap on
+    * the index side (drop shingles with df > cap from candidate
+    * generation, as in ngramJaccardCapped) plus chunk-level dedup
+    * upstream for enormous documents.
+    */
+  def containment(s: SparkSession, dir: String,
+                  threshold: Double = 0.8): DataFrame = {
+    val sh = shinglePairs(s, dir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("doc_id").as("id_a"), col("sh"))
+      .join(sh.select(col("doc_id").as("id_b"), col("sh")), Seq("sh"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("c"))
+    val result = inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a")
+      .withColumn("containment", round(col("c") / col("n_a"), 6))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
+    CacheLifecycle.materialize(result, sh)
+  }
+
   /** df-capped variant (unmemoized — the cap is a tuning parameter, not
     * part of the canonical pair set). See ngramJaccardPlan for semantics.
     */

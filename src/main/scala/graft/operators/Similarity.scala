@@ -269,6 +269,25 @@ object Similarity {
     * projection (no shuffle). Zero vectors normalize to zero (ANSI mode
     * would otherwise throw on the division).
     */
+  /** Random-projection dimensionality reduction (Johnson–Lindenstrauss):
+    * y = R·x / √outDim with R the deterministic splitmix-seeded matrix of
+    * the LSH hyperplane family (VectorFunctions.hyperplanesFlat) — no
+    * training pass, no model state, and the matrix embeds as SQL literals
+    * so any engine replays the projection bit-for-bit (fixed left-to-right
+    * summation, like the ann_lsh oracle). The plan is a narrow codegen
+    * projection on the scan — zero shuffles at any scale; the standard
+    * cheap pre-step before clustering/ANN when 64 dims are still too wide.
+    */
+  def dimReduce(s: SparkSession, dir: String, outDim: Int = 8): DataFrame = {
+    val flat = hyperplanesFlat(outDim, Dim)
+    val scale = math.sqrt(outDim.toDouble)
+    val cols = (0 until outDim).map { j =>
+      round(dotConst(col("embedding"),
+        flat.slice(j * Dim, (j + 1) * Dim).toSeq) / lit(scale), 6).as(s"y$j")
+    }
+    Tables.embeddings(s, dir).select(col("vec_id") +: cols: _*)
+  }
+
   def normalize(s: SparkSession, dir: String): DataFrame = {
     DotProduct.register(s)
     Tables.embeddings(s, dir)

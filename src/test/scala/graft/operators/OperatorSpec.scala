@@ -351,6 +351,36 @@ class OperatorSpec extends AnyFunSuite {
     assert((ids & purged).isEmpty, "purged near-dup in manifest")
   }
 
+  test("containment dominates jaccard: every j≥0.8 pair appears both ways") {
+    // |A∩B|/|A| ≥ |A∩B|/|A∪B|, so a jaccard-τ pair is a containment-τ
+    // pair in BOTH directions — the jaccard pairs give ground truth
+    val jac = Dedup.ngramJaccard(spark, sf).collect()
+      .filter(_.getDouble(2) >= 0.8)
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    assert(jac.nonEmpty, "fixture lost its high-jaccard near-dup pairs")
+    val got = Dedup.containment(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    jac.foreach { case ((a, b), j) =>
+      Seq((a, b), (b, a)).foreach { p =>
+        assert(got.contains(p), s"jaccard-$j pair $p missing from containment")
+        assert(got(p) >= j - 1e-6, s"containment ${got(p)} below jaccard $j for $p")
+      }
+    }
+    got.values.foreach(c => assert(c >= 0.8 && c <= 1.0 + 1e-9))
+  }
+
+  test("dim reduce is a deterministic linear map: zero in, zero out; additive") {
+    val a = Similarity.dimReduce(spark, sf).collect().sortBy(_.getLong(0))
+    val b = Similarity.dimReduce(spark, sf).collect().sortBy(_.getLong(0))
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+    assert(a.nonEmpty && a.head.length === 9) // vec_id + 8 projections
+    // projections are bounded by |R|∞·Σ|x| — sanity that no column is
+    // degenerate (all-zero output would mean a broken matrix slice)
+    (1 to 8).foreach { j =>
+      assert(a.exists(r => math.abs(r.getDouble(j)) > 1e-9), s"column y${j - 1} all zero")
+    }
+  }
+
   test("multimodal pipeline preserves byte length through binary payload") {
     val out = Multimodal.pipeline(spark, sf)
     val bad = out.join(graft.Tables.documents(spark, sf), Seq("doc_id"))
