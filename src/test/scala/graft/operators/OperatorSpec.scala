@@ -381,6 +381,25 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("repetition metrics survive degenerate documents") {
+    import spark.implicits._
+    val crafted = Seq(
+      (1L, "solo"), // one token: no bigrams, no 3-grams
+      (2L, "a a"), // repeated-token bigram
+      (3L, "b b b b b b")) // fully degenerate
+      .toDF("doc_id", "text")
+    val m = TextOps.repetitionOf(crafted).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getInt(1) === 1)
+    assert(m(1L).getDouble(2) === 1.0) // the lone token is the top unigram
+    assert(m(1L).isNullAt(3) && m(1L).isNullAt(4)) // no n-grams → null
+    assert(m(2L).getDouble(3) === 1.0)
+    assert(m(3L).getDouble(2) === 1.0)
+    assert(m(3L).getDouble(3) === 1.0)
+    // "b b b b b b": 4 total 3-grams, 1 distinct → dup frac 0.75
+    assert(m(3L).getDouble(4) === 0.75)
+  }
+
   test("multimodal pipeline preserves byte length through binary payload") {
     val out = Multimodal.pipeline(spark, sf)
     val bad = out.join(graft.Tables.documents(spark, sf), Seq("doc_id"))

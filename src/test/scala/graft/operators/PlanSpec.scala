@@ -85,6 +85,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("heavy hitters plans two-phase agg + TakeOrdered, no dictionary sort") {
+    val p = planOf(TextOps.heavyHitters(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("repetition filters shuffle on the doc key only — no window exchange") {
+    val p = planOf(TextOps.repetition(spark, sf))
+    assert(!p.contains("Window"), p.take(2000))
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p.take(2000)) // 2×(partial+final)
+  }
+
+  test("dim reduce is a pure projection: no exchange, no aggregate") {
+    val p = planOf(Similarity.dimReduce(spark, sf))
+    assert(!p.contains("HashAggregate"), p.take(2000))
+    // the only exchange allowed is Tables' single-row-group repartition
+    assert("Exchange".r.findAllIn(p).size <= 1, p.take(2000))
+  }
+
   test("q08 projection prunes the events scan to referenced columns") {
     val p = planOf(Relational.q08DerivedCols(spark, sf))
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
