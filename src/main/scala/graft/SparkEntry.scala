@@ -99,6 +99,7 @@ object SparkEntry {
     "stream_dedup_bounded" -> (StreamOps.streamingDedupBounded _),
     "stream_stream_join" -> (StreamOps.streamStreamJoin _),
     "q28_cube" -> (Relational.q28Cube _),
+    "q32_grouping_sets" -> (Relational.q32GroupingSets _),
     "q29_window_ranks" -> (Relational.q29WindowRanks _),
     "q31_sliding_window" -> (Relational.q31SlidingWindow _),
     "q30_string_funcs" -> (Relational.q30StringFuncs _),
@@ -664,6 +665,12 @@ object SparkEntry {
       """SELECT event_type, CAST(day(ts) AS INTEGER) AS dom,
         |count(*) AS cnt, round(sum(value), 2) AS sum_v
         |FROM events GROUP BY CUBE(event_type, CAST(day(ts) AS INTEGER))""".stripMargin,
+    "q32_grouping_sets" ->
+      """SELECT event_type, CAST(day(ts) AS INTEGER) AS dom,
+        |CAST(grouping(event_type) * 2 + grouping(CAST(day(ts) AS INTEGER)) AS INTEGER) AS gid,
+        |count(*) AS cnt, round(sum(value), 2) AS sum_v
+        |FROM events
+        |GROUP BY GROUPING SETS ((event_type, CAST(day(ts) AS INTEGER)), (event_type), (CAST(day(ts) AS INTEGER)))""".stripMargin,
     // inner stream-stream join emits on match → drained finite source
     // produces exactly the batch join set
     "stream_stream_join" ->

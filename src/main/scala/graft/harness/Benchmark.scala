@@ -95,7 +95,8 @@ object BenchmarkRegistry {
     "example_benchmark" -> (() => new ExampleBenchmark),
     "ny_taxi" -> (() => new NyTaxiBenchmark),
     "ny_taxi_ml" -> (() => new NyTaxiMlBenchmark),
-    "plasticc" -> (() => new PlasticcBenchmark))
+    "plasticc" -> (() => new PlasticcBenchmark),
+    "curation" -> (() => new CurationBenchmark))
 
   def create(name: String): BaseBenchmark =
     all.getOrElse(name,

@@ -187,6 +187,37 @@ object StreamOps {
     ss.table(name)
   }
 
+  /** Streaming Count-Min sketch — the custom `graft_cms` aggregate run as
+    * a streaming global aggregation: term frequencies accumulate across
+    * micro-batches in a constant 32 KiB of state (the sketch IS the
+    * aggregation buffer; elementwise-+ merge makes it a valid streaming
+    * state monoid). Complete mode re-emits the current sketch each batch;
+    * draining a finite source therefore ends at EXACTLY the batch-built
+    * sketch (spec-pinned) — the streaming ingest path for heavy-hitter
+    * monitoring without a term shuffle.
+    */
+  def streamingSketch(s: SparkSession, dir: String): Array[Long] = {
+    val ss = streamingSession(s)
+    graft.expressions.CountMinAgg.register(ss)
+    val path = s"$dir/documents.parquet"
+    val schema = ss.read.parquet(path).schema
+    val name = s"graft_stream_${counter.incrementAndGet()}"
+    val stream = ss.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .select(explode(graft.functions.TextFunctions.tokens(lower(col("text"))))
+        .as("term"))
+      .select(xxhash64(col("term")).as("h"))
+      .agg(call_function("graft_cms", col("h")).as("sketch"))
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    ss.table(name).collect()(0).getSeq[Long](0).toArray
+  }
+
   def streamingDedup(s: SparkSession, dir: String): DataFrame = {
     val ss = streamingSession(s)
     val path = s"$dir/documents.parquet"

@@ -36,6 +36,18 @@ class CountMinAggSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming sketch equals the batch sketch when the source drains") {
+    CountMinAgg.register(spark)
+    val batch = graft.Tables.documents(spark, sf)
+      .select(explode(graft.functions.TextFunctions.tokens(lower(col("text"))))
+        .as("term"))
+      .select(xxhash64(col("term")).as("h"))
+      .agg(call_function("graft_cms", col("h")))
+      .collect()(0).getSeq[Long](0).toArray
+    val streamed = graft.streaming.StreamOps.streamingSketch(spark, sf)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("merge associativity: partitioned build equals single-partition build") {
     CountMinAgg.register(spark)
     val terms = graft.Tables.documents(spark, sf)

@@ -16,9 +16,9 @@ class HarnessSpec extends AnyFunSuite {
     assert(ok.measurements("total") === 1.5)
   }
 
-  test("registry knows all four benchmarks and rejects unknown") {
+  test("registry knows all five benchmarks and rejects unknown") {
     assert(BenchmarkRegistry.all.keySet ===
-      Set("example_benchmark", "ny_taxi", "ny_taxi_ml", "plasticc"))
+      Set("example_benchmark", "ny_taxi", "ny_taxi_ml", "plasticc", "curation"))
     intercept[IllegalArgumentException] { BenchmarkRegistry.create("nope") }
     assert(BenchmarkRegistry.create("ny_taxi").name === "ny_taxi")
   }
