@@ -84,6 +84,7 @@ object SparkEntry {
     "text_decontaminate" -> ((s: SparkSession, d: String) => TextOps.decontaminate(s, d)),
     "text_repetition" -> (TextOps.repetition _),
     "doc_sample_balanced" -> (TextOps.sampleBalanced _),
+    "doc_sample_budget" -> ((s: SparkSession, d: String) => TextOps.sampleBudget(s, d)),
     "pipeline_manifest" -> ((s: SparkSession, d: String) => TextOps.trainingManifest(s, d)),
     "text_heavy_hitters" -> ((s: SparkSession, d: String) => TextOps.heavyHitters(s, d)),
     "stream_static_join" -> ((s: SparkSession, d: String) => StreamOps.streamStaticJoin(s, d)),
@@ -457,6 +458,21 @@ object SparkEntry {
         |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 10 = 0)
         |SELECT s.doc_id, count(*) AS n_shared FROM sh s JOIN ev USING (sh)
         |WHERE s.doc_id % 10 <> 0 GROUP BY 1""".stripMargin,
+    // hash-ranked prefix-sum admission per source: keep while tokens
+    // admitted BEFORE the doc are under budget (boundary doc may overshoot)
+    "doc_sample_budget" ->
+      """WITH h AS (SELECT doc_id, source,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  list_reduce(list_transform(range(1, 16), i ->
+        |    CAST(ord(substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) -
+        |         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), i, 1) BETWEEN '0' AND '9'
+        |              THEN 48 ELSE 87 END AS BIGINT)),
+        |    (a, x) -> a * 16 + x) AS h
+        |  FROM documents)
+        |SELECT doc_id, source, n_tokens,
+        |  coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) < 1000 AS keep
+        |FROM h""".stripMargin,
     // the whole curation chain composed: quality gate ∧ not-eval ∧
     // not-contaminated ∧ not-purged (same recursive closure as
     // dedup_purge_list) ⋈ embedding norms

@@ -340,6 +340,33 @@ object TextOps {
         round(col("nrm"), 6).as("emb_norm"))
   }
 
+  /** Deterministic per-source TOKEN-budget sampling — the form a mixing
+    * recipe actually states ("x tokens of source y"): within each source,
+    * docs are ranked by the engine-portable hash (a reproducible shuffle)
+    * and kept while the tokens admitted BEFORE them are under budget, so
+    * the kept set is a pure function of the corpus and the budget (the
+    * boundary doc may overshoot by at most its own length — the standard
+    * inclusive-boundary convention).
+    *
+    * Distributed shape: one shuffle on the source key + an in-partition
+    * sort for the running prefix sum — the canonical window pass; sources
+    * are the partition key, so skew equals source-size skew (salt a
+    * monster source by hash range if one dominates).
+    */
+  def sampleBudget(s: SparkSession, dir: String,
+                   budgetTokens: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("h", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        portableTokenHash(col("doc_id").cast("string")).as("h"))
+      .withColumn("tokens_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        (col("tokens_before") < budgetTokens).as("keep"))
+  }
+
   def sampleBalanced(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val counts = docs.groupBy("source").agg(count(lit(1)).as("n_source"))

@@ -4,7 +4,10 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{DotProduct, MinHashAgg}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.types.IntegerType
+
+import graft.expressions.{CountMinAgg, DotProduct, MinHashAgg, SimHashAgg, TopKAgg}
 
 /** SparkSessionExtensions entry point: registers graft's native functions
   * at session build time, so a cluster deployment enables them with
@@ -31,6 +34,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 1, "graft_minhash takes exactly 1 argument")
         MinHashAgg(children.head, numPerm = 32)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHashAgg].getName, "graft_simhash"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_simhash takes exactly 1 argument")
+        SimHashAgg(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "graft_topk"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "graft_topk takes (score, id, k)")
+        val k = children(2) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_topk k must be an int literal, got $other")
+        }
+        TopKAgg(children.head, children(1), k)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cms"),
+      new ExpressionInfo(classOf[CountMinAgg].getName, "graft_cms"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_cms takes exactly 1 argument")
+        CountMinAgg(children.head, CountMinAgg.DefaultDepth, CountMinAgg.DefaultWidth)
       }))
   }
 }

@@ -56,6 +56,10 @@ class DotProductSpec extends AnyFunSuite {
         Array(3.0f, 4.0f), org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.FloatType))))
     assert(expr.eval(null) === 11.0)
+    // the whole native-function surface rides the same injection path
+    Seq("graft_minhash", "graft_simhash", "graft_topk", "graft_cms").foreach { f =>
+      assert(registry.functionExists(FunctionIdentifier(f)), s"$f not injected")
+    }
   }
 
   test("graft_dot rejects wrong input types") {

@@ -400,6 +400,27 @@ class OperatorSpec extends AnyFunSuite {
     assert(m(3L).getDouble(4) === 0.75)
   }
 
+  test("token-budget sampling admits under budget and overshoots at most once") {
+    val budget = 120L
+    val rows = TextOps.sampleBudget(spark, sf, budget).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.length.toLong === graft.Tables.documents(spark, sf).count())
+    rows.groupBy(_._2).foreach { case (src, docs) =>
+      val kept = docs.filter(_._4)
+      assert(kept.nonEmpty, s"source $src admitted nothing") // first doc always fits
+      val keptTokens = kept.map(_._3).sum
+      val maxDoc = docs.map(_._3).max
+      // prefix-sum admission: total ≤ budget + one boundary doc
+      assert(keptTokens <= budget + maxDoc, s"$src kept $keptTokens tokens")
+      // and if anything was rejected, the budget really was exhausted
+      if (kept.length < docs.length)
+        assert(keptTokens >= budget, s"$src rejected docs below budget")
+    }
+    val again = TextOps.sampleBudget(spark, sf, budget).collect()
+      .map(r => (r.getLong(0), r.getBoolean(3))).sortBy(_._1).toSeq
+    assert(again === rows.map(r => (r._1, r._4)).sortBy(_._1).toSeq)
+  }
+
   test("multimodal pipeline preserves byte length through binary payload") {
     val out = Multimodal.pipeline(spark, sf)
     val bad = out.join(graft.Tables.documents(spark, sf), Seq("doc_id"))
