@@ -17,6 +17,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("streaming agg recovers checkpointed state across a restart") {
+    import org.apache.spark.sql.functions._
+    import java.nio.file.Files
+    // phase 1 processes half the events; phase 2 RESTARTS from the
+    // checkpoint, sees only the second half as new data, and must emit
+    // totals equal to the batch aggregate over BOTH halves — which only
+    // happens if phase 1's aggregation state was recovered
+    val events = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("value"), dayofmonth(col("ts")).as("dom"))
+    val inDir = Files.createTempDirectory("graft-ckpt-in").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt-state").toString
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    def runPhase(name: String): Long = {
+      val q = ss.readStream
+        .schema(ss.read.parquet(inDir).schema)
+        .parquet(inDir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_v"))
+        .writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .format("memory")
+        .queryName(name)
+        .start()
+      try {
+        q.processAllAvailable()
+        q.recentProgress.map(_.numInputRows).sum
+      } finally q.stop()
+    }
+    events.filter(col("dom") < 15).drop("dom")
+      .write.mode("append").parquet(inDir)
+    runPhase("graft_ckpt_phase1")
+    events.filter(col("dom") >= 15).drop("dom")
+      .write.mode("append").parquet(inDir)
+    val phase2Rows = runPhase("graft_ckpt_phase2")
+    // the checkpoint must have been honored: phase 2 ingests ONLY the new
+    // files — the first half's contribution can only come from recovered
+    // aggregation state
+    val newRows = events.filter(col("dom") >= 15).count()
+    assert(phase2Rows === newRows,
+      s"phase 2 re-read old files: ingested $phase2Rows, new data was $newRows")
+    val recovered = ss.table("graft_ckpt_phase2").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = events.groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(recovered === batch)
+  }
+
   test("stream-static join equals the batch decontamination overlap counts") {
     import org.apache.spark.sql.functions._
     val streamed = StreamOps.streamStaticJoin(spark, sf)
