@@ -202,16 +202,24 @@ object TextOps {
                     k: Int = 3, evalMod: Int = 10): DataFrame = {
     val docs = Tables.documents(s, dir)
     val isEval = col("doc_id") % evalMod === 0
-    val evalShingles = docs.filter(isEval)
+    decontaminateOf(docs.filter(!isEval), docs.filter(isEval), k)
+  }
+
+  /** DataFrame-first core of [[decontaminate]]: flag `train` docs sharing
+    * any k-shingle with `eval` (both frames need doc_id + text) — the
+    * form a library user calls with their own corpus and benchmark suite.
+    */
+  def decontaminateOf(train: DataFrame, eval: DataFrame, k: Int = 3): DataFrame = {
+    val evalShingles = eval
       .select(explode(shingles(col("text"), k)).as("sh"))
       .distinct()
-    val trainShingles = docs.filter(!isEval)
+    val trainShingles = train
       .select(col("doc_id"), explode(shingles(col("text"), k)).as("sh"))
     // shingles() emits DISTINCT shingles per doc, so this count is the
     // number of distinct k-grams the doc shares with the eval set
     val hits = trainShingles.join(broadcast(evalShingles), Seq("sh"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
-    docs.filter(!isEval).select("doc_id")
+    train.select("doc_id")
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_shared"), lit(0L)).as("n_shared"),
@@ -278,9 +286,13 @@ object TextOps {
     * these exact counts; at 100 TB the sketch replaces the term shuffle
     * when an ε-approximate answer suffices.
     */
-  def heavyHitters(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+  def heavyHitters(s: SparkSession, dir: String, k: Int = 20): DataFrame =
+    heavyHittersOf(Tables.documents(s, dir), k)
+
+  /** DataFrame-first core of [[heavyHitters]] over any (doc_id, text). */
+  def heavyHittersOf(docs: DataFrame, k: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    Tables.documents(s, dir)
+    docs
       .select(explode(tokens(lower(col("text")))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("term").asc).limit(k)
@@ -354,11 +366,15 @@ object TextOps {
     * monster source by hash range if one dominates).
     */
   def sampleBudget(s: SparkSession, dir: String,
-                   budgetTokens: Long = 1000L): DataFrame = {
+                   budgetTokens: Long = 1000L): DataFrame =
+    sampleBudgetOf(Tables.documents(s, dir), budgetTokens)
+
+  /** DataFrame-first core of [[sampleBudget]] over (doc_id, source, text). */
+  def sampleBudgetOf(docs: DataFrame, budgetTokens: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("source").orderBy("h", "doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(s, dir)
+    docs
       .select(col("doc_id"), col("source"),
         size(tokens(col("text"))).cast("long").as("n_tokens"),
         portableTokenHash(col("doc_id").cast("string")).as("h"))
@@ -367,8 +383,11 @@ object TextOps {
         (col("tokens_before") < budgetTokens).as("keep"))
   }
 
-  def sampleBalanced(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+  def sampleBalanced(s: SparkSession, dir: String): DataFrame =
+    sampleBalancedOf(Tables.documents(s, dir))
+
+  /** DataFrame-first core of [[sampleBalanced]] over (doc_id, source). */
+  def sampleBalancedOf(docs: DataFrame): DataFrame = {
     val counts = docs.groupBy("source").agg(count(lit(1)).as("n_source"))
     val minCount = counts.agg(min(col("n_source")).as("min_count"))
     val h = portableTokenHash(col("doc_id").cast("string"))

@@ -421,6 +421,35 @@ class OperatorSpec extends AnyFunSuite {
     assert(again === rows.map(r => (r._1, r._4)).sortBy(_._1).toSeq)
   }
 
+  test("governance ops tolerate null and empty text without crashing") {
+    import spark.implicits._
+    val dirty = Seq(
+      (1L, "src0", "normal words here and more of them"),
+      (2L, "src0", null.asInstanceOf[String]),
+      (3L, "src1", ""),
+      (4L, "src1", "   ")).toDF("doc_id", "source", "text")
+    val evalSet = Seq((9L, "eval", "normal words here")).toDF("doc_id", "source", "text")
+    // decontamination: null/empty docs have no shingles → clean, not a crash
+    val dec = TextOps.decontaminateOf(dirty, evalSet).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(dec.keySet === Set(1L, 2L, 3L, 4L))
+    assert(dec(1L)) // shares "normal words here"
+    assert(!dec(2L) && !dec(3L) && !dec(4L))
+    // repetition: metrics are null for token-less docs, present for doc 1
+    val rep = TextOps.repetitionOf(dirty).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rep.keySet === Set(1L, 2L, 3L, 4L))
+    assert(rep(1L).getDouble(2) > 0)
+    // heavy hitters simply skip token-less docs
+    val hh = TextOps.heavyHittersOf(dirty, k = 5).collect()
+    assert(hh.nonEmpty && hh.forall(_.getLong(1) >= 1))
+    // budget sampling: token-less docs contribute nothing to the budget
+    val sb = TextOps.sampleBudgetOf(dirty, 100L).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(sb.keySet === Set(1L, 2L, 3L, 4L))
+    assert(sb(1L)) // first real doc fits a 100-token budget
+  }
+
   test("multimodal pipeline preserves byte length through binary payload") {
     val out = Multimodal.pipeline(spark, sf)
     val bad = out.join(graft.Tables.documents(spark, sf), Seq("doc_id"))
