@@ -342,6 +342,25 @@ object Relational {
       .agg(count(lit(1)).as("n_customers"),
         round(sum("c_acctbal"), 2).as("sum_acctbal"))
 
+  /** Manual skew salting for a shuffled equi-join — the fallback when one
+    * fact-side key dominates and the small side is too large to broadcast
+    * (AQE's skew-join split handles sort-merge skew at runtime; salting is
+    * the plan-level lever that also works for hash joins and pre-AQE
+    * engines). The fact side gets a deterministic salt in [0, n) from a
+    * row-content hash (no RNG state — reshardable and rerunnable); the
+    * build side is exploded ×n so every (key, salt) bucket finds its
+    * match; the join key becomes (key, salt), spreading one hot key over
+    * n reducers. Result set is EXACTLY the plain join's (spec-pinned).
+    */
+  def saltedJoin(fact: DataFrame, build: DataFrame, key: String,
+                 numSalts: Int, saltSource: Column): DataFrame = {
+    val salted = fact.withColumn("__salt",
+      pmod(xxhash64(saltSource), lit(numSalts)).cast("int"))
+    val exploded = build.withColumn("__salt",
+      explode(sequence(lit(0), lit(numSalts - 1))))
+    salted.join(exploded, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Semi/anti join family: orders having at least one high-quantity
     * lineitem (LEFT SEMI — no row amplification, the probe side streams
     * against a build-side key set), excluding orders of customers in debt

@@ -450,6 +450,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(sb(1L)) // first real doc fits a 100-token budget
   }
 
+  test("salted join returns exactly the plain join result and spreads the hot key") {
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    val events = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val dim = events.select("event_type").distinct()
+      .withColumn("type_tag", xxhash64(col("event_type")))
+    val plain = events.join(dim, Seq("event_type"))
+      .select("event_id", "type_tag").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val salted = Relational.saltedJoin(events, dim, "event_type",
+      numSalts = 8, saltSource = col("event_id"))
+      .select("event_id", "type_tag").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(salted === plain)
+    // the salt really spreads one key's rows over the full salt range
+    val spread = events.withColumn("__salt",
+      org.apache.spark.sql.functions.pmod(xxhash64(col("event_id")),
+        org.apache.spark.sql.functions.lit(8)).cast("int"))
+      .filter(col("event_type") === "click")
+      .select("__salt").distinct().count()
+    assert(spread === 8L)
+  }
+
   test("multimodal pipeline preserves byte length through binary payload") {
     val out = Multimodal.pipeline(spark, sf)
     val bad = out.join(graft.Tables.documents(spark, sf), Seq("doc_id"))
