@@ -436,18 +436,15 @@ object Relational {
     * in ONE pass over the input (Spark expands the sets inside a single
     * Expand + two-phase hash aggregation; no self-union of scans).
     */
-  def q32GroupingSets(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(s, dir)
+  def q32GroupingSets(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
       .select(col("event_type"), dayofmonth(col("ts")).as("dom"), col("value"))
-    e.createOrReplaceTempView("graft_gs_events")
-    s.sql(
-      """SELECT event_type, dom,
-        |  CAST(grouping_id(event_type, dom) AS INT) AS gid,
-        |  count(1) AS cnt, round(sum(value), 2) AS sum_v
-        |FROM graft_gs_events
-        |GROUP BY GROUPING SETS ((event_type, dom), (event_type), (dom))
-        |""".stripMargin)
-  }
+      .groupingSets(
+        Seq(Seq(col("event_type"), col("dom")), Seq(col("event_type")),
+          Seq(col("dom"))),
+        col("event_type"), col("dom"))
+      .agg(grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_v"))
 
   /** Pipeline composition (ny_taxi_ml end-to-end ETL shape): filter → feature
     * engineering → threshold split (P9) → per-split aggregate, re-joined.
