@@ -63,6 +63,58 @@ object TextFunctions {
       }
     }
 
+  /** Per-document repetition counts in ONE compiled pass:
+    * [n_tokens, max_unigram_count, max_bigram_count, distinct_3gram_count].
+    * Repetition metrics are intrinsically per-document, so the explode →
+    * two-hash-agg shape (which shuffles the corpus on the doc key twice)
+    * is strictly worse than a per-row kernel at any scale; document size
+    * bounds the hash maps. Tokenization replicates `tokens()` exactly —
+    * Spark `trim` (ASCII spaces only) then `split("\\s+")` — as in the
+    * shingle kernel, so SQL oracles are unaffected.
+    */
+  def repetitionCounts(text: Column): Column = repetitionKernel(text)
+
+  private val repetitionKernel: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String) =>
+      if (text == null) Array(0L, 0L, 0L, 0L)
+      else {
+        var a = 0
+        var b = text.length
+        while (a < b && text.charAt(a) == ' ') a += 1
+        while (b > a && text.charAt(b - 1) == ' ') b -= 1
+        if (a >= b) Array(0L, 0L, 0L, 0L)
+        else {
+          val w = text.substring(a, b).split("\\s+")
+          val uni = new scala.collection.mutable.HashMap[String, Long]()
+          var uniMax = 0L
+          var i = 0
+          while (i < w.length) {
+            val c = uni.getOrElse(w(i), 0L) + 1
+            uni.update(w(i), c)
+            if (c > uniMax) uniMax = c
+            i += 1
+          }
+          val bi = new scala.collection.mutable.HashMap[String, Long]()
+          var biMax = 0L
+          i = 0
+          while (i + 1 < w.length) {
+            val g = w(i) + " " + w(i + 1)
+            val c = bi.getOrElse(g, 0L) + 1
+            bi.update(g, c)
+            if (c > biMax) biMax = c
+            i += 1
+          }
+          val tri = new java.util.HashSet[String]()
+          i = 0
+          while (i + 2 < w.length) {
+            tri.add(w(i) + " " + w(i + 1) + " " + w(i + 2))
+            i += 1
+          }
+          Array(w.length.toLong, uniMax, biMax, tri.size.toLong)
+        }
+      }
+    }
+
   /** Mersenne prime 2^31 − 1: the modulus for the minhash permutation
     * family h_i(x) = (a_i·x + b_i) mod p — the standard construction from
     * Broder's "On the resemblance and containment of documents" (1997).

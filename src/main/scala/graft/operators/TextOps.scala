@@ -213,17 +213,18 @@ object TextOps {
     val evalShingles = eval
       .select(explode(shingles(col("text"), k)).as("sh"))
       .distinct()
-    val trainShingles = train
-      .select(col("doc_id"), explode(shingles(col("text"), k)).as("sh"))
-    // shingles() emits DISTINCT shingles per doc, so this count is the
-    // number of distinct k-grams the doc shares with the eval set
-    val hits = trainShingles.join(broadcast(evalShingles), Seq("sh"))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
-    train.select("doc_id")
-      .join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
-        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+    // ONE corpus scan: explode_outer keeps shingle-less docs in the
+    // stream, the broadcast left join marks eval hits, and count(marker)
+    // counts only matches — per-doc zero counts fall out of the same
+    // aggregation instead of a second scan + re-join of the corpus.
+    // shingles() emits DISTINCT shingles per doc, so the count is the
+    // number of distinct k-grams the doc shares with the eval set.
+    train
+      .select(col("doc_id"), explode_outer(shingles(col("text"), k)).as("sh"))
+      .join(broadcast(evalShingles.withColumn("__hit", lit(1))), Seq("sh"), "left")
+      .groupBy("doc_id").agg(count(col("__hit")).as("n_shared"))
+      .select(col("doc_id"), col("n_shared"),
+        (col("n_shared") > 0).as("contaminated"))
   }
 
   /** Repetition filters (Gopher / MassiveText quality rules, Rae et al.
@@ -231,47 +232,30 @@ object TextOps {
     * and bigram, and the duplicate-3-gram fraction (1 − distinct/total).
     * High values mark boilerplate / degenerate generations for removal.
     *
-    * Distributed shape: one explode to (doc, gram) pairs, two hash
-    * aggregations (gram counts, per-doc max) per gram order — shuffles on
-    * the doc key only, no windows. The bigram array is built per-row with
-    * `zip_with` over two slices (one pass, no self-join); the distinct
-    * 3-gram count rides the compiled shingle kernel.
+    * Distributed shape: a ZERO-shuffle narrow projection — the metrics
+    * are intrinsically per-document, so the counts come from one compiled
+    * pass per row (`TextFunctions.repetitionCounts`; the earlier explode
+    * → two-hash-agg formulation shuffled the corpus on the doc key twice
+    * for the same per-doc answer).
     */
   def repetition(s: SparkSession, dir: String): DataFrame =
     repetitionOf(Tables.documents(s, dir))
 
   /** Core of [[repetition]] over any frame with (doc_id, text). */
   def repetitionOf(docs: DataFrame): DataFrame = {
-    val t = tokens(col("text"))
-    val base = docs.select(
-      col("doc_id"), t.as("t"),
-      shingles(col("text"), 3).as("sh3"))
-
-    def maxGramCount(grams: Column): DataFrame = base
-      .select(col("doc_id"), explode(grams).as("g"))
-      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(max(col("c")).as("mc"))
-
-    val uniMax = maxGramCount(col("t")).withColumnRenamed("mc", "uni_mc")
-    val bigrams = zip_with(
-      slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
-      slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))),
-      (a, b) => concat_ws(" ", a, b))
-    val biMax = maxGramCount(bigrams).withColumnRenamed("mc", "bi_mc")
-
-    base.select(col("doc_id"), size(col("t")).as("n_tokens"),
-      size(col("sh3")).as("d3"))
-      .join(uniMax, Seq("doc_id"), "left")
-      .join(biMax, Seq("doc_id"), "left")
+    val c = repetitionCounts(col("text"))
+    docs.select(col("doc_id"), c.as("c"))
       .select(
-        col("doc_id"), col("n_tokens"),
-        round(col("uni_mc") / col("n_tokens").cast("double"), 6)
+        col("doc_id"),
+        col("c")(0).cast("int").as("n_tokens"),
+        when(col("c")(0) > 0,
+          round(col("c")(1) / col("c")(0).cast("double"), 6))
           .as("top_unigram_frac"),
-        when(col("n_tokens") > 1,
-          round(col("bi_mc") / (col("n_tokens") - 1).cast("double"), 6))
+        when(col("c")(0) > 1,
+          round(col("c")(2) / (col("c")(0) - 1).cast("double"), 6))
           .as("top_bigram_frac"),
-        when(col("n_tokens") > 2,
-          round(lit(1.0) - col("d3") / (col("n_tokens") - 2).cast("double"), 6))
+        when(col("c")(0) > 2,
+          round(lit(1.0) - col("c")(3) / (col("c")(0) - 2).cast("double"), 6))
           .as("dup_3gram_frac"))
   }
 

@@ -91,10 +91,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
 
-  test("repetition filters shuffle on the doc key only — no window exchange") {
+  test("repetition filters are a zero-shuffle narrow projection") {
     val p = planOf(TextOps.repetition(spark, sf))
     assert(!p.contains("Window"), p.take(2000))
-    assert("HashAggregate".r.findAllIn(p).size >= 4, p.take(2000)) // 2×(partial+final)
+    assert(!p.contains("HashAggregate"), p.take(2000))
+    // the only exchange allowed is Tables' single-row-group repartition
+    assert("Exchange".r.findAllIn(p).size <= 1, p.take(2000))
   }
 
   test("dim reduce is a pure projection: no exchange, no aggregate") {
