@@ -58,6 +58,7 @@ object SparkEntry {
     "emb_normalize" -> (Similarity.normalize _),
     "emb_dim_reduce" -> ((s: SparkSession, d: String) => Similarity.dimReduce(s, d)),
     "dedup_containment" -> ((s: SparkSession, d: String) => Dedup.containment(s, d)),
+    "dedup_incremental" -> ((s: SparkSession, d: String) => Dedup.incremental(s, d)),
     "emb_label_encode" -> (Similarity.labelEncode _),
     // ---- training-data pipeline extensions ----
     "dedup_exact_docs" -> (Dedup.exact _),
@@ -243,6 +244,19 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "emb_dim_reduce" -> dimReduceOracle,
+    // new batch = odd doc_id, existing corpus = even; candidates are
+    // new×old only, same jaccard formula/threshold as the batch pipeline
+    "dedup_incremental" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+        |       FROM w, UNNEST(range(1, len(w)-1)) AS t(i) WHERE len(w) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS id_new, b.doc_id AS id_old, count(*) AS c
+        |          FROM sh a JOIN sh b ON a.sh = b.sh
+        |          WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0 GROUP BY 1, 2)
+        |SELECT id_new, id_old, round(c / (sa.n + sb.n - c), 6) AS jaccard
+        |FROM inter JOIN sizes sa ON id_new = sa.doc_id JOIN sizes sb ON id_old = sb.doc_id
+        |WHERE round(c / (sa.n + sb.n - c), 6) >= 0.5""".stripMargin,
     "dedup_containment" ->
       """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
         |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh

@@ -149,6 +149,36 @@ object Dedup {
     */
   def releasePairs(): Unit = pairCache.clear()
 
+  /** Incremental near-dup dedup — the production ingest shape: a NEW
+    * batch (odd doc_id here; in production, today's partition) verified
+    * against the EXISTING corpus only. Candidates are new×old
+    * shingle-index matches — never old×old, because the lake was already
+    * deduplicated — so the candidate join scales with the BATCH size
+    * times index selectivity, not the corpus². Same exact-jaccard verify
+    * (sorted-array merge-intersect kernel) and threshold as the batch
+    * pipeline; emits (id_new, id_old, jaccard).
+    */
+  def incremental(s: SparkSession, dir: String,
+                  threshold: Double = JaccardThreshold): DataFrame = {
+    val sh = shinglePairs(s, dir)
+    val arrays = shingleArrays(sh)
+    val isNew = col("doc_id") % 2 === 1
+    val cands = sh.filter(isNew).select(col("doc_id").as("id_new"), col("sh"))
+      .join(sh.filter(!isNew).select(col("doc_id").as("id_old"), col("sh")), Seq("sh"))
+      .select("id_new", "id_old").distinct()
+    val result = cands
+      .join(arrays.select(col("doc_id").as("id_new"), col("shs").as("shs_a"),
+        col("n").as("n_a")), "id_new")
+      .join(arrays.select(col("doc_id").as("id_old"), col("shs").as("shs_b"),
+        col("n").as("n_b")), "id_old")
+      .withColumn("c", sortedIntersectKernel(col("shs_a"), col("shs_b")))
+      .withColumn("jaccard",
+        round(col("c") / (col("n_a") + col("n_b") - col("c")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_new", "id_old", "jaccard")
+    CacheLifecycle.materialize(result, sh, arrays)
+  }
+
   /** Directed shingle containment C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)| —
     * the near-SUPERSET detector: a document quoted or embedded inside a
     * larger one has high containment in it but low symmetric Jaccard

@@ -473,6 +473,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(spread === 8L)
   }
 
+  test("incremental dedup equals the parity-crossing slice of the full pair set") {
+    val full = Dedup.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // orient each full pair as (new=odd, old=even); same-parity pairs are
+    // out of scope for an incremental run by construction
+    val expected = full.flatMap { case (a, b, j) =>
+      (a % 2, b % 2) match {
+        case (1, 0) => Some((a, b, j))
+        case (0, 1) => Some((b, a, j))
+        case _ => None
+      }
+    }.toSet
+    val got = Dedup.incremental(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "fixture lost its cross-parity near-dup pairs")
+  }
+
   test("multimodal pipeline preserves byte length through binary payload") {
     val out = Multimodal.pipeline(spark, sf)
     val bad = out.join(graft.Tables.documents(spark, sf), Seq("doc_id"))
