@@ -151,21 +151,35 @@ object Dedup {
 
   /** Incremental near-dup dedup — the production ingest shape: a NEW
     * batch (odd doc_id here; in production, today's partition) verified
-    * against the EXISTING corpus only. Candidates are new×old
-    * shingle-index matches — never old×old, because the lake was already
-    * deduplicated — so the candidate join scales with the BATCH size
-    * times index selectivity, not the corpus². Same exact-jaccard verify
-    * (sorted-array merge-intersect kernel) and threshold as the batch
-    * pipeline; emits (id_new, id_old, jaccard).
+    * against the EXISTING corpus only. The candidate join is the SAME
+    * PPJoin prefix+length+position filter as the batch pipeline
+    * (the prefix theorem is symmetric, so it applies unchanged to the
+    * new×old restriction), never old×old — the lake was already
+    * deduplicated — and the verify-side arrays are built only for docs
+    * appearing in a candidate pair, keeping every stage after the shared
+    * index batch-proportional. Emits (id_new, id_old, jaccard ≥ τ).
     */
   def incremental(s: SparkSession, dir: String,
                   threshold: Double = JaccardThreshold): DataFrame = {
     val sh = shinglePairs(s, dir)
-    val arrays = shingleArrays(sh)
-    val isNew = col("doc_id") % 2 === 1
-    val cands = sh.filter(isNew).select(col("doc_id").as("id_new"), col("sh"))
-      .join(sh.filter(!isNew).select(col("doc_id").as("id_old"), col("sh")), Seq("sh"))
-      .select("id_new", "id_old").distinct()
+    val docFreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val prefixKeyed = prefixIndex(sh, docFreq)
+    val alpha = JaccardThreshold / (1 + JaccardThreshold)
+    val cands = prefixKeyed.as("a")
+      .join(prefixKeyed.as("b"),
+        col("a.sh") === col("b.sh") &&
+          col("a.doc_id") % 2 === 1 && col("b.doc_id") % 2 === 0 &&
+          greatest(col("a.n"), col("b.n")) * JaccardThreshold <=
+            least(col("a.n"), col("b.n")) &&
+          lit(1) + least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")) >=
+            ceil((col("a.n") + col("b.n")) * alpha))
+      .select(col("a.doc_id").as("id_new"), col("b.doc_id").as("id_old"))
+      .distinct()
+    // verify-side arrays only for docs that appear in a candidate pair —
+    // batch-proportional, unlike a full-corpus array aggregate
+    val candIds = cands.select(col("id_new").as("doc_id"))
+      .union(cands.select(col("id_old").as("doc_id")))
+    val arrays = shingleArrays(sh.join(candIds, Seq("doc_id"), "left_semi"))
     val result = cands
       .join(arrays.select(col("doc_id").as("id_new"), col("shs").as("shs_a"),
         col("n").as("n_a")), "id_new")
@@ -176,7 +190,9 @@ object Dedup {
         round(col("c") / (col("n_a") + col("n_b") - col("c")), 6))
       .filter(col("jaccard") >= threshold)
       .select("id_new", "id_old", "jaccard")
-    CacheLifecycle.materialize(result, sh, arrays)
+    // cands feeds both the semi-join id set and the verify join — persist
+    // it alongside the index intermediates so each is computed once
+    CacheLifecycle.materialize(result, sh, prefixKeyed, cands, arrays)
   }
 
   /** Directed shingle containment C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)| —
@@ -243,16 +259,7 @@ object Dedup {
     // doc-length-bounded) array, slice the prefix. Replaces the previous
     // row_number window + sizes join — one exchange instead of a full
     // partition sort plus an extra join, and n comes free as size(ranked).
-    val prefix = sh.join(docFreq, "sh")
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ranked"))
-      .select(col("doc_id"), size(col("ranked")).as("n"),
-        posexplode(slice(col("ranked"), lit(1),
-          (size(col("ranked")) -
-            ceil(lit(JaccardThreshold) * size(col("ranked"))) + 1).cast("int")))
-          .as(Seq("pos0", "t")))
-      .select(col("doc_id"), col("t.sh").as("sh"), col("n"),
-        (col("pos0") + 1).as("pos"))
+    val prefix = prefixIndex(sh, docFreq)
     // PPJoin position filter: a prefix match at positions (pa, pb) bounds
     // the overlap by 1 + min(|a|−pa, |b|−pb); J ≥ τ requires overlap ≥
     // ⌈τ/(1+τ)·(|a|+|b|)⌉. Applied per matched prefix row INSIDE the join
@@ -273,6 +280,24 @@ object Dedup {
       .distinct()
     (verifyJaccard(arrays, candidates), Seq(sh, prefixKeyed, arrays))
   }
+
+  /** Per-doc rarest-first prefix index (rank ≤ |d| − ⌈τ·|d|⌉ + 1 under
+    * the global df order) as ONE aggregate: collect the doc's (df, sh)
+    * pairs, sort the (small, doc-length-bounded) array, slice the
+    * prefix. Shared by the batch PPJoin pipeline and the incremental
+    * variant. Columns: (doc_id, sh, n, pos).
+    */
+  private def prefixIndex(sh: DataFrame, docFreq: DataFrame): DataFrame =
+    sh.join(docFreq, "sh")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ranked"))
+      .select(col("doc_id"), size(col("ranked")).as("n"),
+        posexplode(slice(col("ranked"), lit(1),
+          (size(col("ranked")) -
+            ceil(lit(JaccardThreshold) * size(col("ranked"))) + 1).cast("int")))
+          .as(Seq("pos0", "t")))
+      .select(col("doc_id"), col("t.sh").as("sh"), col("n"),
+        (col("pos0") + 1).as("pos"))
 
   /** MinHash signatures per document via the custom `graft_minhash`
     * TypedImperativeAggregate (one aggregate computing all NumPerm
