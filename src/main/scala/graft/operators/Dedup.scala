@@ -248,7 +248,7 @@ object Dedup {
     * default, used by the oracle-checked query) disables the cap — the
     * result is then exactly PPJoin.
     */
-  private def ngramJaccardPlan(s: SparkSession, dir: String,
+  private[operators] def ngramJaccardPlan(s: SparkSession, dir: String,
                                dfCap: Long = Long.MaxValue): (DataFrame, Seq[DataFrame]) = {
     val sh = shinglePairs(s, dir)
     val arrays = shingleArrays(sh)

@@ -106,6 +106,15 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).size <= 1, p.take(2000))
   }
 
+  test("pair-pipeline candidates join on the shingle key — no nested loop") {
+    // the eager operators return checkpointed (opaque) frames, so pin
+    // the shared prefix-join shape via the lazy plan variant — the
+    // incremental candidate join reuses the same prefixIndex machinery
+    val p = planOf(Dedup.ngramJaccardPlan(spark, sf)._1)
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("q08 projection prunes the events scan to referenced columns") {
     val p = planOf(Relational.q08DerivedCols(spark, sf))
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
