@@ -35,6 +35,24 @@ class JsonSourceSpec extends AnyFunSuite {
     assert(projected.count() === docs.count())
   }
 
+  test("ORC roundtrips exactly and pushes filters to the scan") {
+    // ORC is the second columnar format Spark ships natively (the avro
+    // CONNECTOR is absent offline — format breadth stops at what the
+    // runtime genuinely provides)
+    val dir = Files.createTempDirectory("graft-orc").toString + "/lineitem"
+    val li = graft.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    li.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema === li.schema)
+    assert(back.count() === li.count())
+    val filtered = back.filter(col("l_quantity") > 25.0)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("l_quantity"),
+      s"orc scan did not push the filter: ${plan.take(1200)}")
+    assert(filtered.count() === li.filter(col("l_quantity") > 25.0).count())
+  }
+
   test("FAILFAST surfaces corrupt lines; PERMISSIVE tolerates them") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-jsonl3").toString
