@@ -67,6 +67,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(recovered === batch)
   }
 
+  test("parquet file sink is exactly-once across a restart") {
+    import org.apache.spark.sql.functions._
+    import java.nio.file.Files
+    // the file sink's metadata log makes output transactional: a restart
+    // must neither drop nor duplicate rows already committed
+    val events = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("value"), dayofmonth(col("ts")).as("dom"))
+    val inDir = Files.createTempDirectory("graft-sink-in").toString
+    val outDir = Files.createTempDirectory("graft-sink-out").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft-sink-ckpt").toString
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    def drain(): Unit = {
+      val q = ss.readStream.schema(ss.read.parquet(inDir).schema).parquet(inDir)
+        .select("event_id", "value")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    events.filter(col("dom") < 15).write.mode("append").parquet(inDir)
+    drain()
+    events.filter(col("dom") >= 15).write.mode("append").parquet(inDir)
+    drain()
+    val out = ss.read.parquet(outDir).select("event_id").collect().map(_.getLong(0))
+    assert(out.length === out.distinct.length, "file sink duplicated rows")
+    assert(out.length.toLong === events.count(), "file sink dropped rows")
+  }
+
   test("stream-static join equals the batch decontamination overlap counts") {
     import org.apache.spark.sql.functions._
     val streamed = StreamOps.streamStaticJoin(spark, sf)
