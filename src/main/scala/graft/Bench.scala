@@ -36,6 +36,23 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = only.fold(SparkEntry.queries)(f =>
       SparkEntry.queries.filter { case (k, _) => f(k) })
+
+    // Streaming warm-up (same contract as above: engine init, not data):
+    // the first streaming query otherwise absorbs micro-batch machinery,
+    // state-store and streaming-codegen init — measured at ~4-5 s on a
+    // 5-row table — which mis-attributes engine cold-start to whichever
+    // stream_* query sorts first.
+    if (selected.keys.exists(_.startsWith("stream_"))) {
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      val rSchema = ss.read.parquet(s"$sfDir/region.parquet").schema
+      val q = ss.readStream.schema(rSchema)
+        .option("pathGlobFilter", "region.parquet").parquet(sfDir)
+        .dropDuplicates("r_regionkey")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("graft_warmup_stream").start()
+      q.processAllAvailable(); q.stop()
+    }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).count()
@@ -49,7 +66,19 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // The driver captures only a tail of stdout, which can truncate the
+    // per-query map — always persist the complete record to a repo file too.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/bench_out.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      json.getBytes("UTF-8"))
+    catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }
