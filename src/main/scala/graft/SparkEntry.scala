@@ -69,7 +69,12 @@ object SparkEntry {
     "dedup_build_pairs" -> (Dedup.ngramJaccard _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "dedup_minhash_lsh" -> (Dedup.minhashLsh _),
+    // production configuration (xxhash64 token hash — no SQL oracle can
+    // replay it, so this entry is rows-only by design; the identical
+    // pipeline with the portable md5 hash is fully oracle-checked below
+    // and DedupSpec pins that the two differ only in the hash expression)
     "dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
+    "dedup_simhash_portable" -> ((s: SparkSession, d: String) => Dedup.simhashPairsPortable(s, d)),
     "dedup_clusters" -> ((s: SparkSession, d: String) => Dedup.clusters(s, d)),
     "dedup_purge_list" -> (Dedup.purge _),
     "dedup_fuzzy_names" -> ((s: SparkSession, d: String) => Dedup.fuzzyNames(s, d)),
@@ -376,7 +381,9 @@ object SparkEntry {
     // threshold on this data (all matching pairs have j>=0.9), so the exact
     // oracle applies.
     "dedup_minhash_lsh" -> shingleCte,
-    "dedup_simhash" -> simhashOracle,
+    // dedup_simhash (xxhash64 production default) is rows-only by design;
+    // the portable-hash twin replays the full pipeline in SQL
+    "dedup_simhash_portable" -> simhashOracle,
     "dedup_fuzzy_names" ->
       """SELECT a.p_partkey AS id_a, count(*) AS n_similar,
         |CAST(min(levenshtein(a.p_name, b.p_name)) AS INTEGER) AS min_dist

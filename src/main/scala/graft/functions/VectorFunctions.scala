@@ -146,6 +146,32 @@ object VectorFunctions {
       words
     }
 
+  /** Dense projection kernel y = R·x / scale (row-major R, outDim × dim):
+    * the matrix-vector product of a JL dimensionality reduction as ONE
+    * compiled loop instead of outDim × dim expression nodes — a 512-node
+    * literal tree codegens correctly but pays a per-query compile cost
+    * (hundreds of ms) that dwarfs the actual flops at any batch size.
+    * Accumulation is left-to-right in double per output row, bit-identical
+    * to the unrolled expression and the sequential oracle sum.
+    */
+  def projectKernel(planesFlat: Array[Double], dim: Int, scale: Double)
+  : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (v: Array[Float]) =>
+      val outDim = planesFlat.length / dim
+      val y = new Array[Double](outDim)
+      var j = 0
+      while (j < outDim) {
+        var s = 0.0d
+        var i = 0
+        val off = j * dim
+        val n = math.min(dim, v.length)
+        while (i < n) { s += v(i).toDouble * planesFlat(off + i); i += 1 }
+        y(j) = s / scale
+        j += 1
+      }
+      y
+    }
+
   /** Random-hyperplane LSH bucket kernel: sign bit per plane, planes given
     * as a flattened row-major matrix (numPlanes × dim).
     */

@@ -339,11 +339,17 @@ object Dedup {
     * custom `graft_simhash` TypedImperativeAggregate (whole signature in
     * one aggregate — expressions.SimHashAgg), candidates from 4×16-bit
     * chunk buckets (pigeonhole: hamming ≤ 3 pairs must agree on ≥ 1 of 4
-    * chunks), verified by exact hamming distance ≤ 3. Token hashes are
-    * the engine-portable 60-bit md5 prefix (TextFunctions
-    * .portableTokenHash) so the full pipeline is oracle-checkable; sig
-    * bits 60-63 are structurally zero, which the chunk bucketing and
-    * hamming verify are agnostic to.
+    * chunks), verified by exact hamming distance ≤ 3.
+    *
+    * Token hashing is pluggable because production and verification pull
+    * in different directions: the DEFAULT is `xxhash64` — one non-crypto
+    * pass per token, the right constant factor when the hash runs on
+    * every token of a 100 TB corpus — while [[simhashPairsPortable]]
+    * swaps in the md5-prefix hash any SQL oracle can replay
+    * (TextFunctions.portableTokenHash; sig bits 60-63 structurally zero
+    * there, which the chunk bucketing and hamming verify are agnostic
+    * to). The two variants share every line of this pipeline except the
+    * hash expression (pinned by DedupSpec).
     *
     * Hot-bucket guard: a chunk value shared by m documents contributes
     * m²/2 candidate pairs, so buckets larger than `maxBucket` are dropped
@@ -353,11 +359,12 @@ object Dedup {
     * chunks all differ, and real deployments add signature tables instead
     * of raising the cap.
     */
-  def simhashPairs(s: SparkSession, dir: String, maxBucket: Int = 100000): DataFrame = {
+  def simhashPairs(s: SparkSession, dir: String, maxBucket: Int = 100000,
+                   tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     graft.expressions.SimHashAgg.register(s)
     val tokenHashes = Tables.documents(s, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .withColumn("h", portableTokenHash(col("tok")))
+      .withColumn("h", tokenHash(col("tok")))
     val sigs = tokenHashes.groupBy("doc_id")
       .agg(call_function("graft_simhash", col("h")).as("sig"))
     val chunks = sigs.select(col("doc_id"), col("sig"),
@@ -377,6 +384,16 @@ object Dedup {
       .filter(col("hamming") <= 3)
     CacheLifecycle.materialize(pairs, chunks)
   }
+
+  /** Oracle-portable [[simhashPairs]]: identical pipeline with the
+    * md5-prefix token hash a SQL oracle replays bit-for-bit. This is the
+    * correctness-gate entry; the xxhash64 default is the production
+    * configuration (crypto hashing per token is a ~2× constant-factor tax
+    * the verify path shouldn't impose on the cluster path).
+    */
+  def simhashPairsPortable(s: SparkSession, dir: String,
+                           maxBucket: Int = 100000): DataFrame =
+    simhashPairs(s, dir, maxBucket, portableTokenHash)
 
   /** Fuzzy string join — entity-resolution flavor of near-dup detection:
     * per-part summary of other parts whose name is within edit distance

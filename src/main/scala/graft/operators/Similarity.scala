@@ -281,11 +281,16 @@ object Similarity {
   def dimReduce(s: SparkSession, dir: String, outDim: Int = 8): DataFrame = {
     val flat = hyperplanesFlat(outDim, Dim)
     val scale = math.sqrt(outDim.toDouble)
+    // one compiled mat-vec kernel call per row (projectKernel) instead of
+    // an outDim×Dim literal expression tree: same doubles, same
+    // left-to-right summation, but no 512-node codegen compile on first use
+    val proj = projectKernel(flat, Dim, scale)(col("embedding"))
     val cols = (0 until outDim).map { j =>
-      round(dotConst(col("embedding"),
-        flat.slice(j * Dim, (j + 1) * Dim).toSeq) / lit(scale), 6).as(s"y$j")
+      round(element_at(col("proj"), j + 1), 6).as(s"y$j")
     }
-    Tables.embeddings(s, dir).select(col("vec_id") +: cols: _*)
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), proj.as("proj"))
+      .select(col("vec_id") +: cols: _*)
   }
 
   def normalize(s: SparkSession, dir: String): DataFrame = {

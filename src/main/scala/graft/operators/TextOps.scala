@@ -116,22 +116,41 @@ object TextOps {
     val docs = Tables.documents(s, dir)
     val pairs = docs.select(col("doc_id"),
       explode(tokens(lower(col("text")))).as("term"))
-    val tf = pairs.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    // tf already holds one row per (doc, term), so document frequency
-    // falls out of tf directly — no second explode + distinct pass over
-    // the corpus; tf is the one shared intermediate (released after the
-    // top-k result materializes)
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // ONE shuffle serves both aggregations: clustering by term satisfies
+    // the (doc_id, term) grouping requirement (same term ⇒ same
+    // partition ⇒ every (doc, term) group is colocated), and the df
+    // window partitions by term — so after this exchange, tf AND df
+    // compute with no further movement. Volume trade vs a pre-aggregated
+    // pipeline: this ships raw pairs (mean-tf× larger than tf) but saves
+    // a whole shuffle round of ~tf volume — net fewer bytes whenever
+    // mean tf < 2, which holds for natural-language corpora.
+    val tf = pairs.repartition(col("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // document frequency is count(*) over a term window on tf — no
+    // second aggregate, no join, and crucially no broadcast: at 100 TB
+    // the term dictionary is billions of rows and could never ship to
+    // every executor, while the term-clustered window scales with the
+    // cluster. tf is consumed exactly once — no persist/checkpoint
+    // lifecycle needed.
+    val withDf = tf.withColumn("df",
+      count(lit(1)).over(Window.partitionBy("term")))
     val n = docs.count() // one tiny metadata job: corpus size for idf
-    val w = Window.partitionBy("doc_id")
-      .orderBy(col("score").desc, col("term").asc)
-    val result = tf.join(df, "term")
+    // Per-doc top-k WITHOUT a rank window: row_number() would shuffle by
+    // doc AND sort every (doc, term) row per partition; aggregating
+    // struct(-score, term) lists per doc and slicing each tiny sorted
+    // list costs O(rows) + O(t log t) on t ≈ dozens — and the struct's
+    // natural lexicographic order IS the tie-break contract (score desc,
+    // term asc), so ranks match the SQL oracle's row_number exactly.
+    withDf
       .withColumn("score", col("tf") * (lit(n + 1.0) / (col("df") + lit(1.0))))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("doc_id"), col("term"), round(col("score"), 6).as("score"),
-        col("rank"))
-    CacheLifecycle.materialize(result, tf)
+      .groupBy("doc_id")
+      .agg(slice(array_sort(collect_list(struct((-col("score")).as("neg"),
+        col("term")))), 1, k).as("top"))
+      .select(col("doc_id"),
+        posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("doc_id"), col("t.term").as("term"),
+        round(-col("t.neg"), 6).as("score"),
+        (col("pos") + 1).cast("int").as("rank"))
   }
 
   /** Context-window chunking — split each document into overlapping
@@ -349,32 +368,52 @@ object TextOps {
     * are the partition key, so skew equals source-size skew (salt a
     * monster source by hash range if one dominates).
     */
+  /** Production doc-id shuffle hash: one non-crypto pass on the raw long —
+    * the right default when the decision runs per document across a
+    * 100 TB corpus. The oracle-checked entries pass
+    * [[portableDocIdHash]] instead (md5 prefix of the stringified id, which
+    * any SQL engine replays); the sampling mechanics are identical either
+    * way, so the hash choice only permutes which uniform sample is kept.
+    */
+  val prodDocIdHash: Column => Column =
+    id => xxhash64(id).bitwiseAND(lit(Long.MaxValue)) // clear sign bit: the
+  // downstream `% n` / ordering logic expects a non-negative uniform key
+  // (bitwiseAND, not abs: ANSI abs throws on Long.MinValue)
+
+  /** Engine-portable variant (non-negative by construction: 60-bit md5
+    * prefix), used by the DuckDB-replayable oracle entries.
+    */
+  val portableDocIdHash: Column => Column =
+    id => portableTokenHash(id.cast("string"))
+
   def sampleBudget(s: SparkSession, dir: String,
                    budgetTokens: Long = 1000L): DataFrame =
-    sampleBudgetOf(Tables.documents(s, dir), budgetTokens)
+    sampleBudgetOf(Tables.documents(s, dir), budgetTokens, portableDocIdHash)
 
   /** DataFrame-first core of [[sampleBudget]] over (doc_id, source, text). */
-  def sampleBudgetOf(docs: DataFrame, budgetTokens: Long): DataFrame = {
+  def sampleBudgetOf(docs: DataFrame, budgetTokens: Long,
+                     idHash: Column => Column = prodDocIdHash): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("source").orderBy("h", "doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     docs
       .select(col("doc_id"), col("source"),
         size(tokens(col("text"))).cast("long").as("n_tokens"),
-        portableTokenHash(col("doc_id").cast("string")).as("h"))
+        idHash(col("doc_id")).as("h"))
       .withColumn("tokens_before", coalesce(sum("n_tokens").over(w), lit(0L)))
       .select(col("doc_id"), col("source"), col("n_tokens"),
         (col("tokens_before") < budgetTokens).as("keep"))
   }
 
   def sampleBalanced(s: SparkSession, dir: String): DataFrame =
-    sampleBalancedOf(Tables.documents(s, dir))
+    sampleBalancedOf(Tables.documents(s, dir), portableDocIdHash)
 
   /** DataFrame-first core of [[sampleBalanced]] over (doc_id, source). */
-  def sampleBalancedOf(docs: DataFrame): DataFrame = {
+  def sampleBalancedOf(docs: DataFrame,
+                       idHash: Column => Column = prodDocIdHash): DataFrame = {
     val counts = docs.groupBy("source").agg(count(lit(1)).as("n_source"))
     val minCount = counts.agg(min(col("n_source")).as("min_count"))
-    val h = portableTokenHash(col("doc_id").cast("string"))
+    val h = idHash(col("doc_id"))
     docs.select(col("doc_id"), col("source"), h.as("h"))
       .join(broadcast(counts), Seq("source"))
       .crossJoin(broadcast(minCount))

@@ -100,6 +100,51 @@ class OperatorSpec extends AnyFunSuite {
     pairs.foreach(r => assert(r.getAs[Int]("hamming") <= 3))
   }
 
+  test("simhash prod/portable variants share the pipeline modulo the hash") {
+    // the portable entry IS the parameterized pipeline with the md5 hash:
+    // injecting portableTokenHash into the production entry point must
+    // reproduce it row-for-row (pins that the two oracle/bench entries
+    // can never drift apart structurally)
+    val injected = Dedup.simhashPairs(spark, sf,
+        tokenHash = TextFunctions.portableTokenHash)
+      .collect().map(_.toSeq).toSet
+    val portable = Dedup.simhashPairsPortable(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(injected === portable)
+    // both variants detect the fixture's planted near-dups (different
+    // hashes may disagree on borderline pairs, but each must return a
+    // non-empty verified set, and every pair verifies hamming ≤ 3)
+    val prodRows = Dedup.simhashPairs(spark, sf).collect()
+    assert(prodRows.nonEmpty && portable.nonEmpty)
+    prodRows.foreach(r => assert(r.getAs[Int]("hamming") <= 3))
+  }
+
+  test("sampling invariants hold under both prod and portable doc-id hashes") {
+    // the doc-id hash only permutes WHICH uniform sample is kept; the
+    // structural invariants must be hash-invariant
+    val docs = graft.Tables.documents(spark, sf)
+    for (hash <- Seq(TextOps.prodDocIdHash, TextOps.portableDocIdHash)) {
+      val bal = TextOps.sampleBalancedOf(docs, hash)
+        .filter(col("keep")).groupBy("source").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val counts = docs.groupBy("source").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val minCount = counts.values.min
+      // the smallest source keeps every doc (h % m < m is vacuous), and
+      // every source keeps a positive sample concentrated around min_count
+      val smallest = counts.minBy(_._2)._1
+      assert(bal(smallest) === minCount)
+      counts.keys.foreach(src => assert(bal.getOrElse(src, 0L) > 0,
+        s"source $src sampled to zero under $hash"))
+      // budget: the admitted prefix stops at the budget boundary — tokens
+      // admitted BEFORE every kept doc stay under budget, and at least one
+      // doc per source is kept (the hash-first doc always fits)
+      val bud = TextOps.sampleBudgetOf(docs, 500L, hash)
+      val keptSources = bud.filter(col("keep")).select("source").distinct().count()
+      assert(keptSources === counts.size.toLong)
+    }
+  }
+
   test("offset query returns rows 1001..1500 of the defined total order") {
     val rows = Relational.q13Offset(spark, sf).collect()
     assert(rows.length === 500)

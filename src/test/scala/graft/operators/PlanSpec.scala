@@ -99,6 +99,17 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).size <= 1, p.take(2000))
   }
 
+  test("top terms: one term exchange serves tf, df-window needs no join/broadcast") {
+    val p = planOf(TextOps.topTerms(spark, sf))
+    // df comes from a window over the term-clustered tf — a broadcast of
+    // the term dictionary would never survive a 100 TB corpus
+    assert(!p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    // exchanges: documents single-row-group repartition, the term
+    // clustering, and the per-doc top-k aggregation — nothing else
+    assert("Exchange".r.findAllIn(p).size <= 3, p.take(3000))
+  }
+
   test("dim reduce is a pure projection: no exchange, no aggregate") {
     val p = planOf(Similarity.dimReduce(spark, sf))
     assert(!p.contains("HashAggregate"), p.take(2000))
