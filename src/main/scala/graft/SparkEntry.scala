@@ -226,6 +226,38 @@ object SparkEntry {
        |FROM s""".stripMargin
   }
 
+  /** The ann_ivf oracle replays the whole index in SQL: the deterministic
+    * seed-point quantizer (centroids = embeddings of vec_id < numCells,
+    * straight from the parquet), nearest-cell assignment by squared L2
+    * with lowest-cell tie-break (the kernel's strict `<` keeps the first
+    * minimal index), per-query nprobe nearest cells, then exact cosine
+    * scoring + top-k inside the probed cells — bit-for-bit the Spark
+    * pipeline (same doubles, same left-to-right sums).
+    */
+  private def annIvfOracle(numQueries: Int = 10, k: Int = 5,
+                           numCells: Int = 16, nprobe: Int = 3): String = {
+    val dim = graft.functions.VectorFunctions.Dim
+    s"""$cosineCte,
+       |c AS (SELECT vec_id AS cell, e AS ce FROM v WHERE vec_id < $numCells),
+       |d AS (SELECT v.vec_id, v.e, v.nrm, c.cell,
+       |  list_sum(list_transform(range(1, ${dim + 1}), i -> (v.e[i] - c.ce[i]) * (v.e[i] - c.ce[i]))) AS dist
+       |  FROM v, c),
+       |a AS (SELECT vec_id, e, nrm, cell FROM d
+       |      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1),
+       |probes AS (SELECT vec_id AS query_id, cell FROM d WHERE vec_id < $numQueries
+       |           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) <= $nprobe),
+       |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM v WHERE vec_id < $numQueries),
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    round(list_sum(list_transform(range(1, ${dim + 1}), i -> q.qe[i] * a.e[i])) / (q.qn * a.nrm), 6) AS cosine
+       |  FROM probes p JOIN a ON a.cell = p.cell JOIN q ON q.query_id = p.query_id
+       |  WHERE a.vec_id <> p.query_id)
+       |SELECT query_id, neighbor_id, cosine,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+       |FROM scored
+       |QUALIFY rank <= $k""".stripMargin
+  }
+
   /** The dim-reduce oracle embeds the same deterministic projection matrix
     * as SQL literals (annLshOracle's technique) and replays
     * y_j = Σ_i x_i·R_ji / √outDim with identical left-to-right summation.
@@ -641,6 +673,7 @@ object SparkEntry {
         |SELECT vec_id, e.label, label_id FROM embeddings e JOIN d USING (label)""".stripMargin,
     "ann_lsh" -> annLshOracle,
     "ann_lsh_multiprobe" -> annLshMultiProbeOracle,
+    "ann_ivf" -> annIvfOracle(),
     "emb_normalize" ->
       s"""$cosineCte
          |SELECT vec_id, round(nrm, 6) AS norm, CAST(i - 1 AS INTEGER) AS dim_idx,

@@ -125,18 +125,23 @@ object Similarity {
     CacheLifecycle.materialize(topKPerQuery(s, scored, k), e)
   }
 
-  /** IVF-style ANN: a KMeans coarse quantizer assigns every corpus vector
-    * to a cell; each query probes only the `nprobe` cells whose centroids
-    * are nearest, scoring candidates exactly. The index build runs
-    * Lloyd's iterations ON THE DRIVER over a size-bounded sample
-    * (≤ numCells×256 rows — `limit` short-circuits the scan): an IVF
-    * index is metadata (cells × dim doubles), and building metadata from
-    * a bounded sample is driver-scale work by construction — no
-    * distributed clustering jobs, no convergence passes over the corpus
-    * (cells only bucket the search space). Assignment is the single full
-    * pass, as a compiled nearest-centroid kernel inside the scan. Search
-    * is a cell-bucket join — the standard IVF trade: recall bounded by
-    * nprobe, cost O(q · nprobe · cell size) instead of O(q · n).
+  /** IVF-style ANN: a coarse quantizer assigns every corpus vector to a
+    * cell; each query probes only the `nprobe` cells whose centroids are
+    * nearest, scoring candidates exactly. The quantizer is the
+    * DETERMINISTIC seed-point rule: the first `numCells` corpus vectors
+    * (vec_id < numCells) ARE the centroids — data-adaptive (real points
+    * partition the occupied region of space, unlike random literals) and
+    * bit-replayable by any SQL engine straight from the parquet, which
+    * closes the oracle a driver-trained k-means could never satisfy
+    * (float sums over an unordered sample aren't engine-portable). A
+    * production deployment would train the centroid matrix offline and
+    * feed it through the same kernels — the index interface (centroids →
+    * nearest-cell assignment → cell-bucket join) is unchanged; cells only
+    * bucket the search space, so quantizer quality moves recall, never
+    * correctness. Assignment is the single full pass, as a compiled
+    * nearest-centroid kernel inside the scan. Search is a cell-bucket
+    * join — the standard IVF trade: recall bounded by nprobe, cost
+    * O(q · nprobe · cell size) instead of O(q · n).
     */
   def annIvf(s: SparkSession, dir: String, numQueries: Int = 10, k: Int = 5,
              numCells: Int = 16, nprobe: Int = 3): DataFrame = {
@@ -145,9 +150,10 @@ object Similarity {
       .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", sqrt(call_function("graft_dot", col("v"), col("v"))))
       .persist()
-    val sample = e.select(col("v")).limit(numCells * 256)
+    // index metadata: numCells × dim floats, collected once on the driver
+    val centroids: Array[Array[Float]] = e.filter(col("vec_id") < numCells)
+      .orderBy("vec_id").select("v")
       .collect().map(_.getAs[scala.collection.Seq[Float]](0).toArray)
-    val centroids = lloyd(sample, numCells, iters = 5, seed = 126L)
     val assigned = e.withColumn("cell",
       nearestCellKernel(centroids.map(_.map(_.toDouble)))(col("v")))
     // per query: nprobe nearest cells by centroid distance (driver-side —
@@ -174,34 +180,6 @@ object Similarity {
     val out = topKPerQuery(s, scored, k).localCheckpoint(eager = true)
     e.unpersist(blocking = false)
     out
-  }
-
-  /** Seeded Lloyd's iterations over an in-memory sample (the bounded IVF
-    * index build). Deterministic: seeded shuffle picks initial centroids,
-    * empty cells keep their previous centroid.
-    */
-  private[operators] def lloyd(points: Array[Array[Float]], k: Int,
-                               iters: Int, seed: Long): Array[Array[Float]] = {
-    require(points.nonEmpty, "empty index-build sample")
-    val dim = points(0).length
-    val init = new scala.util.Random(seed)
-      .shuffle((points.indices).toVector).take(math.min(k, points.length))
-    var cents = init.map(i => points(i).map(_.toDouble)).toArray
-    for (_ <- 0 until iters) {
-      val sums = Array.fill(cents.length)(new Array[Double](dim))
-      val counts = new Array[Int](cents.length)
-      points.foreach { p =>
-        val c = nearestCell(cents, p)
-        counts(c) += 1
-        var d = 0
-        while (d < dim) { sums(c)(d) += p(d); d += 1 }
-      }
-      cents = Array.tabulate(cents.length) { c =>
-        if (counts(c) == 0) cents(c)
-        else Array.tabulate(dim)(d => sums(c)(d) / counts(c))
-      }
-    }
-    cents.map(_.map(_.toFloat))
   }
 
   private[operators] def nearestCell(cents: Array[Array[Double]],
