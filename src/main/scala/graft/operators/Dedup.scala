@@ -58,7 +58,10 @@ object Dedup {
     * widen to a 2×64-bit token).
     */
   private def shinglePairs(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    shinglePairsOf(Tables.documents(s, dir))
+
+  private[operators] def shinglePairsOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         explode(shingles(col("text"), ShingleK)).as("sh_str"))
       .select(col("doc_id"), xxhash64(col("sh_str")).as("sh"))
@@ -201,29 +204,69 @@ object Dedup {
     * (the measure of Broder 1997 that the Jaccard family drops). Emits
     * every ordered pair with C ≥ τ.
     *
-    * Distributed shape: inverted-index self-equi-join on the 64-bit
-    * shingle token → one (id_a, id_b) hash aggregation for intersection
-    * sizes → broadcast-able join to per-doc set sizes. PPJoin-style
-    * prefix filtering does not transfer directly (the containment bound
-    * depends on |A| alone), so the 100 TB lever here is the df-cap on
-    * the index side (drop shingles with df > cap from candidate
-    * generation, as in ngramJaccardCapped) plus chunk-level dedup
-    * upstream for enormous documents.
+    * Distributed shape: candidate generation by inverted-index
+    * self-equi-join on the 64-bit shingle token, verification by exact
+    * sorted-merge intersection over the full per-doc arrays. PPJoin-style
+    * prefix filtering does not transfer (the containment bound depends on
+    * |A| alone), so this is the one index join whose fan-out only the
+    * df-cap bounds — and the cap therefore DEFAULTS ON (`dfCap`): a
+    * shingle shared by m documents contributes m² candidate pairs, so
+    * shingles with df > dfCap are dropped from CANDIDATE GENERATION only.
+    * Verification still counts intersections over the complete shingle
+    * arrays, so every emitted pair carries its exact containment —
+    * precision is unaffected; recall loss is confined to pairs whose
+    * every shared shingle is hotter than the cap (at the default cap,
+    * pairs sharing only boilerplate that a million documents repeat).
+    * At fixture scale no shingle approaches the cap, so the capped
+    * pipeline is bit-identical to uncapped (DedupSpec pins both this and
+    * the bounded-candidate-volume behavior under duplication skew).
     */
-  def containment(s: SparkSession, dir: String,
-                  threshold: Double = 0.8): DataFrame = {
-    val sh = shinglePairs(s, dir)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.select(col("doc_id").as("id_a"), col("sh"))
-      .join(sh.select(col("doc_id").as("id_b"), col("sh")), Seq("sh"))
+  def containment(s: SparkSession, dir: String, threshold: Double = 0.8,
+                  dfCap: Long = 100000): DataFrame = {
+    val (result, shared) = containmentPlan(s, dir, threshold, dfCap)
+    CacheLifecycle.materialize(result, shared: _*)
+  }
+
+  /** Lazy plan + shared intermediates of [[containment]] (plan inspection
+    * and lifecycle management — same contract as ngramJaccardPlan).
+    */
+  private[operators] def containmentPlan(s: SparkSession, dir: String,
+                                         threshold: Double = 0.8,
+                                         dfCap: Long = 100000)
+  : (DataFrame, Seq[DataFrame]) =
+    containmentPlanOf(shinglePairs(s, dir), threshold, dfCap)
+
+  /** Core over pre-shingled (doc_id, sh) pairs — also the spec's
+    * injection point for skew-stress corpora.
+    */
+  private[operators] def containmentPlanOf(sh: DataFrame,
+                                           threshold: Double,
+                                           dfCap: Long)
+  : (DataFrame, Seq[DataFrame]) = {
+    // hot-shingle list is tiny (shingles repeated across > dfCap docs);
+    // broadcast anti-join keeps the index side bounded
+    val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select("sh")
+    val cold = sh.join(broadcast(hot), Seq("sh"), "left_anti")
+    val cands = cold.select(col("doc_id").as("id_a"), col("sh"))
+      .join(cold.select(col("doc_id").as("id_b"), col("sh")), Seq("sh"))
       .filter(col("id_a") =!= col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("c"))
-    val result = inter
-      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a")
+      .select("id_a", "id_b")
+      .distinct()
+    // exact verify on the FULL arrays (semi-joined to candidate docs, so
+    // the array build stays candidate-proportional)
+    val candIds = cands.select(col("id_a").as("doc_id"))
+      .union(cands.select(col("id_b").as("doc_id")))
+    val arrays = shingleArrays(sh.join(candIds, Seq("doc_id"), "left_semi"))
+    val result = cands
+      .join(arrays.select(col("doc_id").as("id_a"), col("shs").as("shs_a"),
+        col("n").as("n_a")), "id_a")
+      .join(arrays.select(col("doc_id").as("id_b"), col("shs").as("shs_b")), "id_b")
+      .withColumn("c", sortedIntersectKernel(col("shs_a"), col("shs_b")))
       .withColumn("containment", round(col("c") / col("n_a"), 6))
       .filter(col("containment") >= threshold)
       .select("id_a", "id_b", "containment")
-    CacheLifecycle.materialize(result, sh)
+    (result, Seq(sh, cands, arrays))
   }
 
   /** df-capped variant (unmemoized — the cap is a tuning parameter, not

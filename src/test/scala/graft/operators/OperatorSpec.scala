@@ -414,6 +414,45 @@ class OperatorSpec extends AnyFunSuite {
     got.values.foreach(c => assert(c >= 0.8 && c <= 1.0 + 1e-9))
   }
 
+  test("containment df-cap bounds candidate volume under duplication skew") {
+    import spark.implicits._
+    // skew corpus: 40 docs share ONLY a boilerplate phrase (each with a
+    // long unique tail), plus one true near-superset pair with unique
+    // shared content. The boilerplate shingles have df=40.
+    val boiler = "terms of service apply to all content here"
+    val docs = ((1 to 40).map { i =>
+      (i.toLong, s"$boiler unique$i filler$i body$i tail$i pad$i end$i")
+    } ++ Seq(
+      (41L, "alpha beta gamma delta epsilon"),
+      (42L, "alpha beta gamma delta epsilon extra closing tail"))).toDF("doc_id", "text")
+    val sh = Dedup.shinglePairsOf(docs)
+    def candCount(dfCap: Long): (Long, Set[(Long, Long)]) = {
+      val (result, shared) = Dedup.containmentPlanOf(sh, 0.8, dfCap)
+      val cands = shared(1)
+      (cands.count(), result.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    }
+    val (candsUncapped, resUncapped) = candCount(Long.MaxValue)
+    val (candsCapped, resCapped) = candCount(10L)
+    // uncapped: every boilerplate-sharing ordered pair is a candidate
+    // (40·39 = 1560 from the hot shingles alone); capped: the hot
+    // shingles are dropped from the index, leaving only the true pair
+    assert(candsUncapped >= 1560L, s"uncapped candidates $candsUncapped")
+    assert(candsCapped <= 10L, s"capped candidates $candsCapped not bounded")
+    // precision is exact either way: the true near-superset pair (41→42,
+    // containment 1.0 via df=2 shingles) survives the cap; the boilerplate
+    // pairs score below τ in the uncapped run, so results agree
+    assert(resCapped.contains((41L, 42L)))
+    assert(resCapped === resUncapped)
+    // and on the real fixture the default cap is far above every df, so
+    // the capped pipeline is bit-identical to uncapped
+    val fix = Dedup.shinglePairsOf(graft.Tables.documents(spark, sf))
+    val a = Dedup.containmentPlanOf(fix, 0.8, 100000)._1.collect()
+      .map(_.toSeq).toSet
+    val b = Dedup.containmentPlanOf(fix, 0.8, Long.MaxValue)._1.collect()
+      .map(_.toSeq).toSet
+    assert(a === b)
+  }
+
   test("dim reduce is a deterministic linear map: zero in, zero out; additive") {
     val a = Similarity.dimReduce(spark, sf).collect().sortBy(_.getLong(0))
     val b = Similarity.dimReduce(spark, sf).collect().sortBy(_.getLong(0))
