@@ -103,25 +103,35 @@ object ReportCli {
   /** Xlsx report (reference report_xlsx.py:23-98): one sheet per
     * benchmark in the reference's transposed layout — header row
     * `backend | <backend...>`, one row per measurement with the
-    * aggregated duration per backend — plus a HostInfo sheet. Written by
-    * the dependency-free OOXML writer (harness.Xlsx).
+    * aggregated duration per backend, and one embedded bar chart PER
+    * MEASUREMENT (title "Query: <name>", categories = backends, values =
+    * that measurement's row; anchored down the sheet's right margin at
+    * the reference's 20-row stride) — plus a chartless HostInfo sheet.
+    * Written by the dependency-free OOXML writer (harness.Xlsx).
     */
-  def xlsxSheets(agg: DataFrame,
-                 host: Seq[(String, String)]): Seq[(String, Seq[Seq[Any]])] = {
+  def xlsxSheets(agg: DataFrame, host: Seq[(String, String)])
+  : Seq[(String, Seq[Seq[Any]], Seq[Xlsx.BarChart])] = {
     val rows = agg.select("benchmark", "backend", "name", "duration_s")
       .collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3)))
     val perBench = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (bench, rs) =>
       val backends = rs.map(_._2).distinct.sorted
       val header: Seq[Any] = "backend" +: backends
-      val body: Seq[Seq[Any]] = rs.map(_._3).distinct.sorted.toSeq.map { m =>
+      val measurements = rs.map(_._3).distinct.sorted.toSeq
+      val body: Seq[Seq[Any]] = measurements.map { m =>
         val byBackend = rs.filter(_._3 == m).map(t => t._2 -> t._4).toMap
         (m +: backends.map(b => byBackend.get(b).map(d => d: Any).orNull)).toSeq
       }
-      bench -> (header +: body)
+      val charts = measurements.zipWithIndex.map { case (m, mi) =>
+        Xlsx.BarChart(title = s"Query: $m",
+          labelRow = 0, valueRow = mi + 1,
+          colFrom = 1, colTo = backends.size,
+          anchorRow = mi * 20, anchorCol = backends.size + 2)
+      }
+      (bench, header +: body, charts)
     }
     val hostSheet: Seq[Seq[Any]] = host.map { case (k, v) => Seq[Any](k, v) }
-    perBench :+ ("HostInfo" -> hostSheet)
+    perBench :+ (("HostInfo", hostSheet, Nil))
   }
 
   /** Host uniformity check (reference report_xlsx.py:169-173): warn when
@@ -159,7 +169,7 @@ object ReportCli {
       writeChartCsvs(series, d).foreach(p => println(s"wrote $p"))
     }
     xlsxPath.foreach { p =>
-      Xlsx.write(p, xlsxSheets(agg, Results.hostInfo().toSeq.sorted))
+      Xlsx.writeWithCharts(p, xlsxSheets(agg, Results.hostInfo().toSeq.sorted))
       println(s"wrote $p")
     }
     val report = markdown(agg, how) + asciiCharts(series) +

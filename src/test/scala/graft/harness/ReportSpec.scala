@@ -80,9 +80,12 @@ class ReportSpec extends AnyFunSuite {
     assert(ny.head === Seq("backend", "spark"))
     assert(ny.contains(Seq("total", 4.0)))
     assert(ny.contains(Seq("total.Query1", 2.0)))
+    // one chart per measurement on the benchmark sheet; none on HostInfo
+    assert(sheets.head._3.size === 2)
+    assert(sheets.last._3.isEmpty)
 
     val out = Files.createTempDirectory("graft-xlsx").toString + "/report.xlsx"
-    Xlsx.write(out, sheets)
+    Xlsx.writeWithCharts(out, sheets)
     val zip = new java.util.zip.ZipFile(out)
     try {
       val entries = {
@@ -90,14 +93,25 @@ class ReportSpec extends AnyFunSuite {
         while (e.hasMoreElements) b += e.nextElement().getName
         b.result().toSet
       }
-      // the minimal OOXML part set every reader requires
+      // the minimal OOXML part set every reader requires, plus the
+      // drawing/chart chain for the benchmark sheet
       assert(entries === Set("[Content_Types].xml", "_rels/.rels",
         "xl/workbook.xml", "xl/_rels/workbook.xml.rels",
-        "xl/worksheets/sheet1.xml", "xl/worksheets/sheet2.xml"))
+        "xl/worksheets/sheet1.xml", "xl/worksheets/sheet2.xml",
+        "xl/worksheets/_rels/sheet1.xml.rels",
+        "xl/drawings/drawing1.xml", "xl/drawings/_rels/drawing1.xml.rels",
+        "xl/charts/chart1.xml", "xl/charts/chart2.xml"))
       def read(name: String): String = {
         val in = zip.getInputStream(zip.getEntry(name))
         try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
         finally in.close()
+      }
+      // every XML part must be well-formed (a reader hard-fails otherwise)
+      val db = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+        .newDocumentBuilder()
+      entries.filter(_.endsWith(".xml")).foreach { e =>
+        db.parse(new java.io.ByteArrayInputStream(
+          read(e).getBytes(java.nio.charset.StandardCharsets.UTF_8)))
       }
       val wb = read("xl/workbook.xml")
       assert(wb.contains("""<sheet name="ny_taxi" sheetId="1" r:id="rId1"/>"""))
@@ -106,8 +120,31 @@ class ReportSpec extends AnyFunSuite {
       assert(s1.contains("""<c r="A1" t="inlineStr"><is><t>backend</t></is></c>"""))
       assert(s1.contains("""<c r="B2"><v>4.0</v></c>""") ||
         s1.contains("""<c r="B3"><v>4.0</v></c>"""))
+      assert(s1.contains("""<drawing r:id="rId1"/>"""))
+      // the rels chain: sheet → drawing → charts
+      assert(read("xl/worksheets/_rels/sheet1.xml.rels")
+        .contains("Target=\"../drawings/drawing1.xml\""))
+      val drels = read("xl/drawings/_rels/drawing1.xml.rels")
+      assert(drels.contains("Target=\"../charts/chart1.xml\""))
+      assert(drels.contains("Target=\"../charts/chart2.xml\""))
+      val drawing = read("xl/drawings/drawing1.xml")
+      assert("""<xdr:twoCellAnchor>""".r.findAllIn(drawing).size === 2)
+      // charts reference the sheet's own cells (categories = header
+      // backends, values = the measurement's row) with the reference's
+      // titles/axes
+      val c1 = read("xl/charts/chart1.xml")
+      assert(c1.contains("<a:t>Query: total</a:t>"))
+      assert(c1.contains("<c:f>'ny_taxi'!$B$1:$B$1</c:f>")) // categories
+      assert(c1.contains("<c:f>'ny_taxi'!$B$2:$B$2</c:f>")) // values
+      assert(c1.contains("<a:t>Time, s</a:t>") && c1.contains("<a:t>Task</a:t>"))
+      assert(c1.contains("""<c:barDir val="bar"/>"""))
       val ct = read("[Content_Types].xml")
       assert(ct.contains("/xl/worksheets/sheet2.xml"))
+      assert(ct.contains("/xl/drawings/drawing1.xml"))
+      assert(ct.contains("/xl/charts/chart2.xml"))
+      assert(ct.contains("drawingml.chart+xml"))
+      // sheet2 (HostInfo) carries no drawing reference
+      assert(!read("xl/worksheets/sheet2.xml").contains("<drawing"))
     } finally zip.close()
     // helpers: A1-style refs and Excel's sheet-name rules
     assert(Xlsx.colRef(0) === "A" && Xlsx.colRef(25) === "Z" &&
