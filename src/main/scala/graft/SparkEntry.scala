@@ -104,6 +104,8 @@ object SparkEntry {
     "stream_tumbling_agg" -> ((s: SparkSession, d: String) => StreamOps.tumblingWindowAgg(s, d)),
     "stream_dedup" -> (StreamOps.streamingDedup _),
     "stream_dedup_bounded" -> (StreamOps.streamingDedupBounded _),
+    "stream_dedup_minhash" -> ((s: SparkSession, d: String) =>
+      StreamOps.streamingMinhashNearDup(s, d)),
     "stream_stream_join" -> (StreamOps.streamStreamJoin _),
     "q28_cube" -> (Relational.q28Cube _),
     "q32_grouping_sets" -> (Relational.q32GroupingSets _),
@@ -413,6 +415,10 @@ object SparkEntry {
     // threshold on this data (all matching pairs have j>=0.9), so the exact
     // oracle applies.
     "dedup_minhash_lsh" -> shingleCte,
+    // the streaming LSH pipeline emits the same band-bucket candidates as
+    // the batch path (bit-equal signatures) and verifies with the same
+    // exact-jaccard stage → the exact oracle applies unchanged
+    "stream_dedup_minhash" -> shingleCte,
     // dedup_simhash (xxhash64 production default) is rows-only by design;
     // the portable-hash twin replays the full pipeline in SQL
     "dedup_simhash_portable" -> simhashOracle,

@@ -145,6 +145,82 @@ object TextFunctions {
   def permutedHash(token: Column, coeff: (Long, Long)): Column =
     pmod(pmod(token, lit(MinhashPrime)) * coeff._1 + coeff._2, lit(MinhashPrime))
 
+  /** Per-ROW minhash signature kernel over a document's 64-bit shingle
+    * hashes — the streaming-side signature path: a stream computes each
+    * arriving document's signature in one narrow map (no explode, no
+    * aggregation state), where the batch path aggregates exploded tokens
+    * (expressions.MinHashAgg). Identical arithmetic and coefficients
+    * ([[permCoeffs]]/[[MinhashPrime]]), so stream and batch signatures are
+    * bit-equal for the same document (spec-pinned) and band buckets line
+    * up across the two pipelines. Min is idempotent, so multiset vs set
+    * of shingles cannot change the result.
+    */
+  def minhashSigKernel(numPerm: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val coeffs = permCoeffs(numPerm).toArray
+    val p = MinhashPrime
+    udf { (hs: Array[Long]) =>
+      val sig = Array.fill(numPerm)(Long.MaxValue)
+      var j = 0
+      while (j < hs.length) {
+        val base = java.lang.Math.floorMod(hs(j), p)
+        var i = 0
+        while (i < numPerm) {
+          val (a, b) = coeffs(i)
+          val h = java.lang.Math.floorMod(a * base + b, p)
+          if (h < sig(i)) sig(i) = h
+          i += 1
+        }
+        j += 1
+      }
+      sig
+    }
+  }
+
+  /** Per-ROW signature + band keys in ONE kernel — the streaming variant
+    * of [[minhashSigKernel]] + [[lshBands]]: signature arithmetic is
+    * bit-identical to the batch aggregate, band keys are a splitmix fold
+    * of (band index, band's r signature values). The band HASH differs
+    * from the batch `lshBands` xxhash64 — irrelevant to semantics, since
+    * a band key collision means "the r signature values agree" under
+    * either hash (up to ~2⁻⁶⁴ accidental collisions, which the exact
+    * verify stage screens out anyway). Crucially this keeps the streaming
+    * plan to ONE scalar-function node: building the 16 band expressions
+    * Column-side duplicates the signature-UDF subtree 16× when the
+    * optimizer collapses projections, which blows up micro-batch planning
+    * (measured: minutes per batch).
+    */
+  def bandKeysKernel(numPerm: Int, numBands: Int)
+  : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    require(numPerm % numBands == 0, "numBands must divide numPerm")
+    val coeffs = permCoeffs(numPerm).toArray
+    val p = MinhashPrime
+    val r = numPerm / numBands
+    udf { (hs: Array[Long]) =>
+      val sig = Array.fill(numPerm)(Long.MaxValue)
+      var j = 0
+      while (j < hs.length) {
+        val base = java.lang.Math.floorMod(hs(j), p)
+        var i = 0
+        while (i < numPerm) {
+          val (a, b) = coeffs(i)
+          val h = java.lang.Math.floorMod(a * base + b, p)
+          if (h < sig(i)) sig(i) = h
+          i += 1
+        }
+        j += 1
+      }
+      Array.tabulate(numBands) { bi =>
+        var acc = bi.toLong * 0x9E3779B97F4A7C15L
+        var k = 0
+        while (k < r) {
+          acc = java.lang.Long.rotateLeft(acc ^ sig(bi * r + k), 27) * 0xC2B2AE3D27D4EB4FL
+          k += 1
+        }
+        acc
+      }
+    }
+  }
+
   /** LSH band keys: split the signature into `numBands` rows of width
     * r = numPerm/numBands, hash each row (band index is salted in so bands
     * never collide across positions). Returns array<long> of band hashes.

@@ -361,6 +361,20 @@ object Dedup {
         lshBands(col("sig"), NumPerm, NumBands).as("bands"))
   }
 
+  /** Exact-Jaccard verification of EXTERNALLY generated candidate pairs
+    * (id_a, id_b) against this corpus — the batch verify stage the
+    * streaming LSH candidate generator hands off to. Arrays are built
+    * candidate-proportionally (semi-join), as in the incremental path.
+    */
+  private[graft] def verifyCandidates(s: SparkSession, dir: String,
+                                      candidates: DataFrame): DataFrame = {
+    val sh = shinglePairs(s, dir)
+    val candIds = candidates.select(col("id_a").as("doc_id"))
+      .union(candidates.select(col("id_b").as("doc_id")))
+    val arrays = shingleArrays(sh.join(candIds, Seq("doc_id"), "left_semi"))
+    CacheLifecycle.materialize(verifyJaccard(arrays, candidates), sh, arrays)
+  }
+
   /** MinHash+LSH near-dup pairs: band-bucket join → distinct candidates →
     * exact-Jaccard verification on the candidate pairs only.
     */

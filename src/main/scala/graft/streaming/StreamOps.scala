@@ -218,6 +218,104 @@ object StreamOps {
     ss.table(name).collect()(0).getSeq[Long](0).toArray
   }
 
+  /** One LSH band occurrence of a streaming document (ts = arrival time,
+    * the watermark/TTL column).
+    */
+  private[streaming] case class BandRow(bandIdx: Int, bandHash: Long,
+                                        docId: Long, ts: java.sql.Timestamp)
+
+  /** A candidate near-dup pair (unordered, id_a < id_b). */
+  private[streaming] case class CandPair(id_a: Long, id_b: Long)
+
+  /** Streaming MinHash-LSH near-dup detection with BOUNDED per-bucket
+    * state — the streaming twin of the batch `Dedup.minhashLsh` pipeline:
+    *
+    *  1. each arriving document maps to its 32-permutation signature in
+    *     ONE narrow projection (TextFunctions.minhashSigKernel over the
+    *     xxhash64'd shingles — bit-equal to the batch MinHashAgg
+    *     signature, so band buckets line up across pipelines);
+    *  2. band keys explode to (band_idx, band_hash) rows — the SAME
+    *     Column expression as the batch path (lshBands);
+    *  3. `flatMapGroupsWithState` keyed by band bucket emits (new, old)
+    *     candidate pairs against the bucket's remembered doc ids. State
+    *     per bucket is a FIFO of ≤ `maxBucket` ids plus an EVENT-TIME TTL
+    *     (watermark over arrival time; timeout = last arrival + horizon)
+    *     — the two bounds a 100 TB ingest needs: hot buckets cap their
+    *     quadratic fan-out (recall loss only past the cap, as in the
+    *     batch hot-bucket guard), idle buckets evict once the watermark
+    *     passes their horizon. Event-time (not processing-time) timeout
+    *     is deliberate: processing-time timeouts make the query
+    *     clock-driven — it never goes idle, which both burns a trigger
+    *     loop on an idle ingest and deadlocks any drain-the-source
+    *     harness; watermark-driven eviction does the same job and idles
+    *     with the data;
+    *  4. candidates hand off to the batch exact-Jaccard verify
+    *     (`Dedup.verifyCandidates`) — candidate generation is the
+    *     streaming part; verification joins the corpus arrays exactly as
+    *     the incremental ingest path does.
+    *
+    * Draining the finite fixture in one pass emits every pair sharing a
+    * band bucket (capacity permitting), which is exactly the batch LSH
+    * candidate set — so the final verified pairs equal `minhashLsh`'s and
+    * the same SQL oracle applies (spec-pinned equality).
+    */
+  def streamingMinhashNearDup(s: SparkSession, dir: String,
+                              maxBucket: Int = 64): DataFrame = {
+    import graft.functions.TextFunctions.{bandKeysKernel, shingles}
+    import graft.operators.Dedup.{NumBands, NumPerm, ShingleK}
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    val ss = streamingSession(s)
+    import ss.implicits._
+    val path = s"$dir/documents.parquet"
+    val schema = ss.read.parquet(path).schema
+    val name = s"graft_stream_${counter.incrementAndGet()}"
+    val ttlMs = 3600L * 1000
+    val bands = ss.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .select(col("doc_id"),
+        posexplode(bandKeysKernel(NumPerm, NumBands)(
+          transform(shingles(col("text"), ShingleK), sh => xxhash64(sh))))
+          .as(Seq("band_idx", "band_hash")),
+        current_timestamp().as("ts"))
+      .withWatermark("ts", "10 minutes")
+      .select(col("band_idx").as("bandIdx"), col("band_hash").as("bandHash"),
+        col("doc_id").as("docId"), col("ts"))
+      .as[BandRow]
+    val candidates = bands
+      .groupByKey(r => (r.bandIdx, r.bandHash))
+      .flatMapGroupsWithState[Seq[Long], CandPair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: (Int, Long), rows: Iterator[BandRow], state: GroupState[Seq[Long]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var seen = state.getOption.getOrElse(Seq.empty)
+            var maxTs = 0L
+            val out = Seq.newBuilder[CandPair]
+            rows.foreach { r =>
+              seen.foreach { old =>
+                if (old != r.docId)
+                  out += CandPair(math.min(old, r.docId), math.max(old, r.docId))
+              }
+              seen = (seen :+ r.docId).takeRight(maxBucket)
+              if (r.ts.getTime > maxTs) maxTs = r.ts.getTime
+            }
+            state.update(seen)
+            state.setTimeoutTimestamp(maxTs + ttlMs)
+            out.result().iterator
+          }
+      }
+    val q = candidates.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    // batch hand-off: distinct candidates (a pair repeats once per shared
+    // band) verified exactly against the corpus shingle arrays
+    graft.operators.Dedup.verifyCandidates(ss, dir, ss.table(name).distinct())
+  }
+
   def streamingDedup(s: SparkSession, dir: String): DataFrame = {
     val ss = streamingSession(s)
     val path = s"$dir/documents.parquet"

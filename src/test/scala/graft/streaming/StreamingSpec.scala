@@ -17,6 +17,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("streaming minhash near-dup equals the batch LSH pipeline") {
+    import org.apache.spark.sql.functions._
+    // signatures: the per-row stream kernel must be bit-equal to the
+    // batch MinHashAgg signature for every fixture document
+    import graft.functions.TextFunctions.{minhashSigKernel, shingles}
+    import graft.operators.Dedup.{NumPerm, ShingleK}
+    graft.expressions.MinHashAgg.register(spark, NumPerm)
+    val docs = graft.Tables.documents(spark, sf)
+    val kernelSigs = docs.select(col("doc_id"),
+        minhashSigKernel(NumPerm)(
+          transform(shingles(col("text"), ShingleK), sh => xxhash64(sh))).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val aggSigs = docs.select(col("doc_id"),
+        explode(shingles(col("text"), ShingleK)).as("sh_str"))
+      .select(col("doc_id"), xxhash64(col("sh_str")).as("sh"))
+      .groupBy("doc_id").agg(call_function("graft_minhash", col("sh")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    aggSigs.foreach { case (id, sig) =>
+      assert(kernelSigs(id) === sig, s"stream/batch signature drift for doc $id")
+    }
+    // end-to-end: identical verified pair sets (same candidates, same
+    // exact-jaccard verify)
+    val streamed = StreamOps.streamingMinhashNearDup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = graft.operators.Dedup.minhashLsh(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty, "fixture lost its near-dup pairs")
+    // bounded state: with a tiny bucket cap the pipeline still runs and
+    // emits a subset of the uncapped pairs (drop-oldest recall trade)
+    val capped = StreamOps.streamingMinhashNearDup(spark, sf, maxBucket = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(capped.subsetOf(streamed))
+  }
+
   test("streaming agg recovers checkpointed state across a restart") {
     import org.apache.spark.sql.functions._
     import java.nio.file.Files
