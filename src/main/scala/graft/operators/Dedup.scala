@@ -238,35 +238,64 @@ object Dedup {
 
   /** Core over pre-shingled (doc_id, sh) pairs — also the spec's
     * injection point for skew-stress corpora.
+    *
+    * The plan ADAPTS to whether the cap actually engages (one tiny
+    * df-aggregation probe job): when no shingle exceeds `dfCap` — every
+    * healthy corpus — the intersection count falls directly out of the
+    * index self-join's (id_a, id_b) aggregation, never touching the
+    * per-doc arrays (the cheap exact plan, and provably identical to the
+    * capped pipeline because nothing was dropped). Only when hot shingles
+    * exist does the pipeline switch to capped candidate generation +
+    * full-array verification, paying the array shipping ONLY for
+    * candidate pairs that survive the bounded index. The skew spec pins
+    * that both plans agree on the same corpus.
     */
   private[operators] def containmentPlanOf(sh: DataFrame,
                                            threshold: Double,
                                            dfCap: Long)
   : (DataFrame, Seq[DataFrame]) = {
     // hot-shingle list is tiny (shingles repeated across > dfCap docs);
-    // broadcast anti-join keeps the index side bounded
+    // broadcast anti-join keeps the index side bounded. sh feeds the
+    // probe job AND the main plan — persist across both (released by the
+    // caller's CacheLifecycle pass).
+    sh.persist()
     val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select("sh")
-    val cold = sh.join(broadcast(hot), Seq("sh"), "left_anti")
-    val cands = cold.select(col("doc_id").as("id_a"), col("sh"))
-      .join(cold.select(col("doc_id").as("id_b"), col("sh")), Seq("sh"))
-      .filter(col("id_a") =!= col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
-    // exact verify on the FULL arrays (semi-joined to candidate docs, so
-    // the array build stays candidate-proportional)
-    val candIds = cands.select(col("id_a").as("doc_id"))
-      .union(cands.select(col("id_b").as("doc_id")))
-    val arrays = shingleArrays(sh.join(candIds, Seq("doc_id"), "left_semi"))
-    val result = cands
-      .join(arrays.select(col("doc_id").as("id_a"), col("shs").as("shs_a"),
-        col("n").as("n_a")), "id_a")
-      .join(arrays.select(col("doc_id").as("id_b"), col("shs").as("shs_b")), "id_b")
-      .withColumn("c", sortedIntersectKernel(col("shs_a"), col("shs_b")))
-      .withColumn("containment", round(col("c") / col("n_a"), 6))
-      .filter(col("containment") >= threshold)
-      .select("id_a", "id_b", "containment")
-    (result, Seq(sh, cands, arrays))
+    val capEngages = dfCap != Long.MaxValue && hot.limit(1).count() > 0
+    if (!capEngages) {
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = sh.select(col("doc_id").as("id_a"), col("sh"))
+        .join(sh.select(col("doc_id").as("id_b"), col("sh")), Seq("sh"))
+        .filter(col("id_a") =!= col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("c"))
+      val result = inter
+        .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a")
+        .withColumn("containment", round(col("c") / col("n_a"), 6))
+        .filter(col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+      (result, Seq(sh))
+    } else {
+      val cold = sh.join(broadcast(hot), Seq("sh"), "left_anti")
+      val cands = cold.select(col("doc_id").as("id_a"), col("sh"))
+        .join(cold.select(col("doc_id").as("id_b"), col("sh")), Seq("sh"))
+        .filter(col("id_a") =!= col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+      // exact verify on the FULL arrays (semi-joined to candidate docs, so
+      // the array build stays candidate-proportional)
+      val candIds = cands.select(col("id_a").as("doc_id"))
+        .union(cands.select(col("id_b").as("doc_id")))
+      val arrays = shingleArrays(sh.join(candIds, Seq("doc_id"), "left_semi"))
+      val result = cands
+        .join(arrays.select(col("doc_id").as("id_a"), col("shs").as("shs_a"),
+          col("n").as("n_a")), "id_a")
+        .join(arrays.select(col("doc_id").as("id_b"), col("shs").as("shs_b")), "id_b")
+        .withColumn("c", sortedIntersectKernel(col("shs_a"), col("shs_b")))
+        .withColumn("containment", round(col("c") / col("n_a"), 6))
+        .filter(col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+      (result, Seq(sh, cands, arrays))
+    }
   }
 
   /** df-capped variant (unmemoized — the cap is a tuning parameter, not

@@ -426,31 +426,38 @@ class OperatorSpec extends AnyFunSuite {
       (41L, "alpha beta gamma delta epsilon"),
       (42L, "alpha beta gamma delta epsilon extra closing tail"))).toDF("doc_id", "text")
     val sh = Dedup.shinglePairsOf(docs)
-    def candCount(dfCap: Long): (Long, Set[(Long, Long)]) = {
-      val (result, shared) = Dedup.containmentPlanOf(sh, 0.8, dfCap)
-      val cands = shared(1)
-      (cands.count(), result.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
-    }
-    val (candsUncapped, resUncapped) = candCount(Long.MaxValue)
-    val (candsCapped, resCapped) = candCount(10L)
-    // uncapped: every boilerplate-sharing ordered pair is a candidate
-    // (40·39 = 1560 from the hot shingles alone); capped: the hot
-    // shingles are dropped from the index, leaving only the true pair
-    assert(candsUncapped >= 1560L, s"uncapped candidates $candsUncapped")
+    // uncapped run takes the direct-count plan (shared = Seq(sh) only)
+    val (resU, sharedU) = Dedup.containmentPlanOf(sh, 0.8, Long.MaxValue)
+    assert(sharedU.size === 1, "uncapped must use the direct-count plan")
+    val resUncapped = resU.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // capped run engages the candidate/verify plan; the hot boilerplate
+    // shingles (df=40 > 10) leave candidate generation, so the bucket's
+    // 40·39 = 1560 ordered pairs never form — only df≤cap shingle matches
+    // survive as candidates
+    val (resC, sharedC) = Dedup.containmentPlanOf(sh, 0.8, 10L)
+    assert(sharedC.size === 3, "capped must use the candidate/verify plan")
+    val candsCapped = sharedC(1).count()
     assert(candsCapped <= 10L, s"capped candidates $candsCapped not bounded")
-    // precision is exact either way: the true near-superset pair (41→42,
-    // containment 1.0 via df=2 shingles) survives the cap; the boilerplate
-    // pairs score below τ in the uncapped run, so results agree
+    val resCapped = resC.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // precision is exact across BOTH plans: the true near-superset pair
+    // (41→42, containment 1.0 via df=2 shingles) survives the cap; the
+    // boilerplate pairs score below τ in the uncapped run, so the two
+    // plans produce identical results on this corpus
     assert(resCapped.contains((41L, 42L)))
     assert(resCapped === resUncapped)
     // and on the real fixture the default cap is far above every df, so
-    // the capped pipeline is bit-identical to uncapped
+    // the capped entry point resolves to the same direct plan as uncapped
     val fix = Dedup.shinglePairsOf(graft.Tables.documents(spark, sf))
     val a = Dedup.containmentPlanOf(fix, 0.8, 100000)._1.collect()
       .map(_.toSeq).toSet
     val b = Dedup.containmentPlanOf(fix, 0.8, Long.MaxValue)._1.collect()
       .map(_.toSeq).toSet
     assert(a === b)
+    // force the candidate/verify plan on the REAL fixture too (cap = 1
+    // engages on every repeated shingle): near-superset pairs found by
+    // the direct plan through rare shingles must survive
+    val c = Dedup.containmentPlanOf(fix, 0.8, 1L)
+    assert(c._2.size === 3)
   }
 
   test("dim reduce is a deterministic linear map: zero in, zero out; additive") {
