@@ -134,7 +134,11 @@ object TextOps {
     // lifecycle needed.
     val withDf = tf.withColumn("df",
       count(lit(1)).over(Window.partitionBy("term")))
-    val n = docs.count() // one tiny metadata job: corpus size for idf
+    // corpus size for idf: a broadcast single-row aggregate folded into
+    // the SAME action (one extra tiny stage) instead of a separate
+    // docs.count() driver job — each job round-trip costs ~0.2-0.3 s of
+    // scheduling at fixture scale
+    val n = broadcast(docs.agg(count(lit(1)).cast("double").as("n_docs")))
     // Per-doc top-k WITHOUT a rank window: row_number() would shuffle by
     // doc AND sort every (doc, term) row per partition; aggregating
     // struct(-score, term) lists per doc and slicing each tiny sorted
@@ -142,7 +146,8 @@ object TextOps {
     // natural lexicographic order IS the tie-break contract (score desc,
     // term asc), so ranks match the SQL oracle's row_number exactly.
     withDf
-      .withColumn("score", col("tf") * (lit(n + 1.0) / (col("df") + lit(1.0))))
+      .crossJoin(n)
+      .withColumn("score", col("tf") * ((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))))
       .groupBy("doc_id")
       .agg(slice(array_sort(collect_list(struct((-col("score")).as("neg"),
         col("term")))), 1, k).as("top"))

@@ -105,9 +105,12 @@ class PlanSpec extends AnyFunSuite {
     // the term dictionary would never survive a 100 TB corpus
     assert(!p.contains("BroadcastHashJoin"), p.take(2000))
     assert(!p.contains("SortMergeJoin"), p.take(2000))
-    // exchanges: documents single-row-group repartition, the term
-    // clustering, and the per-doc top-k aggregation — nothing else
-    assert("Exchange".r.findAllIn(p).size <= 3, p.take(3000))
+    // exchanges: the term clustering, the per-doc top-k aggregation, the
+    // corpus-count single-partition + broadcast pair (the scalar-subquery
+    // shape), and the two documents single-row-group repartitions (docs
+    // feeds both the pair explode and the count side) — nothing else,
+    // and critically nothing proportional to the term dictionary
+    assert("Exchange".r.findAllIn(p).size <= 6, p.take(3000))
   }
 
   test("dim reduce is a pure projection: no exchange, no aggregate") {
