@@ -30,7 +30,6 @@ object ScaleUp {
 
   def main(args: Array[String]): Unit = {
     val Array(src, dst, factorS) = args.take(3)
-    val factor = factorS.toInt
     val spark = SparkSession.builder().master("local[32]")
       .appName("graft-scaleup")
       .config("spark.sql.shuffle.partitions", "32")
@@ -39,6 +38,11 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    try run(spark, src, dst, factorS.toInt)
+    finally spark.stop()
+  }
+
+  def run(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
     new java.io.File(dst).mkdirs()
 
     def load(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
@@ -121,6 +125,5 @@ object ScaleUp {
           transform(sequence(lit(0), lit(dim - 1)), i =>
             ((pmod(xxhash64(col("vec_id"), i), lit(2000000L)) - lit(1000000L)) /
               lit(1000000.0)).cast("float")))))
-    spark.stop()
   }
 }
