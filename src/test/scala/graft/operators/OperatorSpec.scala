@@ -242,9 +242,12 @@ class OperatorSpec extends AnyFunSuite {
     val ops: Seq[() => org.apache.spark.sql.DataFrame] = Seq(
       () => Dedup.minhashLsh(spark, sf),
       () => Dedup.simhashPairs(spark, sf),
+      () => Dedup.simhashPairsPortable(spark, sf),
       () => Dedup.fuzzyNames(spark, sf),
       () => Dedup.embeddingCosine(spark, sf),
-      () => Similarity.annIvf(spark, sf))
+      () => Dedup.containment(spark, sf), // pre-persists sh for the cap probe
+      () => Similarity.annIvf(spark, sf),
+      () => graft.streaming.StreamOps.streamingMinhashNearDup(spark, sf))
     ops.foreach(op => assert(op().count() > 0))
     val after = spark.sparkContext.getPersistentRDDs.size
     assert(after - before <= ops.length,
