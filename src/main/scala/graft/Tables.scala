@@ -33,9 +33,23 @@ object Tables {
     // setting the same value twice is harmless
     if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    normalizeTs(load(s, d, "events"))
   }
+
+  /** Normalize an events frame's `ts`: the driver fixture stores
+    * TIMESTAMP(NANOS) which arrives as a nanos long under the legacy
+    * conf (exact integer division to micros is lossless — fixture data
+    * is generated at microsecond resolution); scaled fixtures
+    * (tools.ScaleUp) store a native micros TIMESTAMP that passes
+    * through. Works on batch and streaming frames alike.
+    */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _ => df
+    }
   /** documents/embeddings feed compute-heavy per-row operators (shingling,
     * token scoring, vector kernels), and the fixture files are single
     * row-group parquet — unsplittable, so a plain scan runs on ONE core.

@@ -107,7 +107,7 @@ object Sessionize {
     val name = s"graft_sessions_${System.nanoTime()}"
     val stream = ss.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(graft.Tables.normalizeTs)
       .withWatermark("ts", "10 minutes")
       .select(col("user_id"), col("ts"), col("value"))
       .as[Ev]

@@ -49,7 +49,7 @@ object StreamOps {
     // file-stream source wants a directory: stream the sf dir, glob one table
     val stream = ss.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(graft.Tables.normalizeTs)
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_v"))
@@ -80,7 +80,7 @@ object StreamOps {
     val name = s"graft_stream_${counter.incrementAndGet()}"
     def events = ss.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(graft.Tables.normalizeTs)
     val clicks = events.filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"),
         col("ts").as("click_ts"))
@@ -135,7 +135,7 @@ object StreamOps {
     val name = s"graft_stream_${counter.incrementAndGet()}"
     val stream = ss.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(graft.Tables.normalizeTs)
       .withWatermark("ts", "1 hour")
       .withColumn("hour_start", date_trunc("hour", col("ts")))
       .dropDuplicatesWithinWatermark("user_id", "event_type", "hour_start")

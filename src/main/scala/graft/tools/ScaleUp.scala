@@ -100,7 +100,11 @@ object ScaleUp {
         .withColumn("l_partkey", col("l_partkey") + lit(r * partN))
         .withColumn("l_suppkey", col("l_suppkey") + lit(r * suppN))))
 
-    val events = load("events") // ts read as nanos-long (legacy conf)
+    // ts arrives as nanos-long (legacy conf) from the driver fixture;
+    // write a NATIVE micros TIMESTAMP so SQL oracles (year/day/interval
+    // arithmetic) read the scaled fixture directly — Tables.normalizeTs
+    // makes the Spark side layout-agnostic
+    val events = graft.Tables.normalizeTs(load("events"))
     val evtN = maxOf(events, "event_id")
     val userN = maxOf(events, "user_id")
     save("events", replicate(events)((d, r) =>

@@ -56,5 +56,10 @@ class ScaleUpSpec extends AnyFunSuite {
     // single flat file per table — the streaming pathGlobFilter contract
     for (t <- Seq("documents", "events"))
       assert(new java.io.File(s"$dst/$t.parquet").isFile, s"$t not a flat file")
+
+    // events.ts must be a NATIVE timestamp in the scaled fixture (SQL
+    // oracles do year/day/interval arithmetic on it directly)
+    assert(spark.read.parquet(s"$dst/events.parquet").schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampType)
   }
 }

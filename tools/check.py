@@ -30,7 +30,15 @@ def compare(name, spark_df, duck_df):
     s, d = canon(spark_df), canon(duck_df)
     for c in s.columns:
         sc, dc = s[c], d[c]
-        if np.issubdtype(sc.dtype, np.floating) or np.issubdtype(dc.dtype, np.floating):
+        if np.issubdtype(sc.dtype, np.datetime64) or np.issubdtype(dc.dtype, np.datetime64):
+            # timestamps compare as strings (an all-NULL side arrives as
+            # float64 NaN from DuckDB — astype(float) on the datetime side
+            # would throw); NaT == NaN == null
+            eq = (sc.astype(str) == dc.astype(str)) | (sc.isna() & dc.isna())
+            if not eq.all():
+                i = int(np.argmin(eq.to_numpy()))
+                return f"VALUE col={c} row={i} spark={sc.iloc[i]!r} duck={dc.iloc[i]!r}"
+        elif np.issubdtype(sc.dtype, np.floating) or np.issubdtype(dc.dtype, np.floating):
             sa = sc.astype(float).to_numpy()
             da = dc.astype(float).to_numpy()
             both_nan = np.isnan(sa) & np.isnan(da)
