@@ -320,10 +320,21 @@ object Dedup {
     * default, used by the oracle-checked query) disables the cap — the
     * result is then exactly PPJoin.
     */
+  /** `candidateProportionalVerify` picks the verify-array strategy:
+    * false (default) builds sorted shingle arrays for EVERY document —
+    * an independent subtree that overlaps with candidate generation, the
+    * faster shape while the corpus-wide aggregate is cheap; true builds
+    * arrays only for docs appearing in a candidate pair (the incremental
+    * path's shape) — at 100 TB with a low duplicate rate this skips a
+    * full corpus-wide aggregate pass at the cost of serializing behind
+    * the candidate join, which is the right trade exactly when that pass
+    * stops being cheap. Both produce identical results (spec-pinned).
+    */
   private[operators] def ngramJaccardPlan(s: SparkSession, dir: String,
-                               dfCap: Long = Long.MaxValue): (DataFrame, Seq[DataFrame]) = {
+                               dfCap: Long = Long.MaxValue,
+                               candidateProportionalVerify: Boolean = false)
+  : (DataFrame, Seq[DataFrame]) = {
     val sh = shinglePairs(s, dir)
-    val arrays = shingleArrays(sh)
     val docFreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap)
     // Per-doc prefix selection (rarest-first rank ≤ |d| − ⌈τ·|d|⌉ + 1) as
@@ -350,7 +361,15 @@ object Dedup {
             ceil((col("a.n") + col("b.n")) * alpha))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    (verifyJaccard(arrays, candidates), Seq(sh, prefixKeyed, arrays))
+    if (candidateProportionalVerify) {
+      val candIds = candidates.select(col("id_a").as("doc_id"))
+        .union(candidates.select(col("id_b").as("doc_id")))
+      val arrays = shingleArrays(sh.join(candIds, Seq("doc_id"), "left_semi"))
+      (verifyJaccard(arrays, candidates), Seq(sh, prefixKeyed, candidates, arrays))
+    } else {
+      val arrays = shingleArrays(sh)
+      (verifyJaccard(arrays, candidates), Seq(sh, prefixKeyed, arrays))
+    }
   }
 
   /** Per-doc rarest-first prefix index (rank ≤ |d| − ⌈τ·|d|⌉ + 1 under

@@ -417,6 +417,16 @@ class OperatorSpec extends AnyFunSuite {
     got.values.foreach(c => assert(c >= 0.8 && c <= 1.0 + 1e-9))
   }
 
+  test("pair pipeline verify strategies (corpus-wide vs candidate-proportional) agree") {
+    // the 100 TB shape (arrays only for candidate docs) must be
+    // result-identical to the overlap-friendly local default
+    val full = Dedup.ngramJaccardPlan(spark, sf)._1.collect().map(_.toSeq).toSet
+    val prop = Dedup.ngramJaccardPlan(spark, sf,
+      candidateProportionalVerify = true)._1.collect().map(_.toSeq).toSet
+    assert(full === prop)
+    assert(full.nonEmpty, "fixture lost its near-dup pairs")
+  }
+
   test("containment df-cap bounds candidate volume under duplication skew") {
     import spark.implicits._
     // skew corpus: 40 docs share ONLY a boilerplate phrase (each with a
