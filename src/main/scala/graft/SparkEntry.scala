@@ -93,6 +93,7 @@ object SparkEntry {
     "doc_sample_budget" -> ((s: SparkSession, d: String) => TextOps.sampleBudget(s, d)),
     "pipeline_manifest" -> ((s: SparkSession, d: String) => TextOps.trainingManifest(s, d)),
     "text_heavy_hitters" -> ((s: SparkSession, d: String) => TextOps.heavyHitters(s, d)),
+    "text_dedup_spans" -> ((s: SparkSession, d: String) => TextOps.dedupSpans(s, d)),
     "stream_static_join" -> ((s: SparkSession, d: String) => StreamOps.streamStaticJoin(s, d)),
     "text_quality" -> (TextOps.qualityScore _),
     "text_lang_id" -> (TextOps.langId _),
@@ -508,6 +509,26 @@ object SparkEntry {
         |c AS (SELECT term, count(*) AS cnt FROM t GROUP BY 1)
         |SELECT term, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, term) AS INTEGER) AS rank
         |FROM c ORDER BY cnt DESC, term LIMIT 20""".stripMargin,
+    // exact repeated-substring spans: grams → corpus-count window →
+    // gaps-and-islands merge, replayed verbatim
+    "text_dedup_spans" ->
+      """WITH g AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS pos, substr(text, CAST(i AS INTEGER), 20) AS gram
+        |  FROM documents, UNNEST(range(1, length(text) - 18)) t(i)
+        |  WHERE length(text) >= 20),
+        |r AS (SELECT doc_id, pos FROM (
+        |  SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS m FROM g)
+        |  WHERE m > 1),
+        |i AS (SELECT doc_id, pos, CASE WHEN pos > coalesce(
+        |    max(pos + 20) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |  THEN 1 ELSE 0 END AS ni FROM r),
+        |s AS (SELECT doc_id, pos,
+        |  sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM i)
+        |SELECT doc_id, CAST(min(pos) AS INTEGER) AS span_start,
+        |  CAST(max(pos) + 20 - min(pos) AS INTEGER) AS span_len,
+        |  count(*) AS n_grams
+        |FROM s GROUP BY doc_id, island""".stripMargin,
     // the stream-static join drains a finite source through a stateless
     // broadcast join + complete-mode agg → exactly the batch overlap counts
     "stream_static_join" ->

@@ -205,6 +205,69 @@ object TextOps {
     fp.join(groups, Seq("fp")).select("doc_id", "fp", "n_same")
   }
 
+  /** Exact repeated-substring spans — the "dedup at the substring level"
+    * operator of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better" (ACL 2022): find every character span of length ≥ L
+    * whose content occurs MORE THAN ONCE anywhere in the corpus (training
+    * pipelines cut these spans rather than whole documents, because
+    * boilerplate repeats inside otherwise-unique pages). The reference
+    * work uses a corpus-wide suffix array; the distributed re-expression
+    * is windowed grams + island merging:
+    *
+    *  1. explode each document into its length-L character grams at every
+    *     offset (row amplification ∝ text length — partition-local);
+    *  2. one hash aggregation finds grams whose corpus count > 1. The
+    *     gram CONTENT is the group key here so a SQL oracle replays the
+    *     pipeline exactly; at cluster scale the key would be
+    *     xxhash64(gram) — 8 bytes through the shuffle instead of L chars
+    *     (same split as the simhash prod/portable hashing);
+    *  3. per doc, overlapping/adjacent repeated gram positions merge into
+    *     maximal spans with one gaps-and-islands window pass (island
+    *     starts where a gram begins past the running max end) — every
+    *     maximal repeated span of length ≥ L is covered end-to-end by
+    *     repeated grams, so the merged islands ARE the spans.
+    *
+    * Shuffles: gram key (count), doc key (window) — both standard hash
+    * shuffles; no joins, no corpus-wide sort (the window sorts within
+    * docs only). Output: (doc_id, span_start 1-based, span_len).
+    */
+  def dedupSpans(s: SparkSession, dir: String, minLen: Int = 20): DataFrame =
+    dedupSpansOf(Tables.documents(s, dir), minLen)
+
+  /** DataFrame-first core of [[dedupSpans]] over (doc_id, text). */
+  def dedupSpansOf(docs: DataFrame, minLen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // every length-L gram at 1-based offset pos (max pos = len − L + 1)
+    val grams = docs
+      .filter(length(col("text")) >= minLen)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - lit(minLen - 1))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        expr(s"substring(text, pos, $minLen)").as("gram"))
+    // corpus-repeated grams: count() window over the gram key — one
+    // shuffle, no join back (same shape as topTerms' df window)
+    val repeated = grams
+      .withColumn("m", count(lit(1)).over(Window.partitionBy("gram")))
+      .filter(col("m") > 1)
+      .select("doc_id", "pos")
+    // gaps-and-islands: an island starts where a gram begins past the
+    // running max end of everything before it; islands ARE the maximal
+    // repeated spans (each is covered end-to-end by repeated grams)
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val runEnd = max(col("pos") + lit(minLen))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    repeated
+      .withColumn("ni",
+        when(col("pos") > coalesce(runEnd, lit(0)), 1).otherwise(0))
+      .withColumn("island", sum("ni").over(w))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").as("span_start"), max("pos").as("max_pos"),
+        count(lit(1)).as("n_grams"))
+      .select(col("doc_id"), col("span_start"),
+        (col("max_pos") + lit(minLen) - col("span_start")).as("span_len"),
+        col("n_grams"))
+  }
+
   /** Benchmark decontamination — flag training documents that share any
     * word k-shingle with a held-out evaluation set (the GPT-3/PaLM-style
     * n-gram-collision test-set filter). The eval set here is the

@@ -417,6 +417,33 @@ class OperatorSpec extends AnyFunSuite {
     got.values.foreach(c => assert(c >= 0.8 && c <= 1.0 + 1e-9))
   }
 
+  test("dedup spans finds exactly the planted repeated substrings") {
+    import spark.implicits._
+    // two docs share one 30-char block at different offsets; everything
+    // else is unique → exactly one maximal span per doc, at the block
+    // boundary chars DIFFER on both sides so the maximal shared span is
+    // exactly the block (shared adjacent chars would rightly extend it)
+    val block = "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123" // 30 chars
+    val t1 = s"unique-head-one(${block}]tail-one-unique-suffix-x"
+    val docs = Seq(
+      (1L, t1),
+      (2L, s"completely-different-prefix-two[$block)other-tail-two"),
+      (3L, "no repeats here at all, nothing shared with any other doc")
+    ).toDF("doc_id", "text")
+    val spans = TextOps.dedupSpansOf(docs, minLen = 20).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sortBy(_._1)
+    // doc 3 is clean; docs 1 and 2 each carry ONE span covering the
+    // shared 30-char block (merged from its 11 repeated 20-grams)
+    assert(spans.map(_._1).toSeq === Seq(1L, 2L))
+    val s1 = spans(0); val s2 = spans(1)
+    assert(s1._3 === 30 && s2._3 === 30, s"span lengths ${s1._3}/${s2._3}")
+    assert(t1.substring(s1._2 - 1, s1._2 - 1 + s1._3) === block)
+    // a doc repeating a block INTERNALLY is also caught (self-repeat)
+    val selfRep = Seq((9L, s"$block middle filler text $block")).toDF("doc_id", "text")
+    val self = TextOps.dedupSpansOf(selfRep, minLen = 20).collect()
+    assert(self.length === 2, "internal repeat must yield two spans")
+  }
+
   test("pair pipeline verify strategies (corpus-wide vs candidate-proportional) agree") {
     // the 100 TB shape (arrays only for candidate docs) must be
     // result-identical to the overlap-friendly local default
