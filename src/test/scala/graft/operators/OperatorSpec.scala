@@ -442,6 +442,13 @@ class OperatorSpec extends AnyFunSuite {
     val selfRep = Seq((9L, s"$block middle filler text $block")).toDF("doc_id", "text")
     val self = TextOps.dedupSpansOf(selfRep, minLen = 20).collect()
     assert(self.length === 2, "internal repeat must yield two spans")
+    // dirty input: null text and docs shorter than minLen drop out
+    // silently instead of failing the scan
+    val dirty = Seq((10L, null.asInstanceOf[String]), (11L, "short"),
+      (12L, ""), (13L, s"ok $block"), (14L, s"ok $block"))
+      .toDF("doc_id", "text")
+    val ds = TextOps.dedupSpansOf(dirty, minLen = 20).collect()
+    assert(ds.map(_.getLong(0)).toSet === Set(13L, 14L))
   }
 
   test("pair pipeline verify strategies (corpus-wide vs candidate-proportional) agree") {
