@@ -94,6 +94,7 @@ object SparkEntry {
     "pipeline_manifest" -> ((s: SparkSession, d: String) => TextOps.trainingManifest(s, d)),
     "text_heavy_hitters" -> ((s: SparkSession, d: String) => TextOps.heavyHitters(s, d)),
     "text_dedup_spans" -> ((s: SparkSession, d: String) => TextOps.dedupSpans(s, d)),
+    "text_span_cut" -> ((s: SparkSession, d: String) => TextOps.spanCut(s, d)),
     "stream_static_join" -> ((s: SparkSession, d: String) => StreamOps.streamStaticJoin(s, d)),
     "text_quality" -> (TextOps.qualityScore _),
     "text_lang_id" -> (TextOps.langId _),
@@ -529,6 +530,46 @@ object SparkEntry {
         |  CAST(max(pos) + 20 - min(pos) AS INTEGER) AS span_len,
         |  count(*) AS n_grams
         |FROM s GROUP BY doc_id, island""".stripMargin,
+    // span application: the same span pipeline, then per-doc segment
+    // reconstruction (kept text between/around the cut spans)
+    "text_span_cut" ->
+      """WITH g AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS pos, substr(text, CAST(i AS INTEGER), 20) AS gram
+        |  FROM documents, UNNEST(range(1, length(text) - 18)) t(i)
+        |  WHERE length(text) >= 20),
+        |r AS (SELECT doc_id, pos FROM (
+        |  SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS m FROM g)
+        |  WHERE m > 1),
+        |i AS (SELECT doc_id, pos, CASE WHEN pos > coalesce(
+        |    max(pos + 20) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |  THEN 1 ELSE 0 END AS ni FROM r),
+        |s AS (SELECT doc_id, pos,
+        |  sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM i),
+        |sp AS (SELECT doc_id, CAST(min(pos) AS INTEGER) AS span_start,
+        |  CAST(max(pos) + 20 - min(pos) AS INTEGER) AS span_len
+        |  FROM s GROUP BY doc_id, island),
+        |segs AS (
+        |  SELECT doc_id,
+        |    coalesce(lag(span_start + span_len) OVER (PARTITION BY doc_id ORDER BY span_start), 1) AS seg_start,
+        |    span_start AS seg_end, span_start AS ord
+        |  FROM sp
+        |  UNION ALL
+        |  SELECT doc_id, max(span_start + span_len), 2147483647, 2147483647
+        |  FROM sp GROUP BY doc_id),
+        |cut AS (
+        |  SELECT d.doc_id,
+        |    string_agg(substr(d.text, seg_start,
+        |      CASE WHEN seg_end = 2147483647 THEN length(d.text) ELSE seg_end - seg_start END),
+        |      '' ORDER BY ord) AS text_clean
+        |  FROM documents d JOIN segs USING (doc_id) GROUP BY d.doc_id),
+        |agg AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_spans_cut,
+        |        CAST(sum(span_len) AS BIGINT) AS n_chars_cut FROM sp GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(a.n_spans_cut, 0) AS n_spans_cut,
+        |  coalesce(a.n_chars_cut, 0) AS n_chars_cut,
+        |  coalesce(c.text_clean, d.text) AS text_clean
+        |FROM documents d LEFT JOIN agg a USING (doc_id) LEFT JOIN cut c USING (doc_id)""".stripMargin,
     // the stream-static join drains a finite source through a stateless
     // broadcast join + complete-mode agg → exactly the batch overlap counts
     "stream_static_join" ->

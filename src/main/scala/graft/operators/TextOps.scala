@@ -268,6 +268,46 @@ object TextOps {
         col("n_grams"))
   }
 
+  /** Apply [[dedupSpans]]: excise every corpus-repeated span from its
+    * document and emit the cleaned text — the actual training-data
+    * transformation of the Lee et al. pipeline (cut the boilerplate,
+    * keep the unique remainder; documents with no repeated spans pass
+    * through). The surgery is ONE projection over the (doc, sorted span
+    * array) join: an `aggregate` higher-order fold walks the
+    * non-overlapping spans left-to-right concatenating the kept
+    * segments — no kernel, no extra shuffle beyond the span pipeline's
+    * own, and the same substring arithmetic any SQL engine replays.
+    */
+  def spanCut(s: SparkSession, dir: String, minLen: Int = 20): DataFrame =
+    spanCutOf(Tables.documents(s, dir), minLen)
+
+  /** DataFrame-first core of [[spanCut]] over (doc_id, text). */
+  def spanCutOf(docs: DataFrame, minLen: Int): DataFrame = {
+    val spans = dedupSpansOf(docs, minLen)
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("span_start"), col("span_len"))))
+        .as("spans"))
+    docs.join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text"),
+        coalesce(col("spans"),
+          array().cast("array<struct<span_start:int,span_len:long>>")).as("spans"))
+      .select(col("doc_id"),
+        size(col("spans")).as("n_spans_cut"),
+        aggregate(col("spans"), lit(0L), (acc, sp) =>
+          acc + sp.getField("span_len")).as("n_chars_cut"),
+        aggregate(col("spans"),
+          struct(lit("").as("clean"), lit(1).cast("int").as("cur")),
+          (acc, sp) => struct(
+            concat(acc.getField("clean"),
+              col("text").substr(acc.getField("cur"),
+                sp.getField("span_start") - acc.getField("cur"))).as("clean"),
+            (sp.getField("span_start") + sp.getField("span_len"))
+              .cast("int").as("cur")),
+          acc => concat(acc.getField("clean"),
+            col("text").substr(acc.getField("cur"), length(col("text")))))
+          .as("text_clean"))
+  }
+
   /** Benchmark decontamination — flag training documents that share any
     * word k-shingle with a held-out evaluation set (the GPT-3/PaLM-style
     * n-gram-collision test-set filter). The eval set here is the

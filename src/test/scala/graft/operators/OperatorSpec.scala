@@ -449,6 +449,18 @@ class OperatorSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     val ds = TextOps.dedupSpansOf(dirty, minLen = 20).collect()
     assert(ds.map(_.getLong(0)).toSet === Set(13L, 14L))
+
+    // span application: cutting the detected spans leaves exactly the
+    // unique remainder; clean docs pass through untouched
+    val cut = TextOps.spanCutOf(docs, minLen = 20).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getString(3))).toMap
+    assert(cut(1L) === ((1, 30L, "unique-head-one(]tail-one-unique-suffix-x")))
+    assert(cut(3L)._1 === 0)
+    assert(cut(3L)._3 === "no repeats here at all, nothing shared with any other doc")
+    // internal repeat: both copies excised
+    val cutSelf = TextOps.spanCutOf(selfRep, minLen = 20).collect()(0)
+    assert(cutSelf.getInt(1) === 2 && cutSelf.getLong(2) === 60L)
+    assert(cutSelf.getString(3) === " middle filler text ")
   }
 
   test("pair pipeline verify strategies (corpus-wide vs candidate-proportional) agree") {
