@@ -163,8 +163,12 @@ object Similarity {
     val probes = q.collect().flatMap { r =>
       val qv = r.getAs[scala.collection.Seq[Float]]("qv").toArray
       centroids.zipWithIndex.map { case (c, ci) =>
+        // widen each term to Double BEFORE subtracting, exactly like
+        // nearestCellKernel and the SQL oracle — float-rounded terms here
+        // could flip probe-cell ranking when two centroid distances are
+        // within float epsilon, silently changing which cells get scored
         var d = 0.0; var i = 0
-        while (i < qv.length) { val t = qv(i) - c(i); d += t * t; i += 1 }
+        while (i < qv.length) { val t = qv(i).toDouble - c(i).toDouble; d += t * t; i += 1 }
         (r.getLong(0), ci, d)
       }.sortBy(_._3).take(nprobe).map(t => (t._1, t._2))
     }
