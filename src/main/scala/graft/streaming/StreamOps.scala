@@ -257,8 +257,17 @@ object StreamOps {
     * Draining the finite fixture in one pass emits every pair sharing a
     * band bucket (capacity permitting), which is exactly the batch LSH
     * candidate set — so the final verified pairs equal `minhashLsh`'s and
-    * the same SQL oracle applies (spec-pinned equality).
+    * the same SQL oracle applies (spec-pinned equality). "Capacity
+    * permitting" is load-bearing: the FIFO cap silently trades recall on
+    * skewed corpora, so every run COUNTS its evictions into
+    * [[lastCapacityDrops]] — 0 proves the drained candidate set is the
+    * complete batch set (the oracle's precondition); > 0 makes an oracle
+    * mismatch attributable to the documented cap instead of a bug. (The
+    * count can only over-state: a replayed micro-batch re-adds its
+    * evictions, never hides one.)
     */
+  @volatile private[graft] var lastCapacityDrops: Long = 0L
+
   def streamingMinhashNearDup(s: SparkSession, dir: String,
                               maxBucket: Int = 64): DataFrame = {
     import graft.functions.TextFunctions.{bandKeysKernel, shingles}
@@ -270,6 +279,7 @@ object StreamOps {
     val schema = ss.read.parquet(path).schema
     val name = s"graft_stream_${counter.incrementAndGet()}"
     val ttlMs = 3600L * 1000
+    val dropAcc = ss.sparkContext.longAccumulator("graft.streamMinhash.capacityDrops")
     val bands = ss.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
       .select(col("doc_id"),
@@ -296,6 +306,7 @@ object StreamOps {
                 if (old != r.docId)
                   out += CandPair(math.min(old, r.docId), math.max(old, r.docId))
               }
+              if (seen.size >= maxBucket) dropAcc.add(seen.size - maxBucket + 1)
               seen = (seen :+ r.docId).takeRight(maxBucket)
               if (r.ts.getTime > maxTs) maxTs = r.ts.getTime
             }
@@ -311,6 +322,13 @@ object StreamOps {
       .start()
     try q.processAllAvailable()
     finally q.stop()
+    lastCapacityDrops = dropAcc.value
+    if (lastCapacityDrops > 0)
+      Console.err.println(
+        s"[graft] stream minhash: $lastCapacityDrops band-bucket FIFO " +
+          s"evictions (maxBucket=$maxBucket) — candidate recall may trail " +
+          "the batch LSH set; an oracle mismatch on this run is attributable " +
+          "to the capacity cap")
     // batch hand-off: distinct candidates (a pair repeats once per shared
     // band) verified exactly against the corpus shingle arrays
     graft.operators.Dedup.verifyCandidates(ss, dir, ss.table(name).distinct())

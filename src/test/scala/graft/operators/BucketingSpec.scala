@@ -29,18 +29,32 @@ class BucketingSpec extends AnyFunSuite {
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .mode("overwrite").saveAsTable("lineitem_b")
 
-      val joined = spark.table("orders_b")
-        .join(spark.table("lineitem_b"),
-          col("o_orderkey") === col("l_orderkey"))
-        .groupBy("o_orderkey")
-        .agg(count(lit(1)).as("n_items"),
-          round(sum("l_extendedprice"), 2).as("sum_price"))
-      val plan = joined.queryExecution.executedPlan.toString
-      // the join AND the aggregation ride the bucket layout: the only
-      // acceptable exchange is none at all (AQE may leave a reused
-      // subtree marker, never a ShuffleExchange)
-      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
-        plan.take(3000))
+      // force the sort-merge path: on the tiny fixture AQE would broadcast
+      // the build side, which skips bucketing entirely — the 100 TB claim
+      // this spec protects is the co-located SMJ, where neither side fits
+      // in a broadcast
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined =
+        try {
+          val j = spark.table("orders_b")
+            .join(spark.table("lineitem_b"),
+              col("o_orderkey") === col("l_orderkey"))
+            .groupBy("o_orderkey")
+            .agg(count(lit(1)).as("n_items"),
+              round(sum("l_extendedprice"), 2).as("sum_price"))
+          val plan = j.queryExecution.executedPlan.toString
+          // the join AND the aggregation ride the bucket layout: the only
+          // acceptable exchange is none at all. Count the generic "Exchange"
+          // token (minus ReusedExchange markers) rather than matching one
+          // partitioning's rendering — shuffles print as "Exchange
+          // hashpartitioning(...)"/"Exchange rangepartitioning(...)", and a
+          // BroadcastExchange would mean bucketing stopped being exercised.
+          val nExchanges = "(?<!Reused)Exchange".r.findAllMatchIn(plan).size
+          assert(nExchanges == 0, plan.take(3000))
+          assert(plan.contains("SortMergeJoin"), plan.take(3000))
+          j
+        } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
       // identical results to the plain (shuffling) join
       val expected = orders.join(lineitem, col("o_orderkey") === col("l_orderkey"))

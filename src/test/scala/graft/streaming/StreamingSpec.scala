@@ -41,15 +41,23 @@ class StreamingSpec extends AnyFunSuite {
     // exact-jaccard verify)
     val streamed = StreamOps.streamingMinhashNearDup(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the batch-equality claim (and the shared SQL oracle) presuppose no
+    // bucket hit the FIFO capacity on this corpus — the eviction counter
+    // proves it, so an oracle failure at scale is attributable
+    assert(StreamOps.lastCapacityDrops === 0L,
+      "default maxBucket overflowed on the fixture; batch equality is no longer guaranteed")
     val batch = graft.operators.Dedup.minhashLsh(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(streamed === batch)
     assert(streamed.nonEmpty, "fixture lost its near-dup pairs")
     // bounded state: with a tiny bucket cap the pipeline still runs and
-    // emits a subset of the uncapped pairs (drop-oldest recall trade)
+    // emits a subset of the uncapped pairs (drop-oldest recall trade),
+    // and the eviction counter reports the (now nonzero) capacity drops
     val capped = StreamOps.streamingMinhashNearDup(spark, sf, maxBucket = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(capped.subsetOf(streamed))
+    assert(StreamOps.lastCapacityDrops > 0L,
+      "maxBucket=2 must overflow on the fixture — the counter is not wired")
   }
 
   test("streaming agg recovers checkpointed state across a restart") {
