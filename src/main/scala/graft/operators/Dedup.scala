@@ -58,7 +58,7 @@ object Dedup {
     * widen to a 2×64-bit token).
     */
   private def shinglePairs(s: SparkSession, dir: String): DataFrame =
-    shinglePairsOf(Tables.documents(s, dir))
+    sharedIntermediate(s, dir, "sh")(shinglePairsOf(Tables.documents(s, dir)))
 
   private[operators] def shinglePairsOf(docs: DataFrame): DataFrame =
     docs
@@ -76,6 +76,38 @@ object Dedup {
     sh.groupBy("doc_id")
       .agg(sort_array(collect_list(col("sh"))).as("shs"),
         count(lit(1)).as("n"))
+
+  /** Full-corpus verify arrays, shared across the family (doc-count-sized:
+    * one row per document).
+    */
+  private def corpusArrays(s: SparkSession, dir: String): DataFrame = {
+    val sh = shinglePairs(s, dir) // resolve before entering the cache map
+    sharedIntermediate(s, dir, "arrays")(shingleArrays(sh))
+  }
+
+  /** Global shingle document frequencies, shared across the family: the
+    * prefix-index build ranks by it and the containment plan probes it
+    * for hot shingles — one aggregation job instead of one per consumer.
+    * Distinct-shingle-sized (strictly smaller than the pair set).
+    */
+  private def corpusDocFreq(s: SparkSession, dir: String): DataFrame = {
+    val sh = shinglePairs(s, dir) // resolve before entering the cache map
+    sharedIntermediate(s, dir, "df")(
+      sh.groupBy("sh").agg(count(lit(1)).as("df")))
+  }
+
+  /** Uncapped rarest-first prefix index, shared across the family — the
+    * batch PPJoin pipeline and the incremental variant build the identical
+    * index (same global df order, same τ), so it is computed once per
+    * (session, corpus).
+    */
+  private def corpusPrefix(s: SparkSession, dir: String): DataFrame = {
+    val sh = shinglePairs(s, dir) // resolve before entering the cache map
+    val df = corpusDocFreq(s, dir)
+    sharedIntermediate(s, dir, "prefix") {
+      prefixIndex(sh, df).select("doc_id", "sh", "n", "pos")
+    }
+  }
 
   /** Exact-Jaccard verification of candidate pairs: join each pair to the
     * two per-doc sorted arrays and count the intersection with one
@@ -128,6 +160,30 @@ object Dedup {
   private val pairCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  /** Family-level shared intermediates: the corpus-wide subtrees every
+    * pair operator rebuilds identically — the shingle-pair set, the
+    * full-corpus verify arrays, the uncapped prefix index. One dedup suite
+    * run scans and shingles the corpus ONCE; containment, incremental,
+    * MinHash-LSH and the pair pipeline all reuse the persisted set (the
+    * production shape: a materialized shingle table feeding every dedup
+    * pass). MEMORY_AND_DISK persists spill instead of OOM-ing; the
+    * footprint is bounded by the token count (16 bytes per (doc_id, sh)
+    * occurrence) and is released with the pair sets via [[releasePairs]].
+    * First-toucher pays the build — in Bench's name-ordered run that is
+    * the explicit `dedup_build_pairs` attribution entry.
+    */
+  private val sharedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Persist-once accessor. The `build` thunk must not itself call back
+    * into sharedIntermediate (ConcurrentHashMap.computeIfAbsent is not
+    * re-entrant) — callers resolve their inputs first.
+    */
+  private def sharedIntermediate(s: SparkSession, dir: String, key: String)
+                                (build: => DataFrame): DataFrame =
+    sharedCache.computeIfAbsent(sessionKey(s) + "|" + dir + "|" + key,
+      _ => build.persist())
+
   /** Stable per-session cache id (sessionUUID is private[sql]; an
     * identityHashCode can be reused after GC). Weak keys: a dropped
     * session releases its id — and its pair set stays only until
@@ -150,7 +206,11 @@ object Dedup {
     * checkpointed blocks are freed by the ContextCleaner once the
     * references are gone.
     */
-  def releasePairs(): Unit = pairCache.clear()
+  def releasePairs(): Unit = {
+    pairCache.clear()
+    sharedCache.values().forEach(_.unpersist(false))
+    sharedCache.clear()
+  }
 
   /** Incremental near-dup dedup — the production ingest shape: a NEW
     * batch (odd doc_id here; in production, today's partition) verified
@@ -165,8 +225,7 @@ object Dedup {
   def incremental(s: SparkSession, dir: String,
                   threshold: Double = JaccardThreshold): DataFrame = {
     val sh = shinglePairs(s, dir)
-    val docFreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-    val prefixKeyed = prefixIndex(sh, docFreq)
+    val prefixKeyed = corpusPrefix(s, dir) // same index as the batch pipeline
     val alpha = JaccardThreshold / (1 + JaccardThreshold)
     val cands = prefixKeyed.as("a")
       .join(prefixKeyed.as("b"),
@@ -194,8 +253,9 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_new", "id_old", "jaccard")
     // cands feeds both the semi-join id set and the verify join — persist
-    // it alongside the index intermediates so each is computed once
-    CacheLifecycle.materialize(result, sh, prefixKeyed, cands, arrays)
+    // it (with the batch-proportional arrays) per-query; sh and the prefix
+    // index are family-shared, released by releasePairs()
+    CacheLifecycle.materialize(result, cands, arrays)
   }
 
   /** Directed shingle containment C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)| —
@@ -224,7 +284,9 @@ object Dedup {
   def containment(s: SparkSession, dir: String, threshold: Double = 0.8,
                   dfCap: Long = 100000): DataFrame = {
     val (result, shared) = containmentPlan(s, dir, threshold, dfCap)
-    CacheLifecycle.materialize(result, shared: _*)
+    // shared.head is the family-cached shingle set — its lifecycle belongs
+    // to releasePairs(), not this query
+    CacheLifecycle.materialize(result, shared.tail: _*)
   }
 
   /** Lazy plan + shared intermediates of [[containment]] (plan inspection
@@ -234,7 +296,8 @@ object Dedup {
                                          threshold: Double = 0.8,
                                          dfCap: Long = 100000)
   : (DataFrame, Seq[DataFrame]) =
-    containmentPlanOf(shinglePairs(s, dir), threshold, dfCap)
+    containmentPlanOf(shinglePairs(s, dir), threshold, dfCap,
+      Some(corpusDocFreq(s, dir)), Some(corpusArrays(s, dir)))
 
   /** Core over pre-shingled (doc_id, sh) pairs — also the spec's
     * injection point for skew-stress corpora.
@@ -252,18 +315,25 @@ object Dedup {
     */
   private[operators] def containmentPlanOf(sh: DataFrame,
                                            threshold: Double,
-                                           dfCap: Long)
+                                           dfCap: Long,
+                                           docFreq: Option[DataFrame] = None,
+                                           corpusArr: Option[DataFrame] = None)
   : (DataFrame, Seq[DataFrame]) = {
     // hot-shingle list is tiny (shingles repeated across > dfCap docs);
     // broadcast anti-join keeps the index side bounded. sh feeds the
-    // probe job AND the main plan — persist across both (released by the
-    // caller's CacheLifecycle pass).
-    sh.persist()
-    val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    // probe job AND the main plan — the shipped path passes the
+    // family-persisted set plus its cached docFreq, so the probe is a
+    // cached-table filter, not a fresh aggregation job (spec-injected
+    // corpora recompute both, tiny).
+    val hot = docFreq
+      .getOrElse(sh.groupBy("sh").agg(count(lit(1)).as("df")))
       .filter(col("df") > dfCap).select("sh")
     val capEngages = dfCap != Long.MaxValue && hot.limit(1).count() > 0
     if (!capEngages) {
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      // per-doc sizes: free from the family verify arrays when available
+      // (suite/production shape), one count agg otherwise (injected corpora)
+      val sizes = corpusArr.map(_.select("doc_id", "n"))
+        .getOrElse(sh.groupBy("doc_id").agg(count(lit(1)).as("n")))
       val inter = sh.select(col("doc_id").as("id_a"), col("sh"))
         .join(sh.select(col("doc_id").as("id_b"), col("sh")), Seq("sh"))
         .filter(col("id_a") =!= col("id_b"))
@@ -335,14 +405,21 @@ object Dedup {
                                candidateProportionalVerify: Boolean = false)
   : (DataFrame, Seq[DataFrame]) = {
     val sh = shinglePairs(s, dir)
-    val docFreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= dfCap)
     // Per-doc prefix selection (rarest-first rank ≤ |d| − ⌈τ·|d|⌉ + 1) as
     // ONE aggregate: collect the doc's (df, sh) pairs, sort the (small,
     // doc-length-bounded) array, slice the prefix. Replaces the previous
     // row_number window + sizes join — one exchange instead of a full
     // partition sort plus an extra join, and n comes free as size(ranked).
-    val prefix = prefixIndex(sh, docFreq)
+    // The uncapped index is the family-shared one; a finite dfCap filters
+    // the df table per-query (capped prefixes are conservatively longer).
+    val capped = dfCap != Long.MaxValue
+    val prefixKeyed =
+      if (!capped) corpusPrefix(s, dir)
+      else {
+        val docFreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= dfCap)
+        prefixIndex(sh, docFreq).select("doc_id", "sh", "n", "pos")
+      }
     // PPJoin position filter: a prefix match at positions (pa, pb) bounds
     // the overlap by 1 + min(|a|−pa, |b|−pb); J ≥ τ requires overlap ≥
     // ⌈τ/(1+τ)·(|a|+|b|)⌉. Applied per matched prefix row INSIDE the join
@@ -351,7 +428,6 @@ object Dedup {
     // slightly tighter but costs a wide groupBy over every prefix match —
     // measured 5× slower than filter-then-distinct at sf0.1.)
     val alpha = JaccardThreshold / (1 + JaccardThreshold)
-    val prefixKeyed = prefix.select("doc_id", "sh", "n", "pos")
     val candidates = prefixKeyed.as("a")
       .join(prefixKeyed.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
@@ -361,14 +437,19 @@ object Dedup {
             ceil((col("a.n") + col("b.n")) * alpha))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
+    // per-query persist list: only intermediates NOT in the family cache
+    // (the family set is released by releasePairs, not per-query)
     if (candidateProportionalVerify) {
       val candIds = candidates.select(col("id_a").as("doc_id"))
         .union(candidates.select(col("id_b").as("doc_id")))
       val arrays = shingleArrays(sh.join(candIds, Seq("doc_id"), "left_semi"))
-      (verifyJaccard(arrays, candidates), Seq(sh, prefixKeyed, candidates, arrays))
+      val perQuery = (if (capped) Seq(prefixKeyed) else Nil) ++
+        Seq(candidates, arrays)
+      (verifyJaccard(arrays, candidates), perQuery)
     } else {
-      val arrays = shingleArrays(sh)
-      (verifyJaccard(arrays, candidates), Seq(sh, prefixKeyed, arrays))
+      val arrays = corpusArrays(s, dir)
+      (verifyJaccard(arrays, candidates),
+        if (capped) Seq(prefixKeyed) else Nil)
     }
   }
 
@@ -420,7 +501,7 @@ object Dedup {
     val candIds = candidates.select(col("id_a").as("doc_id"))
       .union(candidates.select(col("id_b").as("doc_id")))
     val arrays = shingleArrays(sh.join(candIds, Seq("doc_id"), "left_semi"))
-    CacheLifecycle.materialize(verifyJaccard(arrays, candidates), sh, arrays)
+    CacheLifecycle.materialize(verifyJaccard(arrays, candidates), arrays)
   }
 
   /** MinHash+LSH near-dup pairs: band-bucket join → distinct candidates →
@@ -428,7 +509,7 @@ object Dedup {
     */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     val sh = shinglePairs(s, dir)
-    val arrays = shingleArrays(sh)
+    val arrays = corpusArrays(s, dir)
     val bands = minhashSignaturesFrom(s, sh)
       .select(col("doc_id"),
         posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
@@ -437,7 +518,7 @@ object Dedup {
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    CacheLifecycle.materialize(verifyJaccard(arrays, candidates), sh, bands, arrays)
+    CacheLifecycle.materialize(verifyJaccard(arrays, candidates), bands)
   }
 
   /** SimHash near-dup pairs: signature from exploded token hashes via the
