@@ -37,6 +37,24 @@ object Bench {
     val selected = only.fold(SparkEntry.queries)(f =>
       SparkEntry.queries.filter { case (k, _) => f(k) })
 
+    // Custom-expression warm-up (same contract as above: engine init, not
+    // table data): the vector/aggregate expressions compile and JIT on
+    // first use — ~2 s measured — which otherwise lands entirely on
+    // whichever ann_/emb_ query sorts first. One-row literal data only.
+    if (selected.keys.exists(n => n.startsWith("ann_") || n.startsWith("emb_")
+        || n.startsWith("dedup_embedding"))) {
+      import org.apache.spark.sql.functions._
+      graft.expressions.DotProduct.register(spark)
+      graft.expressions.TopKAgg.register(spark)
+      spark.range(2)
+        .select(col("id"),
+          call_function("graft_dot",
+            array(lit(1f), lit(2f)), array(lit(3f), lit(4f))).as("d"))
+        .groupBy(lit(1))
+        .agg(call_function("graft_topk", col("d"), col("id"), lit(1)))
+        .collect()
+    }
+
     // Streaming warm-up (same contract as above: engine init, not data):
     // the first streaming query otherwise absorbs micro-batch machinery,
     // state-store and streaming-codegen init — measured at ~4-5 s on a
@@ -62,7 +80,7 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    graft.operators.Dedup.releasePairs() // drop the memoized pair set
+    graft.operators.Dedup.releasePairs() // drop memoized pairs + family-shared corpus intermediates
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -164,39 +164,18 @@ object Dedup {
     * pair operator rebuilds identically — the shingle-pair set, the
     * full-corpus verify arrays, the uncapped prefix index. One dedup suite
     * run scans and shingles the corpus ONCE; containment, incremental,
-    * MinHash-LSH and the pair pipeline all reuse the persisted set (the
-    * production shape: a materialized shingle table feeding every dedup
-    * pass). MEMORY_AND_DISK persists spill instead of OOM-ing; the
-    * footprint is bounded by the token count (16 bytes per (doc_id, sh)
-    * occurrence) and is released with the pair sets via [[releasePairs]].
-    * First-toucher pays the build — in Bench's name-ordered run that is
-    * the explicit `dedup_build_pairs` attribution entry.
-    */
-  private val sharedCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-
-  /** Persist-once accessor. The `build` thunk must not itself call back
-    * into sharedIntermediate (ConcurrentHashMap.computeIfAbsent is not
-    * re-entrant) — callers resolve their inputs first.
+    * MinHash-LSH and the pair pipeline all reuse the persisted set (see
+    * [[FamilyCache]] for the lifecycle contract; released with the pair
+    * sets via [[releasePairs]]). First-toucher pays the build — in Bench's
+    * name-ordered run that is the explicit `dedup_build_pairs`
+    * attribution entry.
     */
   private def sharedIntermediate(s: SparkSession, dir: String, key: String)
                                 (build: => DataFrame): DataFrame =
-    sharedCache.computeIfAbsent(sessionKey(s) + "|" + dir + "|" + key,
-      _ => build.persist())
-
-  /** Stable per-session cache id (sessionUUID is private[sql]; an
-    * identityHashCode can be reused after GC). Weak keys: a dropped
-    * session releases its id — and its pair set stays only until
-    * releasePairs(), the documented lifecycle.
-    */
-  private val sessionIds = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession, String]())
-
-  private def sessionKey(s: SparkSession): String =
-    sessionIds.computeIfAbsent(s, _ => java.util.UUID.randomUUID().toString)
+    FamilyCache.get(s, dir, key)(build)
 
   def ngramJaccard(s: SparkSession, dir: String): DataFrame =
-    pairCache.computeIfAbsent(sessionKey(s) + "|" + dir, _ => {
+    pairCache.computeIfAbsent(FamilyCache.sessionKey(s) + "|" + dir, _ => {
       val (result, shared) = ngramJaccardPlan(s, dir)
       CacheLifecycle.materialize(result, shared: _*)
     })
@@ -208,8 +187,7 @@ object Dedup {
     */
   def releasePairs(): Unit = {
     pairCache.clear()
-    sharedCache.values().forEach(_.unpersist(false))
-    sharedCache.clear()
+    FamilyCache.release()
   }
 
   /** Incremental near-dup dedup — the production ingest shape: a NEW
@@ -849,8 +827,8 @@ object Dedup {
     */
   def embeddingCosine(s: SparkSession, dir: String, threshold: Double = 0.45,
                       numPlanes: Int = 256, grid: Int = 8): DataFrame = {
-    val (result, e) = embeddingCosinePlan(s, dir, threshold, numPlanes, grid)
-    CacheLifecycle.materialize(result, e)
+    val (result, _) = embeddingCosinePlan(s, dir, threshold, numPlanes, grid)
+    CacheLifecycle.materialize(result)
   }
 
   /** Lazy plan + the embeddings intermediate it reads three times (sketch
@@ -862,9 +840,8 @@ object Dedup {
       numPlanes: Int = 256, grid: Int = 8): (DataFrame, DataFrame) = {
     DotProduct.register(s)
     val dim = Dim
-    val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding").as("v"))
-      .withColumn("nrm", sqrt(call_function("graft_dot", col("v"), col("v"))))
+    // normed vectors shared with the ANN family (one scan+norm per corpus)
+    val e = Similarity.corpusVectors(s, dir)
     val sketches = e.select(col("vec_id"),
       sketchKernel(hyperplanesFlat(numPlanes, dim), dim)(col("v")).as("sig"))
     val cut = math.ceil(

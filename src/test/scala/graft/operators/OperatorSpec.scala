@@ -250,8 +250,17 @@ class OperatorSpec extends AnyFunSuite {
       () => graft.streaming.StreamOps.streamingMinhashNearDup(spark, sf))
     ops.foreach(op => assert(op().count() > 0))
     val after = spark.sparkContext.getPersistentRDDs.size
-    assert(after - before <= ops.length,
+    // the family-shared corpus intermediates (shingles, docFreq, arrays,
+    // vectors) stay persisted BY DESIGN until releasePairs(); allow them
+    // on top of the per-op checkpoint budget
+    val familyBudget = 6
+    assert(after - before <= ops.length + familyBudget,
       s"leaked persisted intermediates: $before -> $after for ${ops.length} ops")
+    // and the explicit release drops the family set (the lifecycle contract)
+    Dedup.releasePairs()
+    val released = spark.sparkContext.getPersistentRDDs.size
+    assert(released - before <= ops.length,
+      s"releasePairs left family intermediates persisted: $before -> $released")
   }
 
   test("approximate aggregates stay within tolerance of exact values") {
