@@ -83,11 +83,13 @@ object SparkEntry {
     "ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
     "ann_lsh_multiprobe" -> ((s: SparkSession, d: String) => Similarity.annLshMultiProbe(s, d)),
     "ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
+    "dedup_semantic" -> ((s: SparkSession, d: String) => Dedup.semanticDedup(s, d)),
     "mm_decode_batched" -> ((s: SparkSession, d: String) =>
       Multimodal.decodeBatchedFlat(Multimodal.asBinaryPayload(s, d))),
     "emb_label_centroids" -> (Similarity.labelCentroids _),
     "text_token_counts" -> (TextOps.tokenCounts _),
     "text_decontaminate" -> ((s: SparkSession, d: String) => TextOps.decontaminate(s, d)),
+    "text_decontaminate_bloom" -> ((s: SparkSession, d: String) => TextOps.decontaminateBloom(s, d)),
     "text_repetition" -> (TextOps.repetition _),
     "doc_sample_balanced" -> (TextOps.sampleBalanced _),
     "doc_sample_budget" -> ((s: SparkSession, d: String) => TextOps.sampleBudget(s, d)),
@@ -260,6 +262,30 @@ object SparkEntry {
        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
        |FROM scored
        |QUALIFY rank <= $k""".stripMargin
+  }
+
+  /** The semantic-dedup oracle replays the √n-cell seed-point quantizer
+    * (annIvfOracle's technique, cell count derived from the corpus), the
+    * within-cell cosine pairing, and the greedy lowest-id survivor rule —
+    * same doubles, same left-to-right sums as the compiled kernels.
+    */
+  private def semanticDedupOracle(threshold: Double = 0.45): String = {
+    val dim = graft.functions.VectorFunctions.Dim
+    s"""$cosineCte,
+       |nc AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS n FROM embeddings),
+       |c AS (SELECT vec_id AS cell, e AS ce FROM v WHERE vec_id < (SELECT n FROM nc)),
+       |d AS (SELECT v.vec_id, v.e, v.nrm, c.cell,
+       |  list_sum(list_transform(range(1, ${dim + 1}), i -> (v.e[i] - c.ce[i]) * (v.e[i] - c.ce[i]))) AS dist
+       |  FROM v, c),
+       |a AS (SELECT vec_id, e, nrm, cell FROM d
+       |      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1),
+       |pairs AS (
+       |  SELECT y.vec_id AS vec_id, y.cell AS cell, x.vec_id AS keep_id,
+       |    round(list_sum(list_transform(range(1, ${dim + 1}), i -> x.e[i] * y.e[i])) / (x.nrm * y.nrm), 6) AS cosine
+       |  FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id)
+       |SELECT vec_id, cell, keep_id, cosine FROM pairs
+       |WHERE cosine >= $threshold
+       |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY keep_id) = 1""".stripMargin
   }
 
   /** The dim-reduce oracle embeds the same deterministic projection matrix
@@ -477,6 +503,20 @@ object SparkEntry {
     // eval slice = doc_id % 10 = 0; shared-shingle counts over the same
     // distinct 3-gram shingle sets as the near-dup oracles
     "text_decontaminate" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+        |       FROM w, UNNEST(range(1, len(w)-1)) AS t(i) WHERE len(w) >= 3),
+        |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 10 = 0),
+        |hits AS (SELECT s.doc_id, count(*) AS n_shared FROM sh s JOIN ev USING (sh)
+        |         WHERE s.doc_id % 10 <> 0 GROUP BY 1)
+        |SELECT d.doc_id, coalesce(h.n_shared, 0) AS n_shared,
+        |  coalesce(h.n_shared, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN hits h USING (doc_id)
+        |WHERE d.doc_id % 10 <> 0""".stripMargin,
+    // the Bloom prefilter has no false negatives and the survivor
+    // semi-join is exact, so the result is definitionally identical to
+    // the broadcast-dictionary plan — same oracle
+    "text_decontaminate_bloom" ->
       """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
         |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
         |       FROM w, UNNEST(range(1, len(w)-1)) AS t(i) WHERE len(w) >= 3),
@@ -742,6 +782,7 @@ object SparkEntry {
     "ann_lsh" -> annLshOracle,
     "ann_lsh_multiprobe" -> annLshMultiProbeOracle,
     "ann_ivf" -> annIvfOracle(),
+    "dedup_semantic" -> semanticDedupOracle(),
     "emb_normalize" ->
       s"""$cosineCte
          |SELECT vec_id, round(nrm, 6) AS norm, CAST(i - 1 AS INTEGER) AS dim_idx,

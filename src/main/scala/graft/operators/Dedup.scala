@@ -871,4 +871,56 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
     (verified, e)
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al., "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication", 2023): cluster
+    * the embedding space coarsely, then search for semantic duplicates
+    * ONLY within a cluster — the quadratic term is bounded by cell size
+    * instead of corpus size, the production trade for embedding dedup at
+    * 100 TB (cross-cell near-dups are the accepted recall loss; the
+    * global sketch-grid pipeline above is the exact-recall alternative).
+    *
+    * The quantizer is annIvf's deterministic seed-point rule (centroids =
+    * embeddings of vec_id < numCells — tiny driver-side index metadata,
+    * SQL-replayable), with numCells ∝ √n by default so BOTH sides of the
+    * cost stay sub-quadratic as the corpus grows: assignment is O(n·√n)
+    * and within-cell pairing is O(n·√n) expected (a production deployment
+    * sizes cells ∝ n/targetCellSize and trains centroids offline; the
+    * pipeline — assign, cell self-join, survivor pick — is unchanged).
+    *
+    * Emits the DROP LIST: (vec_id, cell, keep_id, cosine) — one row per
+    * dropped vector, keep_id = its lowest-id cell-mate with cosine ≥ τ
+    * (greedy-by-id survivor; a keeper may itself be dropped for a smaller
+    * id, exactly SemDeDup's keep-one-per-neighborhood greedy order). Kept
+    * set = corpus minus emitted vec_ids.
+    */
+  def semanticDedup(s: SparkSession, dir: String, threshold: Double = 0.45,
+                    numCellsOverride: Option[Int] = None): DataFrame = {
+    val e = Similarity.corpusVectors(s, dir)
+    val numCells = numCellsOverride.getOrElse(
+      math.ceil(math.sqrt(e.count().toDouble)).toInt)
+    val centroids: Array[Array[Float]] = e.filter(col("vec_id") < numCells)
+      .orderBy("vec_id").select("v")
+      .collect().map(_.getAs[scala.collection.Seq[Float]](0).toArray)
+    val assigned = e.withColumn("cell",
+      Similarity.nearestCellKernel(centroids.map(_.map(_.toDouble)))(col("v"))
+        .cast("long"))
+    // cell equi-join (hash join on cell; the cosine threshold evaluates
+    // per MATCHED pair — within-cell work only, never a nested loop)
+    val pairs = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cosine", round(
+        call_function("graft_dot", col("a.v"), col("b.v")) /
+          (col("a.nrm") * col("b.nrm")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("b.vec_id").as("vec_id"), col("b.cell").as("cell"),
+        col("a.vec_id").as("keep_id"), col("cosine"))
+    // deterministic survivor: the smallest qualifying keeper per dropped id
+    val result = pairs.groupBy("vec_id", "cell")
+      .agg(min(struct(col("keep_id"), col("cosine"))).as("m"))
+      .select(col("vec_id"), col("cell"),
+        col("m.keep_id").as("keep_id"), col("m.cosine").as("cosine"))
+    CacheLifecycle.materialize(result)
+  }
 }

@@ -202,7 +202,7 @@ object Similarity {
   /** Nearest-centroid assignment kernel (the IVF full-pass): centroid
     * matrix captured in the closure, one compiled loop per row.
     */
-  private def nearestCellKernel(cents: Array[Array[Double]])
+  private[operators] def nearestCellKernel(cents: Array[Array[Double]])
   : org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (v: Array[Float]) => nearestCell(cents, v) }
 

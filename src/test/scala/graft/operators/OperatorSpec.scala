@@ -352,6 +352,49 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("semantic dedup drops are valid within-cell pairs of the global near-dup set") {
+    val drops = Dedup.semanticDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(drops.nonEmpty, "fixture lost its semantic duplicates")
+    // survivor rule: keeper precedes the dropped id, similarity clears τ
+    drops.foreach { case (vecId, _, keepId, cosine) =>
+      assert(keepId < vecId, s"keeper $keepId does not precede $vecId")
+      assert(cosine >= 0.45, s"pair ($keepId,$vecId) below threshold: $cosine")
+    }
+    // one drop decision per vector
+    assert(drops.map(_._1).distinct.length === drops.length)
+    // cluster-scoped search trades recall, never precision: every emitted
+    // pair must appear in the exact-recall global pipeline with the same
+    // rounded cosine
+    val global = Dedup.embeddingCosine(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    drops.foreach { case (vecId, _, keepId, cosine) =>
+      assert(global.get((keepId, vecId)).contains(cosine),
+        s"semantic pair ($keepId,$vecId,$cosine) missing from the global near-dup set")
+    }
+  }
+
+  test("bloom decontamination equals the exact plan, even under a saturated filter") {
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val exact = asMap(TextOps.decontaminate(spark, sf))
+    // default sizing: the prefilter admits true hits + an fpp tail; the
+    // survivor semi-join kills the tail, so outputs are identical
+    val bloomed = asMap(TextOps.decontaminateBloom(spark, sf))
+    assert(bloomed === exact)
+    assert(exact.values.exists(_._2), "fixture lost its contaminated docs")
+    // adversarial sizing: fpp = 0.5 saturates the filter with false
+    // positives — the NO-FALSE-NEGATIVES guarantee plus exact verify must
+    // still reproduce the exact result bit-for-bit (the claim that makes
+    // the shared oracle sound at any filter budget)
+    val docs = graft.Tables.documents(spark, sf)
+    val evalSlice = docs.filter(col("doc_id") % 10 === 0)
+    val trainSlice = docs.filter(col("doc_id") % 10 =!= 0)
+    val saturated = asMap(
+      TextOps.decontaminateBloomOf(spark, trainSlice, evalSlice, fpp = 0.5))
+    assert(saturated === exact)
+  }
+
   test("repetition metrics match hand-computed values and stay in [0,1]") {
     import spark.implicits._
     // "a a a b": top unigram a=3/4; bigrams [a a, a a, a b] → 2/3;
