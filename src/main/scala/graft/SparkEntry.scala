@@ -88,6 +88,7 @@ object SparkEntry {
       Multimodal.decodeBatchedFlat(Multimodal.asBinaryPayload(s, d))),
     "emb_label_centroids" -> (Similarity.labelCentroids _),
     "text_token_counts" -> (TextOps.tokenCounts _),
+    "text_pack_sequences" -> ((s: SparkSession, d: String) => TextOps.packSequences(s, d)),
     "text_decontaminate" -> ((s: SparkSession, d: String) => TextOps.decontaminate(s, d)),
     "text_decontaminate_bloom" -> ((s: SparkSession, d: String) => TextOps.decontaminateBloom(s, d)),
     "text_repetition" -> (TextOps.repetition _),
@@ -679,6 +680,19 @@ object SparkEntry {
         |CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS INTEGER) AS n_distinct_tokens,
         |CAST(len(list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'), x -> length(x) > 0)) AS INTEGER) AS n_words_alnum
         |FROM documents""".stripMargin,
+    // GPT-style concat-and-chunk packing: running token sum per source in
+    // doc_id order, integer div/mod against the 2048-token budget
+    "text_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |  sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+        |SELECT doc_id, source, n_tokens,
+        |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_id,
+        |  CAST((cum - n_tokens) % 2048 AS BIGINT) AS seq_offset
+        |FROM c""".stripMargin,
     "text_quality" ->
       """WITH w AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS t FROM documents)
         |SELECT doc_id,

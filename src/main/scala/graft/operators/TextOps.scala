@@ -43,6 +43,36 @@ object TextOps {
         .as("n_words_alnum"))
   }
 
+  /** Sequence packing for pretraining: documents flow, in doc_id order
+    * within each source, into a continuous token stream cut every
+    * `budget` tokens (GPT-style concat-and-chunk packing — a document may
+    * straddle a boundary). Emits one row per document: the sequence its
+    * first token lands in and the offset inside it — the manifest a
+    * packed-batch writer consumes.
+    *
+    * Distributed shape: ONE running-sum window partitioned by source
+    * (each source packs independently, which is also what
+    * domain-separated training mixes want) — no global sort, no
+    * single-partition window; a monster source shards exactly like
+    * sampleBudget's documented salting lever. Arithmetic is integer
+    * (`div`/`%`), bit-replayable by any SQL engine.
+    */
+  def packSequences(s: SparkSession, dir: String, budget: Int = 2048): DataFrame =
+    packSequencesOf(Tables.documents(s, dir), budget)
+
+  def packSequencesOf(docs: DataFrame, budget: Int = 2048): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        expr(s"(cum - n_tokens) div $budget").as("seq_id"),
+        ((col("cum") - col("n_tokens")) % budget).as("seq_offset"))
+  }
+
   /** Quality-score features: stopword ratio, distinct-token ratio, mean
     * token length, punctuation density, plus a composite [0,1] score.
     */

@@ -352,6 +352,38 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("sequence packing matches hand-computed boundaries and fixture invariants") {
+    import spark.implicits._
+    // budget 10: src0 docs of 4, 7, 3 tokens → cum-before 0, 4, 11 →
+    // seqs 0,0,1 at offsets 0,4,1 (doc 2 straddles the seq-0/1 boundary);
+    // src1 packs independently from zero
+    val tiny = Seq(
+      (1L, "src0", "a b c d"),
+      (2L, "src0", "a b c d e f g"),
+      (3L, "src0", "x y z"),
+      (4L, "src1", "p q")).toDF("doc_id", "source", "text")
+    val packed = TextOps.packSequencesOf(tiny, budget = 10).collect()
+      .map(r => r.getLong(0) -> (r.getInt(2), r.getLong(3), r.getLong(4))).toMap
+    assert(packed(1L) === ((4, 0L, 0L)))
+    assert(packed(2L) === ((7, 0L, 4L)))
+    assert(packed(3L) === ((3, 1L, 1L)))
+    assert(packed(4L) === ((2, 0L, 0L)))
+    // fixture invariants: offsets stay inside the budget; within a source
+    // the token stream is gapless (next offset = prev offset + prev
+    // tokens, mod budget, carried across sequences)
+    val rows = TextOps.packSequences(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._5 >= 0 && r._5 < 2048))
+    rows.groupBy(_._2).values.foreach { docs =>
+      docs.sortBy(_._1).foldLeft(0L) { case (cum, (_, _, n, seqId, off)) =>
+        assert(seqId === cum / 2048, s"seq_id mismatch at cum $cum")
+        assert(off === cum % 2048, s"offset mismatch at cum $cum")
+        cum + n
+      }
+    }
+  }
+
   test("semantic dedup drops are valid within-cell pairs of the global near-dup set") {
     val drops = Dedup.semanticDedup(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
