@@ -83,6 +83,7 @@ object SparkEntry {
     "ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
     "ann_lsh_multiprobe" -> ((s: SparkSession, d: String) => Similarity.annLshMultiProbe(s, d)),
     "ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
+    "ann_ivf_pq" -> ((s: SparkSession, d: String) => Similarity.annIvfPq(s, d)),
     "dedup_semantic" -> ((s: SparkSession, d: String) => Dedup.semanticDedup(s, d)),
     "mm_decode_batched" -> ((s: SparkSession, d: String) =>
       Multimodal.decodeBatchedFlat(Multimodal.asBinaryPayload(s, d))),
@@ -94,6 +95,7 @@ object SparkEntry {
     "text_repetition" -> (TextOps.repetition _),
     "doc_sample_balanced" -> (TextOps.sampleBalanced _),
     "doc_sample_budget" -> ((s: SparkSession, d: String) => TextOps.sampleBudget(s, d)),
+    "doc_sample_temperature" -> ((s: SparkSession, d: String) => TextOps.sampleTemperature(s, d)),
     "pipeline_manifest" -> ((s: SparkSession, d: String) => TextOps.trainingManifest(s, d)),
     "text_heavy_hitters" -> ((s: SparkSession, d: String) => TextOps.heavyHitters(s, d)),
     "text_dedup_spans" -> ((s: SparkSession, d: String) => TextOps.dedupSpans(s, d)),
@@ -259,6 +261,59 @@ object SparkEntry {
        |    round(list_sum(list_transform(range(1, ${dim + 1}), i -> q.qe[i] * a.e[i])) / (q.qn * a.nrm), 6) AS cosine
        |  FROM probes p JOIN a ON a.cell = p.cell JOIN q ON q.query_id = p.query_id
        |  WHERE a.vec_id <> p.query_id)
+       |SELECT query_id, neighbor_id, cosine,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+       |FROM scored
+       |QUALIFY rank <= $k""".stripMargin
+  }
+
+  /** The IVF-PQ oracle replays the whole index: annIvfOracle's coarse
+    * seed-point cells, plus per-subspace PQ codes (argmin against the
+    * first-ksub seed codebook, lowest-code tie-break — the kernel's
+    * strict `<`), ADC candidate ranking with subspace terms summed IN m
+    * ORDER (list_sum over list(term ORDER BY m), matching the Spark
+    * kernel's outer left-to-right loop), and the exact-cosine refinement
+    * on the rerank survivors. Every distance is the same double chain the
+    * compiled kernels run, so ADC — and therefore the candidate set — is
+    * bit-identical across engines.
+    */
+  private def annIvfPqOracle(numQueries: Int = 10, k: Int = 5,
+                             numCells: Int = 16, nprobe: Int = 3,
+                             numSub: Int = 8, ksub: Int = 16,
+                             rerank: Int = 32): String = {
+    val dim = graft.functions.VectorFunctions.Dim
+    val dsub = dim / numSub
+    s"""$cosineCte,
+       |c AS (SELECT vec_id AS cell, e AS ce FROM v WHERE vec_id < $numCells),
+       |d AS (SELECT v.vec_id, v.e, v.nrm, c.cell,
+       |  list_sum(list_transform(range(1, ${dim + 1}), i -> (v.e[i] - c.ce[i]) * (v.e[i] - c.ce[i]))) AS dist
+       |  FROM v, c),
+       |a AS (SELECT vec_id, e, nrm, cell FROM d
+       |      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1),
+       |cb AS (SELECT vec_id AS code, e AS se FROM v WHERE vec_id < $ksub),
+       |encd AS (SELECT v.vec_id, sub.m, cb.code,
+       |  list_sum(list_transform(range(1, ${dsub + 1}),
+       |    i -> (v.e[sub.m * $dsub + i] - cb.se[sub.m * $dsub + i]) * (v.e[sub.m * $dsub + i] - cb.se[sub.m * $dsub + i]))) AS dist
+       |  FROM v, range(0, $numSub) sub(m), cb),
+       |enc AS (SELECT vec_id, m, code FROM encd
+       |        QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, code) = 1),
+       |probes AS (SELECT vec_id AS query_id, cell FROM d WHERE vec_id < $numQueries
+       |           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) <= $nprobe),
+       |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM v WHERE vec_id < $numQueries),
+       |adct AS (SELECT p.query_id, a.vec_id AS neighbor_id, en.m,
+       |  list_sum(list_transform(range(1, ${dsub + 1}),
+       |    i -> (q.qe[en.m * $dsub + i] - cb.se[en.m * $dsub + i]) * (q.qe[en.m * $dsub + i] - cb.se[en.m * $dsub + i]))) AS term
+       |  FROM probes p JOIN a ON a.cell = p.cell JOIN q ON q.query_id = p.query_id
+       |  JOIN enc en ON en.vec_id = a.vec_id JOIN cb ON cb.code = en.code
+       |  WHERE a.vec_id <> p.query_id),
+       |adc AS (SELECT query_id, neighbor_id, list_sum(list(term ORDER BY m)) AS adc
+       |        FROM adct GROUP BY query_id, neighbor_id),
+       |cand AS (SELECT query_id, neighbor_id FROM adc
+       |         QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) <= $rerank),
+       |scored AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    round(list_sum(list_transform(range(1, ${dim + 1}), i -> q.qe[i] * a.e[i])) / (q.qn * a.nrm), 6) AS cosine
+       |  FROM cand JOIN a ON a.vec_id = cand.neighbor_id JOIN q ON q.query_id = cand.query_id)
        |SELECT query_id, neighbor_id, cosine,
        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
        |FROM scored
@@ -674,6 +729,26 @@ object SparkEntry {
         |  FROM documents)
         |SELECT h.doc_id, h.source, c.n_source, (h.h % c.n_source) < m.min_count AS keep
         |FROM h JOIN c USING (source), m""".stripMargin,
+    // temperature (α=0.5) source mixing: quota = floor(T·√n_s/Σ√n + 0.5);
+    // sqrt is IEEE-correctly-rounded (engine-portable, unlike pow), and
+    // the denominator sums in source order — the same ordered list_sum
+    // replay as the ANN oracles; keep = md5-prefix-hash rank ≤ quota
+    "doc_sample_temperature" ->
+      """WITH c AS (SELECT source, count(*) AS n_source FROM documents GROUP BY 1),
+        |den AS (SELECT list_sum(list(sqrt(CAST(n_source AS DOUBLE)) ORDER BY source)) AS den FROM c),
+        |q AS (SELECT source, n_source,
+        |  CAST(floor(2000 * sqrt(CAST(n_source AS DOUBLE)) / den + 0.5) AS BIGINT) AS quota
+        |  FROM c, den),
+        |h AS (SELECT doc_id, source,
+        |  list_reduce(list_transform(range(1, 16), i ->
+        |    CAST(ord(substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) -
+        |         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), i, 1) BETWEEN '0' AND '9'
+        |              THEN 48 ELSE 87 END AS BIGINT)),
+        |    (a, x) -> a * 16 + x) AS h
+        |  FROM documents)
+        |SELECT h.doc_id, h.source, q.n_source, q.quota,
+        |  row_number() OVER (PARTITION BY h.source ORDER BY h.h, h.doc_id) <= q.quota AS keep
+        |FROM h JOIN q USING (source)""".stripMargin,
     "text_token_counts" ->
       """SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars_m,
         |CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens,
@@ -796,6 +871,7 @@ object SparkEntry {
     "ann_lsh" -> annLshOracle,
     "ann_lsh_multiprobe" -> annLshMultiProbeOracle,
     "ann_ivf" -> annIvfOracle(),
+    "ann_ivf_pq" -> annIvfPqOracle(),
     "dedup_semantic" -> semanticDedupOracle(),
     "emb_normalize" ->
       s"""$cosineCte

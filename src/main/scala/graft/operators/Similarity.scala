@@ -182,6 +182,123 @@ object Similarity {
     CacheLifecycle.materialize(topKPerQuery(s, scored, k))
   }
 
+  /** IVF-PQ ANN (Jégou et al., "Product quantization for nearest neighbor
+    * search", TPAMI 2011) — the index shape that makes 100 TB embedding
+    * search tractable: the coarse IVF cells bound WHICH vectors a query
+    * scores (nprobe cells instead of the corpus), and product-quantized
+    * codes bound WHAT is scored (numSub bytes per vector instead of
+    * dim floats, ~32× smaller here). Search is asymmetric distance
+    * computation (ADC): the query stays exact, every candidate's distance
+    * is approximated from its codes against per-subspace codebooks, and
+    * only the `rerank` best ADC candidates pay an exact cosine — the
+    * standard IVFPQ-with-refinement layout (IVFADC+R).
+    *
+    * Both quantizers use the deterministic seed-point rule that already
+    * closes annIvf's oracle: the first `numCells` corpus vectors are the
+    * coarse centroids, and the first `ksub` corpus vectors' m-th
+    * subvectors form subspace m's codebook — bit-replayable by any SQL
+    * engine straight from the parquet. A production deployment trains
+    * both offline (k-means / residual codebooks) and feeds them through
+    * the same kernels; quantizer quality moves recall, never the
+    * pipeline. All distance sums are fixed left-to-right double chains
+    * (subspace terms inner, subspaces outer), matching the oracle's
+    * list_sum(list(term ORDER BY m)) replay exactly.
+    *
+    * Scale notes: codes are computed in the same single full pass as the
+    * cell assignment (one compiled kernel each, no shuffle); the scored
+    * set is nprobe cells × queries; ADC needs only (codes, query) — at
+    * production scale the float vectors of non-candidates are never
+    * read past indexing, which is the whole point of PQ.
+    */
+  def annIvfPq(s: SparkSession, dir: String, numQueries: Int = 10, k: Int = 5,
+               numCells: Int = 16, nprobe: Int = 3,
+               numSub: Int = 8, ksub: Int = 16, rerank: Int = 32): DataFrame = {
+    require(Dim % numSub == 0, "subspaces must tile the dimension")
+    val dsub = Dim / numSub
+    val e = corpusVectors(s, dir)
+    // index metadata: one driver collect covers coarse centroids AND PQ
+    // seed codewords (max(numCells, ksub) × dim floats)
+    val seeds: Array[Array[Float]] = e
+      .filter(col("vec_id") < math.max(numCells, ksub))
+      .orderBy("vec_id").select("v")
+      .collect().map(_.getAs[scala.collection.Seq[Float]](0).toArray)
+    val centroids = seeds.take(numCells).map(_.map(_.toDouble))
+    // codebooks(m)(c) = seed c's m-th subvector, widened once
+    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(numSub) { m =>
+      Array.tabulate(ksub) { c =>
+        seeds(c).slice(m * dsub, (m + 1) * dsub).map(_.toDouble)
+      }
+    }
+    val assigned = e
+      .withColumn("cell", nearestCellKernel(centroids)(col("v")))
+      .withColumn("codes", pqEncodeKernel(codebooks, dsub)(col("v")))
+    // query-side probes: identical to annIvf (tiny driver-side ranking
+    // against the index metadata, terms widened before subtracting)
+    val q = assigned.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val probes = q.collect().flatMap { r =>
+      val qv = r.getAs[scala.collection.Seq[Float]]("qv").toArray
+      centroids.zipWithIndex.map { case (c, ci) =>
+        var d = 0.0; var i = 0
+        while (i < qv.length) { val t = qv(i).toDouble - c(i); d += t * t; i += 1 }
+        (r.getLong(0), ci, d)
+      }.sortBy(_._3).take(nprobe).map(t => (t._1, t._2))
+    }
+    import s.implicits._
+    val probeDf = probes.toSeq.toDF("query_id", "cell")
+    val adcScored = assigned.join(broadcast(probeDf.join(q, "query_id")), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc", pqAdcKernel(codebooks, dsub)(col("codes"), col("qv")))
+    // candidate cut by ADC (deterministic tie-break on id), then the
+    // refinement pass: exact cosine on the survivors only
+    val cand = adcScored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("adc"), col("vec_id"))))
+      .filter(col("rn") <= rerank)
+      .select(col("query_id"),
+        col("vec_id").as("neighbor_id"),
+        round(call_function("graft_dot", col("v"), col("qv")) / (col("nrm") * col("qn")), 6).as("cosine"))
+    CacheLifecycle.materialize(topKPerQuery(s, cand, k))
+  }
+
+  /** PQ encoder kernel: per subspace, the index of the nearest codeword
+    * (strict < keeps the lowest id on ties — the oracle's ORDER BY dist,
+    * code). One compiled loop per row, inside the indexing scan.
+    */
+  private[operators] def pqEncodeKernel(cb: Array[Array[Array[Double]]], dsub: Int)
+  : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (v: Array[Float]) =>
+      Array.tabulate(cb.length) { m =>
+        val books = cb(m)
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < books.length) {
+          val cw = books(c)
+          var d = 0.0; var i = 0
+          while (i < dsub) { val t = v(m * dsub + i).toDouble - cw(i); d += t * t; i += 1 }
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        best
+      }
+    }
+
+  /** ADC kernel: query-to-codeword squared distance summed across
+    * subspaces — inner sums left-to-right over the subspace dims, outer
+    * left-to-right over m, matching the oracle's ordered list_sum replay.
+    */
+  private[operators] def pqAdcKernel(cb: Array[Array[Array[Double]]], dsub: Int)
+  : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (codes: Seq[Int], qv: Array[Float]) =>
+      var adc = 0.0; var m = 0
+      while (m < cb.length) {
+        val cw = cb(m)(codes(m))
+        var d = 0.0; var i = 0
+        while (i < dsub) { val t = qv(m * dsub + i).toDouble - cw(i); d += t * t; i += 1 }
+        adc += d; m += 1
+      }
+      adc
+    }
+
   private[operators] def nearestCell(cents: Array[Array[Double]],
                                      p: Array[Float]): Int = {
     var best = 0

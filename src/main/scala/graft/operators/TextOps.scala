@@ -603,6 +603,49 @@ object TextOps {
         (col("tokens_before") < budgetTokens).as("keep"))
   }
 
+  def sampleTemperature(s: SparkSession, dir: String,
+                        targetTotal: Long = 2000L): DataFrame =
+    sampleTemperatureOf(Tables.documents(s, dir), targetTotal, portableDocIdHash)
+
+  /** Temperature-scaled source mixing (the multilingual-pretraining
+    * α-sampling of XLM-R / mT5): per-source keep quotas proportional to
+    * n_source^α instead of n_source, up-weighting small sources so a
+    * monster crawl doesn't drown the tail. α is fixed at 0.5 — sqrt is
+    * the one power IEEE 754 requires to be correctly rounded, so the
+    * quota arithmetic replays bit-for-bit on any engine (pow(x, 0.3)
+    * may differ in the last ulp across libm implementations and could
+    * flip a floor() boundary).
+    *
+    * quota_s = floor(T · √n_s / Σ_j √n_j + 0.5); a doc is kept iff its
+    * portable-hash rank within its source is ≤ quota_s — the same
+    * deterministic uniform-sample rule as the other sampling ops.
+    *
+    * Distributed shape: the census is one tiny row per source; its
+    * denominator is summed DRIVER-SIDE in source order (left-to-right,
+    * matching the oracle's ordered list_sum) because a parallel sum's
+    * float addition order is engine- and partitioning-dependent — this
+    * is index metadata, like annIvf's centroid collect. The keep
+    * decision is one rank window per source (same salting lever as the
+    * budget sampler for a monster source).
+    */
+  def sampleTemperatureOf(docs: DataFrame, targetTotal: Long,
+                          idHash: Column => Column = prodDocIdHash): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_source"))
+    val denom = counts.collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+      .foldLeft(0.0)((a, c) => a + math.sqrt(c._2.toDouble))
+    val quotas = counts.withColumn("quota",
+      floor(lit(targetTotal.toDouble) * sqrt(col("n_source").cast("double"))
+        / lit(denom) + lit(0.5)))
+    val rank = row_number().over(
+      Window.partitionBy("source").orderBy("h", "doc_id"))
+    docs.select(col("doc_id"), col("source"), idHash(col("doc_id")).as("h"))
+      .join(broadcast(quotas), Seq("source"))
+      .select(col("doc_id"), col("source"), col("n_source"), col("quota"),
+        (rank <= col("quota")).as("keep"))
+  }
+
   def sampleBalanced(s: SparkSession, dir: String): DataFrame =
     sampleBalancedOf(Tables.documents(s, dir), portableDocIdHash)
 

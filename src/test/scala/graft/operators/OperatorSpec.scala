@@ -145,6 +145,46 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("temperature sampling up-weights small sources and honors quotas") {
+    // skew the fixture: keep one source whole, shrink another to a tenth —
+    // temperature mixing is only observable on skewed source sizes
+    val base = graft.Tables.documents(spark, sf)
+    val srcs = base.select("source").distinct().collect().map(_.getString(0)).sorted
+    // (doc_id < 100 is uncorrelated with source = doc_id % 20: every other
+    // source keeps its ~5 low ids, the head source keeps all 25)
+    val docs = base.filter(col("source") === srcs.head)
+      .union(base.filter(col("source") =!= srcs.head && col("doc_id") < 100))
+    // target must sit under the corpus size or every quota saturates and
+    // the near-target invariant is vacuous
+    val target = 60L
+    for (hash <- Seq(TextOps.prodDocIdHash, TextOps.portableDocIdHash)) {
+      val rows = TextOps.sampleTemperatureOf(docs, target, hash).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getBoolean(4)))
+      // kept per source = min(quota, n_source), exactly
+      rows.groupBy(_._2).foreach { case (src, rs) =>
+        val quota = rs.head._4
+        val n = rs.head._3
+        assert(rs.count(_._5) === math.min(quota, n), s"source $src")
+      }
+      // quotas track √n: the keep RATE of the smallest source must beat
+      // the largest source's (the whole point of temperature mixing) —
+      // quota_s/n_s ∝ 1/√n_s is monotone decreasing in n_s
+      val bySrc = rows.groupBy(_._2).map { case (src, rs) =>
+        (src, rs.head._3, rs.head._4.toDouble / rs.head._3) }.toSeq
+      val small = bySrc.minBy(_._2)
+      val large = bySrc.maxBy(_._2)
+      assert(small._2 < large._2, "fixture needs skewed sources")
+      assert(small._3 > large._3,
+        s"temperature did not up-weight: small ${small._3} <= large ${large._3}")
+      // total kept lands near the target (rounding drift only, one ulp of
+      // a doc per source)
+      val kept = rows.count(_._5).toLong
+      assert(math.abs(kept - target) <= bySrc.size.toLong,
+        s"kept $kept vs target $target")
+    }
+  }
+
   test("offset query returns rows 1001..1500 of the defined total order") {
     val rows = Relational.q13Offset(spark, sf).collect()
     assert(rows.length === 500)
@@ -197,6 +237,24 @@ class OperatorSpec extends AnyFunSuite {
     // concentrate in the probed cells, so recall must beat that floor
     // comfortably (observed ~0.9 on fixtures; 0.5 guards regressions)
     assert(recall >= 0.5, s"IVF recall $recall")
+  }
+
+  test("IVF-PQ ANN refines with exact cosines and clears a recall floor") {
+    val brute = Similarity.bruteForceTopK(spark, sf, numQueries = 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val pq = Similarity.annIvfPq(spark, sf, numQueries = 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val recall = (brute.keySet & pq.keySet).size.toDouble / brute.size
+    // same probed cells as annIvf (nprobe=3 of 16); PQ only mis-ranks
+    // candidates INSIDE those cells, and the rerank=32 exact refinement
+    // recovers almost all of it (observed ≈ the plain-IVF recall on
+    // fixtures; 0.5 guards regressions)
+    assert(recall >= 0.5, s"IVF-PQ recall $recall")
+    // refinement contract: emitted cosines are EXACT (the ADC
+    // approximation may only choose candidates, never score survivors)
+    (brute.keySet & pq.keySet).foreach { key =>
+      assert(pq(key) === brute(key), s"pair $key cosine ${pq(key)} != ${brute(key)}")
+    }
   }
 
   test("stratified split is deterministic and splits every label near the rate") {
