@@ -98,6 +98,9 @@ object SparkEntry {
     "doc_sample_temperature" -> ((s: SparkSession, d: String) => TextOps.sampleTemperature(s, d)),
     "pipeline_manifest" -> ((s: SparkSession, d: String) => TextOps.trainingManifest(s, d)),
     "text_heavy_hitters" -> ((s: SparkSession, d: String) => TextOps.heavyHitters(s, d)),
+    "text_bm25_topk" -> ((s: SparkSession, d: String) => TextOps.bm25TopK(s, d)),
+    "text_lm_score" -> ((s: SparkSession, d: String) => TextOps.lmScore(s, d)),
+    "text_source_overlap" -> ((s: SparkSession, d: String) => TextOps.sourceOverlap(s, d)),
     "text_dedup_spans" -> ((s: SparkSession, d: String) => TextOps.dedupSpans(s, d)),
     "text_span_cut" -> ((s: SparkSession, d: String) => TextOps.spanCut(s, d)),
     "stream_static_join" -> ((s: SparkSession, d: String) => StreamOps.streamStaticJoin(s, d)),
@@ -317,6 +320,40 @@ object SparkEntry {
        |SELECT query_id, neighbor_id, cosine,
        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
        |FROM scored
+       |QUALIFY rank <= $k""".stripMargin
+  }
+
+  /** The BM25 oracle replays the static scoring tree term-by-term IN
+    * QUERY ORDER: rational Robertson idf, the (0.75·dl)/(Σdl/N) length
+    * normalization written with the exact operator grouping the Spark
+    * expression compiles to, and k1+1 spelled as (1.2 + 1.0) — the SUM,
+    * not the decimal literal 2.2, which is a DIFFERENT double.
+    */
+  private def bm25Oracle(query: Seq[String], k: Int = 10,
+                         k1: Double = 1.2, b: Double = 0.75): String = {
+    val tfs = query.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(w, x -> x = '$t')) AS tf_$i"
+    }.mkString(",\n  ")
+    val dfs = query.indices.map(i =>
+      s"CAST(count(*) FILTER (WHERE tf_$i > 0) AS DOUBLE) AS df_$i").mkString(",\n  ")
+    val terms = query.indices.map { i =>
+      s"((n_docs - df_$i + 0.5) / (df_$i + 0.5)) * (tf_$i * ($k1 + 1.0)) / " +
+        s"(tf_$i + $k1 * ((1.0 - $b) + ($b * dl) / (sum_dl / n_docs)))"
+    }.mkString("\n    + ")
+    s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents),
+       |f AS (SELECT doc_id, len(w) AS dl,
+       |  $tfs
+       |  FROM w),
+       |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, CAST(sum(dl) AS DOUBLE) AS sum_dl,
+       |  $dfs
+       |  FROM f),
+       |sc AS (SELECT doc_id, CAST(dl AS INTEGER) AS dl,
+       |  round(0.0
+       |    + $terms, 6) AS score
+       |  FROM f, st)
+       |SELECT doc_id, dl, score,
+       |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+       |FROM sc
        |QUALIFY rank <= $k""".stripMargin
   }
 
@@ -826,6 +863,35 @@ object SparkEntry {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY 1, 2""".stripMargin,
+    "text_bm25_topk" -> bm25Oracle(graft.operators.TextOps.Bm25Query),
+    // mean smoothed bigram probability, summed IN POSITION ORDER (the
+    // ordered list_sum replay); prefix counts c(w1 ·) = sum of bigram
+    // counts over w1, vocabulary = distinct tokens corpus-wide
+    "text_lm_score" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |           FROM documents WHERE length(trim(text)) > 0),
+        |bg AS (SELECT doc_id, i AS pos, w[i] AS w1, w[i+1] AS w2
+        |       FROM w, UNNEST(range(1, len(w))) AS u(i) WHERE len(w) >= 2),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
+        |v AS (SELECT count(DISTINCT t) AS v FROM (SELECT unnest(w) AS t FROM w)),
+        |p AS (SELECT bg.doc_id, bg.pos, (c2.c2 + 1.0) / CAST(c1.c1 + v.v AS DOUBLE) AS p
+        |      FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v)
+        |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_bigrams,
+        |  round(list_sum(list(p ORDER BY pos)) / count(*), 6) AS score
+        |FROM p GROUP BY doc_id""".stripMargin,
+    // pairwise 3-gram Jaccard between sources (sparse: zero-overlap pairs
+    // absent in both engines)
+    "text_source_overlap" ->
+      """WITH w AS (SELECT source, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |sh AS (SELECT DISTINCT source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+        |       FROM w, UNNEST(range(1, len(w)-1)) AS t(i) WHERE len(w) >= 3),
+        |sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_inter
+        |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source GROUP BY 1, 2)
+        |SELECT src_a, src_b, sa.n AS n_a, sb.n AS n_b, n_inter,
+        |  round(n_inter / (sa.n + sb.n - n_inter), 6) AS jaccard
+        |FROM inter JOIN sizes sa ON src_a = sa.source JOIN sizes sb ON src_b = sb.source""".stripMargin,
     "text_top_terms" ->
       """WITH p AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM p GROUP BY 1, 2),

@@ -646,6 +646,165 @@ object TextOps {
         (rank <= col("quota")).as("keep"))
   }
 
+  /** Default BM25 query: high-df corpus terms so scoring exercises the
+    * tf/length normalization (not just idf rarity).
+    */
+  val Bm25Query: Seq[String] = Seq("hash", "join", "vector", "stream")
+
+  def bm25TopK(s: SparkSession, dir: String, k: Int = 10): DataFrame =
+    bm25TopKOf(Tables.documents(s, dir), Bm25Query, k)
+
+  /** BM25 top-k retrieval (Robertson/Walker Okapi BM25) — the
+    * quality-retrieval primitive of a curation pipeline (mine a corpus
+    * for documents matching a topic query, e.g. seed-set expansion or
+    * targeted eval-set construction).
+    *
+    * score(d) = Σ_t idf_t · tf · (k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    * summed over query terms IN QUERY ORDER (a static expression tree, so
+    * the float chain is fixed at plan time and any engine replays it).
+    * idf is the rational Robertson form (N − df + 0.5)/(df + 0.5): every
+    * input is an integer-derived double and +,−,×,÷ are IEEE
+    * correctly-rounded, so scores are bit-identical across engines — a
+    * log-idf could flip a rank at a tie boundary via the last ulp.
+    *
+    * Distributed shape: the query is a tiny LITERAL term list, so per-doc
+    * term frequencies come from `size(t) − size(array_remove(t, term))`
+    * — a narrow codegen projection, NO explode and NO shuffle for tf.
+    * The corpus statistics (N, Σdl, per-term df) are ONE single-row
+    * aggregate broadcast back, and the top-k is TakeOrdered (never a
+    * global sort). Two passes over the scan, zero wide shuffles — at
+    * 100 TB the only cross-node traffic is one stats row and k results.
+    */
+  def bm25TopKOf(docs: DataFrame, query: Seq[String], k: Int = 10,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = tokens(lower(col("text")))
+    val feats = docs.select(
+      (col("doc_id") +: size(t).as("dl") +:
+        query.zipWithIndex.map { case (term, i) =>
+          (size(t) - size(array_remove(t, lit(term)))).as(s"tf_$i")
+        }): _*)
+    val statCols = count(lit(1)).cast("double").as("n_docs") +:
+      sum(col("dl")).cast("double").as("sum_dl") +:
+      query.indices.map(i =>
+        sum((col(s"tf_$i") > 0).cast("long")).cast("double").as(s"df_$i"))
+    val stats = feats.agg(statCols.head, statCols.tail: _*)
+    // score terms folded left-to-right in query order — the fixed chain
+    // the oracle replays; avgdl division kept INSIDE each term exactly as
+    // written here so both engines evaluate the identical ops
+    val score = query.indices.foldLeft(lit(0.0)) { (acc, i) =>
+      val tf = col(s"tf_$i").cast("double")
+      val idf = (col("n_docs") - col(s"df_$i") + lit(0.5)) / (col(s"df_$i") + lit(0.5))
+      val norm = lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") /
+        (col("sum_dl") / col("n_docs")))
+      acc + idf * (tf * lit(k1 + 1.0)) / (tf + norm)
+    }
+    val top = feats.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("dl"), round(score, 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+    // rank annotation over k rows only (the limit already reduced to k)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
+        .cast("int"))
+  }
+
+  def lmScore(s: SparkSession, dir: String): DataFrame =
+    lmScoreOf(Tables.documents(s, dir))
+
+  /** Bigram language-model fluency scoring — the CCNet-style "does this
+    * text look like the reference corpus" quality filter, trained on the
+    * corpus itself (self-scoring flags outlier documents for review).
+    * Each document's score is the MEAN smoothed conditional probability
+    * of its bigrams, p(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V) with
+    * add-one smoothing over vocabulary V. The arithmetic mean of
+    * conditional probabilities replaces log-space perplexity because
+    * log() is not correctly-rounded-portable across libm implementations,
+    * while counts, +, and ÷ replay bit-for-bit on any engine (the same
+    * substitution rationale as the rational idf elsewhere); ranking
+    * behavior is equivalent for the filter's purpose.
+    *
+    * Distributed shape: bigram occurrences explode once per position
+    * (codegen: posexplode + element_at, no HOF in the hot path); corpus
+    * bigram counts are ONE hash aggregation, and the prefix counts
+    * c(w1 ·) are a window sum over the SAME w1-clustered exchange — no
+    * second shuffle, no join for the denominator (at 100 TB a bigram
+    * dictionary can never broadcast; the count table stays co-partitioned
+    * with the probe side by construction). Scoring joins each document's
+    * bigrams back shuffle-on-bigram, then one per-doc aggregation sums
+    * probabilities IN POSITION ORDER (sorted-struct fold — the ordered
+    * list_sum replay every oracle here uses, since a parallel float sum's
+    * order is partitioning-dependent).
+    */
+  def lmScoreOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = tokens(col("text"))
+    val bg = docs.select(col("doc_id"), t.as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("t"), posexplode(col("t")).as(Seq("pos", "w1")))
+      // ANSI mode: element_at throws past the end — get() returns null
+      // (0-based: the successor of 0-based pos is get(t, pos + 1))
+      .withColumn("w2", get(col("t"), col("pos") + 1))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("pos"), col("w1"), col("w2"))
+    // one w1-clustered exchange serves the bigram aggregate AND the
+    // prefix-count window (HashPartitioning(w1) satisfies the (w1, w2)
+    // clustering requirement — same single-shuffle trick as topTerms' df)
+    val c2 = bg.repartition(col("w1"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .withColumn("c1", sum(col("c2")).over(Window.partitionBy("w1")))
+    // vocabulary: one tiny global count, broadcast with the counts join
+    val v = broadcast(docs.select(explode(t).as("tok"))
+      .agg(countDistinct(col("tok")).as("v")))
+    bg.join(c2, Seq("w1", "w2"))
+      .crossJoin(v)
+      .select(col("doc_id"), col("pos"),
+        ((col("c2") + lit(1.0)) / (col("c1") + col("v")).cast("double")).as("p"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_bigrams"),
+        aggregate(array_sort(collect_list(struct(col("pos"), col("p")))),
+          lit(0.0), (acc, x) => acc + x.getField("p")).as("psum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("psum") / col("n_bigrams"), 6).as("score"))
+  }
+
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame =
+    sourceOverlapOf(Tables.documents(s, dir))
+
+  /** Cross-source shingle-overlap matrix — corpus governance: pairwise
+    * 3-gram Jaccard between sources surfaces mirrored crawls, shared
+    * boilerplate, and train/eval leakage BETWEEN subsets (the
+    * subset-level complement of the per-document dedup family).
+    *
+    * Distributed shape: distinct (source, shingle) pairs cluster by
+    * shingle in ONE exchange (HashPartitioning(sh) satisfies the
+    * (source, sh) distinct requirement), then the per-shingle source SET
+    * expands to source pairs — fan-out is C(s,2) per shingle, bounded by
+    * the SOURCE count (dozens), never by corpus size, so the candidate
+    * volume stays linear in distinct shingles at 100 TB. No self-join,
+    * no all-pairs: the inverted-index pair-count shape of the dedup
+    * family, keyed at source granularity. Source pairs sharing zero
+    * shingles are absent (sparse matrix — both engines agree).
+    */
+  def sourceOverlapOf(docs: DataFrame): DataFrame = {
+    val sh = docs
+      .select(col("source"), explode(shingles(col("text"), 3)).as("sh"))
+      .repartition(col("sh"))
+      .distinct()
+    val sizes = broadcast(sh.groupBy("source").agg(count(lit(1)).as("n")))
+    val pairs = sh.groupBy("sh").agg(collect_set(col("source")).as("srcs"))
+      .select(explode(col("srcs")).as("src_a"), col("srcs"))
+      .select(col("src_a"), explode(col("srcs")).as("src_b"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(sizes.withColumnRenamed("source", "src_a").withColumnRenamed("n", "n_a"), Seq("src_a"))
+      .join(sizes.withColumnRenamed("source", "src_b").withColumnRenamed("n", "n_b"), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("n_inter"),
+        round(col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")).cast("double"), 6)
+          .as("jaccard"))
+  }
+
   def sampleBalanced(s: SparkSession, dir: String): DataFrame =
     sampleBalancedOf(Tables.documents(s, dir), portableDocIdHash)
 

@@ -185,6 +185,61 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25 ranks by relevance, length norm, and idf rarity") {
+    import spark.implicits._
+    // 6 padding docs pin the corpus stats; probe docs isolate one BM25
+    // property each against them
+    val docs = Seq(
+      (0L, "hash join vector stream"),            // all query terms, short
+      (1L, "hash join vector stream pad pad pad pad pad pad pad pad"), // same tf, longer
+      (2L, "pad pad pad pad"),                    // no query terms
+      (3L, "hash hash hash hash"),                // tf saturation probe
+      (4L, "pad pad"), (5L, "pad qux"), (6L, "qux pad"),
+      (7L, "pad qux pad"), (8L, "qux qux"))
+      .toDF("doc_id", "text")
+    val top = TextOps.bm25TopKOf(docs, TextOps.Bm25Query, k = 9).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getInt(3))).toMap
+    // relevance: any doc containing query terms beats the no-term docs
+    assert(top(0L)._1 > top(2L)._1)
+    // length normalization: identical tf vector, shorter doc wins
+    assert(top(0L)._1 > top(1L)._1)
+    // ranks are the descending-score order with doc_id tie-break
+    val byRank = top.toSeq.sortBy(_._2._2).map(_._2._1)
+    assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("lm score matches the closed-form add-one bigram model") {
+    import spark.implicits._
+    // corpus: bigram (a b) twice, (a c) once; c1(a)=3, V=3
+    // p(b|a) = (2+1)/(3+3) = 0.5; p(c|a) = (1+1)/(3+3) = 1/3
+    val docs = Seq((0L, "a b"), (1L, "a b"), (2L, "a c"))
+      .toDF("doc_id", "text")
+    val rows = TextOps.lmScoreOf(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sortBy(_._1)
+    assert(rows.map(_._2).toSeq === Seq(1, 1, 1))
+    assert(rows(0)._3 === 0.5 && rows(1)._3 === 0.5)
+    assert(rows(2)._3 === 0.333333)
+    // the corpus-typical documents outscore the outlier — the filter's
+    // ranking contract
+    assert(rows(0)._3 > rows(2)._3)
+  }
+
+  test("source overlap finds identical sources at jaccard 1 and omits disjoint pairs") {
+    import spark.implicits._
+    val docs = Seq(
+      ("srcA", "x y z w"), ("srcB", "x y z w"),   // identical shingle sets
+      ("srcC", "p q r s t"))                      // disjoint vocabulary
+      .toDF("source", "text")
+    val rows = TextOps.sourceOverlapOf(docs).collect()
+      .map(r => ((r.getString(1), r.getString(0)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+    // srcA/srcB share both 3-shingles exactly; srcC pairs are absent
+    assert(rows.length === 1)
+    val ((a, b), (na, nb, ni, j)) = rows.head
+    assert(Set(a, b) === Set("srcA", "srcB"))
+    assert(na === 2L && nb === 2L && ni === 2L && j === 1.0)
+  }
+
   test("offset query returns rows 1001..1500 of the defined total order") {
     val rows = Relational.q13Offset(spark, sf).collect()
     assert(rows.length === 500)
