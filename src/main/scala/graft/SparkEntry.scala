@@ -85,6 +85,8 @@ object SparkEntry {
     "ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
     "ann_ivf_pq" -> ((s: SparkSession, d: String) => Similarity.annIvfPq(s, d)),
     "dedup_semantic" -> ((s: SparkSession, d: String) => Dedup.semanticDedup(s, d)),
+    "emb_sample_diverse" -> ((s: SparkSession, d: String) => Similarity.sampleDiverse(s, d)),
+    "text_winnow_pairs" -> ((s: SparkSession, d: String) => TextOps.winnowPairs(s, d)),
     "mm_decode_batched" -> ((s: SparkSession, d: String) =>
       Multimodal.decodeBatchedFlat(Multimodal.asBinaryPayload(s, d))),
     "emb_label_centroids" -> (Similarity.labelCentroids _),
@@ -355,6 +357,27 @@ object SparkEntry {
        |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank
        |FROM sc
        |QUALIFY rank <= $k""".stripMargin
+  }
+
+  /** The diversity-sample oracle replays the √n-cell quantizer and the
+    * per-cell representative rule (min dist, lowest vec_id tie) — the
+    * assignment distance IS the ordering key, so the same double chain
+    * decides both engines' medoids.
+    */
+  private def sampleDiverseOracle: String = {
+    val dim = graft.functions.VectorFunctions.Dim
+    s"""$cosineCte,
+       |nc AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS n FROM embeddings),
+       |c AS (SELECT vec_id AS cell, e AS ce FROM v WHERE vec_id < (SELECT n FROM nc)),
+       |d AS (SELECT v.vec_id, c.cell,
+       |  list_sum(list_transform(range(1, ${dim + 1}), i -> (v.e[i] - c.ce[i]) * (v.e[i] - c.ce[i]))) AS dist
+       |  FROM v, c),
+       |a AS (SELECT vec_id, cell, dist FROM d
+       |      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1),
+       |sz AS (SELECT cell, count(*) AS cell_size FROM a GROUP BY 1)
+       |SELECT a.cell, a.vec_id AS rep_id, sz.cell_size, round(a.dist, 6) AS dist
+       |FROM a JOIN sz USING (cell)
+       |QUALIFY row_number() OVER (PARTITION BY a.cell ORDER BY a.dist, a.vec_id) = 1""".stripMargin
   }
 
   /** The semantic-dedup oracle replays the √n-cell seed-point quantizer
@@ -864,6 +887,29 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY 1, 2""".stripMargin,
     "text_bm25_topk" -> bm25Oracle(graft.operators.TextOps.Bm25Query),
+    // winnowing (k=3, w=4): window b-rows joined per start, min hash with
+    // RIGHTMOST tie (ORDER BY h, pos DESC), full windows only
+    // (pos ≤ n_tokens − (k+w−1)); df-capped prints replayed 2..32
+    "text_winnow_pairs" ->
+      """WITH w0 AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |kg AS (SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos, len(w) AS n,
+        |         list_reduce(list_transform(range(1, 16), j ->
+        |           CAST(ord(substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), j, 1)) -
+        |                CASE WHEN substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), j, 1) BETWEEN '0' AND '9'
+        |                     THEN 48 ELSE 87 END AS BIGINT)),
+        |           (a, x) -> a * 16 + x) AS h
+        |       FROM w0, UNNEST(range(1, len(w) - 1)) AS u(i) WHERE len(w) >= 3),
+        |sel AS (SELECT a.doc_id, b.h
+        |        FROM kg a JOIN kg b ON a.doc_id = b.doc_id AND b.pos BETWEEN a.pos AND a.pos + 3
+        |        WHERE a.pos <= a.n - 6
+        |        QUALIFY row_number() OVER (PARTITION BY a.doc_id, a.pos ORDER BY b.h, b.pos DESC) = 1),
+        |prints AS (SELECT DISTINCT doc_id, h FROM sel),
+        |capped AS (SELECT h FROM prints GROUP BY h HAVING count(*) BETWEEN 2 AND 32)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        |FROM prints a JOIN prints b USING (h) JOIN capped USING (h)
+        |WHERE a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 2""".stripMargin,
     // mean smoothed bigram probability, summed IN POSITION ORDER (the
     // ordered list_sum replay); prefix counts c(w1 ·) = sum of bigram
     // counts over w1, vocabulary = distinct tokens corpus-wide
@@ -939,6 +985,7 @@ object SparkEntry {
     "ann_ivf" -> annIvfOracle(),
     "ann_ivf_pq" -> annIvfPqOracle(),
     "dedup_semantic" -> semanticDedupOracle(),
+    "emb_sample_diverse" -> sampleDiverseOracle,
     "emb_normalize" ->
       s"""$cosineCte
          |SELECT vec_id, round(nrm, 6) AS norm, CAST(i - 1 AS INTEGER) AS dim_idx,

@@ -261,6 +261,54 @@ object Similarity {
     CacheLifecycle.materialize(topKPerQuery(s, cand, k))
   }
 
+  /** Cell-stratified diversity sampling (coreset selection): quantize the
+    * corpus with the √n-cell seed-point rule (semanticDedup's index) and
+    * keep each cell's MEDOID-TOWARD-CENTROID representative — the vector
+    * with the minimum squared distance to its centroid, lowest vec_id on
+    * ties. The training-data use: a diversity-preserving subsample (one
+    * exemplar per region of embedding space) for seed sets, eval panels,
+    * or curriculum heads, the cheap cousin of k-center that never
+    * iterates.
+    *
+    * Distributed shape: one full pass (assignment + distance in a single
+    * compiled kernel), one cell-keyed aggregation whose min(struct(dist,
+    * vec_id)) IS the deterministic representative rule — no window, no
+    * sort, map-side partial aggregation does most of the work. Output is
+    * one row per cell: ~√n rows, trivially collectable at any scale.
+    */
+  def sampleDiverse(s: SparkSession, dir: String,
+                    numCellsOverride: Option[Int] = None): DataFrame = {
+    val e = corpusVectors(s, dir)
+    val numCells = numCellsOverride.getOrElse(
+      math.ceil(math.sqrt(e.count().toDouble)).toInt)
+    val centroids: Array[Array[Double]] = e.filter(col("vec_id") < numCells)
+      .orderBy("vec_id").select("v")
+      .collect().map(_.getAs[scala.collection.Seq[Float]](0).toArray.map(_.toDouble))
+    val assigned = e.withColumn("cd",
+      nearestCellDistKernel(centroids)(col("v")))
+    assigned.groupBy(col("cd._1").cast("long").as("cell"))
+      .agg(count(lit(1)).as("cell_size"),
+        min(struct(col("cd._2").as("dist"), col("vec_id"))).as("m"))
+      .select(col("cell"), col("m.vec_id").as("rep_id"), col("cell_size"),
+        round(col("m.dist"), 6).as("dist"))
+  }
+
+  /** Assignment + distance in one kernel: the nearest cell AND the
+    * (recomputed, identical left-to-right chain) distance to it — so the
+    * representative ordering uses exactly the doubles the oracle replays.
+    */
+  private[operators] def nearestCellDistKernel(cents: Array[Array[Double]])
+  : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (v: Array[Float]) =>
+      val c = nearestCell(cents, v)
+      val ct = cents(c)
+      var d = 0.0
+      var i = 0
+      val n = math.min(v.length, ct.length)
+      while (i < n) { val t = v(i) - ct(i); d += t * t; i += 1 }
+      (c, d)
+    }
+
   /** PQ encoder kernel: per subspace, the index of the nearest codeword
     * (strict < keeps the lowest id on ties — the oracle's ORDER BY dist,
     * code). One compiled loop per row, inside the indexing scan.

@@ -805,6 +805,65 @@ object TextOps {
           .as("jaccard"))
   }
 
+  def winnowPairs(s: SparkSession, dir: String): DataFrame =
+    winnowPairsOf(Tables.documents(s, dir))
+
+  /** Winnowing fingerprint overlap (Schleimer/Wilkerson/Aiken, SIGMOD'03
+    * — the MOSS algorithm): per document, hash every k-gram, slide a
+    * w-window over the hash sequence, select each window's MINIMUM hash
+    * with the RIGHTMOST occurrence on ties, and report document pairs
+    * sharing selected fingerprints. Winnowing guarantees any shared
+    * substring of ≥ k+w−1 tokens produces a shared selected print while
+    * storing only ~2/(w+1) of the k-gram hashes — the local-overlap
+    * detector (code clones, boilerplate passages) that complements the
+    * whole-document Jaccard family.
+    *
+    * Distributed shape: k-grams are posexplode + get() successors (all
+    * codegen, no HOF); selection is a running frame-window min over each
+    * document's dense position order — ONE doc-keyed exchange; the
+    * rightmost-tie rule is min(struct(h, −pos)) since struct order picks
+    * the most-negated (= largest) position among equal hashes. Selected
+    * prints then cluster by hash in one exchange serving distinct, the
+    * df-cap, AND pair expansion (the sourceOverlap inverted-index shape);
+    * fan-out per print is df ≤ dfCap by construction, so candidate
+    * volume stays linear in prints at 100 TB — boilerplate prints are
+    * excluded by the cap in BOTH engines (replayed in the oracle, like
+    * the containment df-cap). The md5-prefix hash keeps the whole
+    * pipeline oracle-replayable; a production cluster would swap in
+    * xxhash64 (the established prod/oracle hash split).
+    */
+  def winnowPairsOf(docs: DataFrame, k: Int = 3, w: Int = 4,
+                    dfCap: Int = 32, minShared: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = tokens(col("text"))
+    val kg = docs.select(col("doc_id"), t.as("t"))
+      .select(col("doc_id"), col("t"), size(col("t")).as("n"),
+        posexplode(col("t")).as(Seq("pos", "w1")))
+      .filter(col("pos") <= col("n") - k)
+      .select(col("doc_id"), col("pos"), col("n"),
+        portableTokenHash(concat_ws(" ",
+          (col("w1") +: (1 until k).map(j => get(col("t"), col("pos") + j))): _*))
+          .as("h"))
+    // frame-window min over the dense 0-based k-gram positions: ROWS
+    // offsets ARE position offsets, so [current, w-1 following] is
+    // exactly the winnowing window; only full windows select
+    val frame = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    val prints = kg
+      .withColumn("m", min(struct(col("h"), (-col("pos")).as("np"))).over(frame))
+      .filter(col("pos") <= col("n") - (k + w - 1))
+      .select(col("doc_id"), col("m.h").as("h"))
+      .repartition(col("h"))
+      .distinct()
+    val pairs = prints.groupBy("h").agg(collect_set(col("doc_id")).as("ids"))
+      .filter(size(col("ids")).between(2, dfCap))
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+    pairs.filter(col("n_shared") >= minShared)
+  }
+
   def sampleBalanced(s: SparkSession, dir: String): DataFrame =
     sampleBalancedOf(Tables.documents(s, dir), portableDocIdHash)
 

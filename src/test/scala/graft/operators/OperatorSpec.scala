@@ -240,6 +240,56 @@ class OperatorSpec extends AnyFunSuite {
     assert(na === 2L && nb === 2L && ni === 2L && j === 1.0)
   }
 
+  test("diversity sample emits exactly each cell's medoid-toward-centroid") {
+    val emb = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getAs[scala.collection.Seq[Float]](1).toArray))
+    val numCells = math.ceil(math.sqrt(emb.length.toDouble)).toInt
+    val cents = emb.take(numCells).map(_._2.map(_.toDouble))
+    // independent driver-side replay of assignment + representative rule
+    val expected = emb.map { case (id, v) =>
+      val c = Similarity.nearestCell(cents, v)
+      val ct = cents(c)
+      var d = 0.0; var i = 0
+      while (i < v.length) { val t = v(i) - ct(i); d += t * t; i += 1 }
+      (c.toLong, id, d)
+    }.groupBy(_._1).map { case (cell, xs) =>
+      val best = xs.minBy(x => (x._3, x._2))
+      cell -> (best._2, xs.length.toLong,
+        BigDecimal(best._3).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = Similarity.sampleDiverse(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (cell, (id, sz, dist)) =>
+      assert(got(cell)._1 === id, s"cell $cell rep")
+      assert(got(cell)._2 === sz, s"cell $cell size")
+      assert(math.abs(got(cell)._3 - dist) < 1e-9, s"cell $cell dist")
+    }
+  }
+
+  test("winnowing pairs documents sharing a long run and caps boilerplate prints") {
+    import spark.implicits._
+    val shared = (0 until 20).map(i => s"run$i").mkString(" ")
+    val docs0 = Seq(
+      (0L, s"alpha beta gamma $shared delta epsilon"),
+      (1L, s"zeta eta theta iota $shared kappa"),
+      (2L, "lone words that never repeat anywhere else at all here now"))
+    val pairs = TextOps.winnowPairsOf(docs0.toDF("doc_id", "text")).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // the winnowing guarantee: a shared ≥ k+w−1 token run yields shared
+    // selected prints; 20 tokens → ≥3, clearing minShared
+    assert(pairs.contains((0L, 1L)), s"missing shared-run pair: $pairs")
+    assert(pairs((0L, 1L)) >= 2)
+    assert(pairs.keySet === Set((0L, 1L)), "unrelated doc must not pair")
+    // df-cap: the same boilerplate across 40 docs exceeds dfCap=32, so
+    // its prints leave candidate generation entirely
+    val boiler = (0 until 40).map(i =>
+      (i.toLong, s"u${i}a u${i}b common boiler plate text repeated verbatim everywhere u${i}c"))
+    val capped = TextOps.winnowPairsOf(boiler.toDF("doc_id", "text")).collect()
+    assert(capped.isEmpty, s"boilerplate prints must be df-capped, got ${capped.length}")
+  }
+
   test("offset query returns rows 1001..1500 of the defined total order") {
     val rows = Relational.q13Offset(spark, sf).collect()
     assert(rows.length === 500)
