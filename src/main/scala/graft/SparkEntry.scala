@@ -119,6 +119,8 @@ object SparkEntry {
     "stream_dedup_minhash" -> ((s: SparkSession, d: String) =>
       StreamOps.streamingMinhashNearDup(s, d)),
     "stream_stream_join" -> (StreamOps.streamStreamJoin _),
+    "stream_heavy_hitters" -> ((s: SparkSession, d: String) =>
+      StreamOps.streamingHeavyHitters(s, d)),
     "q28_cube" -> (Relational.q28Cube _),
     "q32_grouping_sets" -> (Relational.q32GroupingSets _),
     "q29_window_ranks" -> (Relational.q29WindowRanks _),
@@ -1081,6 +1083,9 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS win_start, event_type,
         |count(*) AS cnt, round(sum(value), 2) AS sum_v
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "stream_heavy_hitters" ->
+      """SELECT date_trunc('hour', ts) AS win_start, user_id, count(*) AS cnt
+        |FROM events GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
     "q17_sessionize" ->
       """WITH o AS (SELECT user_id, ts, value,
         |  CASE WHEN lag(ts) OVER win IS NULL

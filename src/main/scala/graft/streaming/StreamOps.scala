@@ -65,6 +65,47 @@ object StreamOps {
       col("event_type"), col("cnt"), col("sum_v"))
   }
 
+  /** Streaming heavy hitters — the per-window frequency-threshold monitor
+    * (burst/abuse detection, hot-key discovery feeding the batch salting
+    * levers): users whose event count within a tumbling window reaches
+    * `threshold`. One stateful aggregation keyed (window, user); the
+    * threshold filter is stateless on the aggregate's output, so this
+    * stays a SINGLE stateful operator. State is bounded by the watermark:
+    * a (window, user) entry lives until the watermark passes the window
+    * end, i.e. state ∝ users active per window-length of traffic, never
+    * history — the same eviction contract as the tumbling aggregate.
+    * Complete output mode (like tumblingWindowAgg) because the finite
+    * fixture drains; a production deployment emits finalized windows in
+    * append mode with the identical plan. The batch SQL replay over the
+    * same events IS the oracle — the streaming twin of
+    * `text_heavy_hitters`' exact phase, keyed by (window, user) instead
+    * of corpus-wide terms.
+    */
+  def streamingHeavyHitters(s: SparkSession, dir: String,
+                            threshold: Long = 2,
+                            windowLen: String = "1 hour"): DataFrame = {
+    val ss = streamingSession(s)
+    val path = s"$dir/events.parquet"
+    val schema = ss.read.parquet(path).schema
+    val name = s"graft_stream_${counter.incrementAndGet()}"
+    val stream = ss.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .transform(graft.Tables.normalizeTs)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), windowLen), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= threshold)
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    ss.table(name).select(
+      col("window.start").as("win_start"), col("user_id"), col("cnt"))
+  }
+
   /** Stream-stream inner join with an event-time bound: purchases
     * attributed to a preceding click of the same user within one hour.
     * Both sides carry watermarks and the join condition bounds event time

@@ -17,6 +17,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("streaming heavy hitters equals the batch threshold groups") {
+    import org.apache.spark.sql.functions._
+    val streamed = StreamOps.streamingHeavyHitters(spark, sf)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2)))
+    assert(streamed.nonEmpty)
+    assert(streamed.forall(_._3 >= 2), "emitted groups must clear the threshold")
+    val batch = graft.Tables.events(spark, sf)
+      .groupBy(date_trunc("hour", col("ts")).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2)))
+    assert(streamed.toSet === batch.toSet)
+  }
+
   test("streaming minhash near-dup equals the batch LSH pipeline") {
     import org.apache.spark.sql.functions._
     // signatures: the per-row stream kernel must be bit-equal to the
