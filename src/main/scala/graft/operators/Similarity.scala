@@ -212,7 +212,17 @@ object Similarity {
     */
   def annIvfPq(s: SparkSession, dir: String, numQueries: Int = 10, k: Int = 5,
                numCells: Int = 16, nprobe: Int = 3,
-               numSub: Int = 8, ksub: Int = 16, rerank: Int = 32): DataFrame = {
+               numSub: Int = 8, ksub: Int = 16, rerank: Int = 32): DataFrame =
+    CacheLifecycle.materialize(annIvfPqPlan(s, dir, numQueries, k, numCells,
+      nprobe, numSub, ksub, rerank))
+
+  /** Lazy-plan variant of [[annIvfPq]] (PlanSpec pins the join shape on
+    * the un-materialized frame; the public operator checkpoints).
+    */
+  private[operators] def annIvfPqPlan(
+      s: SparkSession, dir: String, numQueries: Int = 10, k: Int = 5,
+      numCells: Int = 16, nprobe: Int = 3,
+      numSub: Int = 8, ksub: Int = 16, rerank: Int = 32): DataFrame = {
     require(Dim % numSub == 0, "subspaces must tile the dimension")
     val dsub = Dim / numSub
     val e = corpusVectors(s, dir)
@@ -258,7 +268,7 @@ object Similarity {
       .select(col("query_id"),
         col("vec_id").as("neighbor_id"),
         round(call_function("graft_dot", col("v"), col("qv")) / (col("nrm") * col("qn")), 6).as("cosine"))
-    CacheLifecycle.materialize(topKPerQuery(s, cand, k))
+    topKPerQuery(s, cand, k)
   }
 
   /** Cell-stratified diversity sampling (coreset selection): quantize the

@@ -129,6 +129,71 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  test("bm25 has no hash shuffle: tf in the scan projection, top-k via TakeOrdered") {
+    val p = planOf(TextOps.bm25TopK(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    // the ONLY data movement is the single-row stats aggregate + its
+    // broadcast back and the final k-row rank; a hash repartition would
+    // mean tf escaped the scan projection
+    assert(!p.contains("Exchange hashpartitioning"), p.take(3000))
+  }
+
+  test("lm score joins on the bigram key — count table never broadcasts") {
+    // at fixture size Catalyst would (correctly) broadcast the tiny count
+    // table; the claim under test is the SCALE shape, so disable the
+    // threshold — same technique as BucketingSpec
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = planOf(TextOps.lmScore(spark, sf))
+      assert(!p.contains("CartesianProduct"), p.take(3000))
+      // the probe join is shuffle-based on the bigram key (a web-scale
+      // bigram vocabulary never fits a broadcast)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        p.take(3000))
+      assert(!p.contains("BroadcastHashJoin"), p.take(3000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("source overlap: pair fan-out from per-shingle source sets, no self-join") {
+    val p = planOf(TextOps.sourceOverlap(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(p.contains("Generate explode"), p.take(3000))
+  }
+
+  test("winnowing: frame-window selection + hash-keyed prints, no nested loop") {
+    val p = planOf(TextOps.winnowPairs(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("Window"), p.take(3000))
+  }
+
+  test("ivf-pq scores only broadcast-probed cells — no corpus-wide join") {
+    val p = planOf(Similarity.annIvfPqPlan(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("diversity sample is one pass + one cell aggregation, no join") {
+    val p = planOf(Similarity.sampleDiverse(spark, sf))
+    assert(!p.contains("Join"), p.take(3000))
+    // min(struct(dist, id)) isn't hash-aggregable: the two-phase shape is
+    // partial+final SortAggregate around ONE cell exchange
+    assert("SortAggregate".r.findAllIn(p).size >= 2, p.take(3000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p.take(3000))
+  }
+
+  test("temperature sampling broadcasts quotas; rank window per source") {
+    val p = planOf(TextOps.sampleTemperature(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(p.contains("Window"), p.take(3000))
+  }
+
   test("q08 projection prunes the events scan to referenced columns") {
     val p = planOf(Relational.q08DerivedCols(spark, sf))
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
