@@ -86,6 +86,7 @@ object SparkEntry {
     "ann_ivf_pq" -> ((s: SparkSession, d: String) => Similarity.annIvfPq(s, d)),
     "dedup_semantic" -> ((s: SparkSession, d: String) => Dedup.semanticDedup(s, d)),
     "emb_sample_diverse" -> ((s: SparkSession, d: String) => Similarity.sampleDiverse(s, d)),
+    "search_hybrid_rrf" -> ((s: SparkSession, d: String) => Similarity.hybridRrf(s, d)),
     "text_winnow_pairs" -> ((s: SparkSession, d: String) => TextOps.winnowPairs(s, d)),
     "mm_decode_batched" -> ((s: SparkSession, d: String) =>
       Multimodal.decodeBatchedFlat(Multimodal.asBinaryPayload(s, d))),
@@ -358,6 +359,33 @@ object SparkEntry {
        |SELECT doc_id, dl, score,
        |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank
        |FROM sc
+       |QUALIFY rank <= $k""".stripMargin
+  }
+
+  /** The hybrid-RRF oracle fuses the BM25 oracle (embedded as a
+    * derived-table subquery with its own CTEs) and the single-query
+    * cosine arm; 1/(60+rank) terms are integer-derived divisions added
+    * text-then-vector, so the fusion replays exactly. Ranking windows
+    * order on the UNROUNDED rrf, as the Spark plan does.
+    */
+  private def hybridRrfOracle(k: Int = 10, kArm: Int = 20): String = {
+    val bm = bm25Oracle(graft.operators.TextOps.Bm25Query, kArm)
+    s"""$cosineCte,
+       |scored AS (
+       |  SELECT n.vec_id AS doc_id,
+       |    round(list_sum(list_transform(range(1, len(q.e) + 1), i -> q.e[i] * n.e[i])) / (q.nrm * n.nrm), 6) AS cosine
+       |  FROM v q JOIN v n ON q.vec_id = 0 AND n.vec_id <> 0),
+       |va AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS INTEGER) AS vec_rank
+       |       FROM scored QUALIFY vec_rank <= $kArm),
+       |t AS (SELECT doc_id, rank AS text_rank FROM (
+       |$bm
+       |) bmq),
+       |f AS (SELECT coalesce(t.doc_id, va.doc_id) AS doc_id, t.text_rank, va.vec_rank,
+       |  coalesce(1.0 / (60.0 + t.text_rank), 0.0) + coalesce(1.0 / (60.0 + va.vec_rank), 0.0) AS rrf
+       |  FROM t FULL JOIN va ON t.doc_id = va.doc_id)
+       |SELECT doc_id, text_rank, vec_rank, round(rrf, 6) AS rrf,
+       |  CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INTEGER) AS rank
+       |FROM f
        |QUALIFY rank <= $k""".stripMargin
   }
 
@@ -988,6 +1016,7 @@ object SparkEntry {
     "ann_ivf_pq" -> annIvfPqOracle(),
     "dedup_semantic" -> semanticDedupOracle(),
     "emb_sample_diverse" -> sampleDiverseOracle,
+    "search_hybrid_rrf" -> hybridRrfOracle(),
     "emb_normalize" ->
       s"""$cosineCte
          |SELECT vec_id, round(nrm, 6) AS norm, CAST(i - 1 AS INTEGER) AS dim_idx,

@@ -271,6 +271,43 @@ object Similarity {
     topKPerQuery(s, cand, k)
   }
 
+  /** Hybrid retrieval via reciprocal-rank fusion (Cormack/Clarke/Büttcher
+    * SIGIR'09): fuse the BM25 text arm and the vector-cosine arm with
+    * rrf(d) = Σ_arms 1/(60 + rank_arm(d)) over each arm's top-kArm list —
+    * the standard score-free fusion that needs no cross-arm calibration.
+    * The benchmark query pair is fixed: the BM25 literal terms and corpus
+    * vector 0 (documents and embeddings share the id space as a prefix
+    * subset; docs without a vector simply lack the vector arm, which RRF
+    * handles by construction). 1/(60+rank) is integer-derived division —
+    * IEEE-exact, engine-portable — and the two arm terms add in fixed
+    * text-then-vector order.
+    *
+    * Distributed shape: each arm is its own already-bounded top-k
+    * (TakeOrdered / bounded aggregate); the fusion joins two ≤kArm-row
+    * frames — driver-scale work after corpus-scale arms, which is the
+    * whole point of fusing RANKS instead of raw scores.
+    */
+  def hybridRrf(s: SparkSession, dir: String, k: Int = 10,
+                kArm: Int = 20, rrfK: Double = 60.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = TextOps.bm25TopKOf(graft.Tables.documents(s, dir),
+        TextOps.Bm25Query, kArm)
+      .select(col("doc_id"), col("rank").as("text_rank"))
+    val v = bruteForceTopK(s, dir, numQueries = 1, k = kArm)
+      .select(col("neighbor_id").as("doc_id"), col("rank").as("vec_rank"))
+    val fused = t.join(v, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(rrfK) + col("text_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("vec_rank")), lit(0.0)))
+    fused
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("text_rank"), col("vec_rank"),
+        round(col("rrf"), 6).as("rrf"),
+        row_number().over(Window.orderBy(col("rrf").desc, col("doc_id")))
+          .cast("int").as("rank"))
+  }
+
   /** Cell-stratified diversity sampling (coreset selection): quantize the
     * corpus with the √n-cell seed-point rule (semanticDedup's index) and
     * keep each cell's MEDOID-TOWARD-CENTROID representative — the vector

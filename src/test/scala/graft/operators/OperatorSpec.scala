@@ -240,6 +240,28 @@ class OperatorSpec extends AnyFunSuite {
     assert(na === 2L && nb === 2L && ni === 2L && j === 1.0)
   }
 
+  test("hybrid RRF fuses exactly the two arm rankings") {
+    val t = TextOps.bm25TopKOf(graft.Tables.documents(spark, sf),
+        TextOps.Bm25Query, 20)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    val v = Similarity.bruteForceTopK(spark, sf, numQueries = 1, k = 20)
+      .collect().map(r => r.getLong(1) -> r.getInt(3)).toMap
+    // driver-side replay: text-then-vector term order, 1/(60+rank)
+    val expected = (t.keySet ++ v.keySet).toSeq.map { id =>
+      val s = t.get(id).map(r => 1.0 / (60.0 + r)).getOrElse(0.0) +
+        v.get(id).map(r => 1.0 / (60.0 + r)).getOrElse(0.0)
+      (id, s)
+    }.sortBy { case (id, s) => (-s, id) }.take(10)
+    val got = Similarity.hybridRrf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(3), r.getInt(4)))
+    assert(got.map(_._1).toSeq === expected.map(_._1))
+    got.zip(expected).foreach { case ((id, rs, _), (_, es)) =>
+      val er = BigDecimal(es).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(rs - er) < 1e-9, s"doc $id rrf $rs != $er")
+    }
+    assert(got.map(_._3).toSeq === (1 to 10))
+  }
+
   test("diversity sample emits exactly each cell's medoid-toward-centroid") {
     val emb = graft.Tables.embeddings(spark, sf)
       .select("vec_id", "embedding").orderBy("vec_id").collect()
