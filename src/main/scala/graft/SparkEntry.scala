@@ -99,6 +99,7 @@ object SparkEntry {
     "doc_sample_balanced" -> (TextOps.sampleBalanced _),
     "doc_sample_budget" -> ((s: SparkSession, d: String) => TextOps.sampleBudget(s, d)),
     "doc_sample_temperature" -> ((s: SparkSession, d: String) => TextOps.sampleTemperature(s, d)),
+    "doc_repeat_mixture" -> (TextOps.repeatMixture _),
     "pipeline_manifest" -> ((s: SparkSession, d: String) => TextOps.trainingManifest(s, d)),
     "text_heavy_hitters" -> ((s: SparkSession, d: String) => TextOps.heavyHitters(s, d)),
     "text_bm25_topk" -> ((s: SparkSession, d: String) => TextOps.bm25TopK(s, d)),
@@ -455,8 +456,34 @@ object SparkEntry {
        |FROM embeddings, p""".stripMargin
   }
 
+  /** DuckDB replay of [[graft.functions.TextFunctions.portableTokenHash]]:
+    * horner-parse the first 15 hex chars of md5 into the same 60-bit long.
+    */
+  private def md5PrefixSql(e: String): String =
+    s"list_reduce(list_transform(range(1, 16), i -> " +
+      s"CAST(ord(substr(md5($e), i, 1)) - CASE WHEN substr(md5($e), i, 1) " +
+      s"BETWEEN '0' AND '9' THEN 48 ELSE 87 END AS BIGINT)), (a, x) -> a * 16 + x)"
+
   def oracleSql: Map[String, String] = Map(
     "emb_dim_reduce" -> dimReduceOracle,
+    // epoch-weighted mixture repetition: per-source per-mille weight
+    // 400 + md5(source) % 2401; copies = w_pm // 1000 plus an extra iff
+    // doc-hash % 1000 < w_pm % 1000; shard = md5("id:copy") % 16. All
+    // integer arithmetic — replays bit-for-bit on any engine.
+    "doc_repeat_mixture" ->
+      s"""WITH hs AS (SELECT doc_id, source,
+         |  ${md5PrefixSql("CAST(doc_id AS VARCHAR)")} AS h,
+         |  CAST(400 + ${md5PrefixSql("source")} % 2401 AS INTEGER) AS w_pm
+         |  FROM documents),
+         |c AS (SELECT doc_id, source, w_pm,
+         |  CAST(w_pm // 1000 + CASE WHEN h % 1000 < w_pm % 1000 THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+         |  FROM hs),
+         |x AS (SELECT doc_id, source, w_pm, n_copies,
+         |  CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy_idx
+         |  FROM c)
+         |SELECT doc_id, source, w_pm, n_copies, copy_idx,
+         |  CAST(${md5PrefixSql("CAST(doc_id AS VARCHAR) || ':' || CAST(copy_idx AS VARCHAR)")} % 16 AS INTEGER) AS shard
+         |FROM x""".stripMargin,
     // new batch = odd doc_id, existing corpus = even; candidates are
     // new×old only, same jaccard formula/threshold as the batch pipeline
     "dedup_incremental" ->

@@ -879,4 +879,60 @@ object TextOps {
       .select(col("doc_id"), col("source"), col("n_source"),
         (col("h") % col("n_source") < col("min_count")).as("keep"))
   }
+
+  /** Number of training shards each materialized copy is routed to. */
+  val RepeatShards: Int = 16
+
+  def repeatMixture(s: SparkSession, dir: String): DataFrame =
+    repeatMixtureOf(Tables.documents(s, dir), idHash = portableDocIdHash)
+
+  /** Epoch-weighted mixture repetition — the "materialize the data
+    * recipe" step of an LLM pretraining pipeline (the per-source epoch
+    * multipliers of the LLaMA / GPT-3 data mixes: wiki ~2.5 epochs, raw
+    * crawl ~0.5). Each document is emitted floor(w) times plus one extra
+    * copy decided by a deterministic per-document coin, so a source with
+    * weight 1.4 contributes every doc once and a uniform 40% of docs
+    * twice; weight 0.4 keeps a uniform 40% subset (downsampling and
+    * upsampling are the same rule). Each copy is then routed to one of
+    * [[RepeatShards]] training shards by a per-copy hash, so repeats of
+    * the same document land in different shards (repeat-aware sharding —
+    * the property that keeps duplicate copies out of the same training
+    * window).
+    *
+    * Weights are integer PER-MILLE (1400 = 1.4 epochs): the full-copy
+    * count is `w_pm div 1000` and the extra-copy coin is
+    * `h % 1000 < w_pm % 1000` — pure integer arithmetic, so the plan
+    * replays bit-for-bit on any engine (no float frac() boundary to
+    * disagree about). When no explicit recipe is passed, per-source
+    * weights derive deterministically from the source name:
+    * `400 + portableHash(source) % 2401` ∈ [0.4, 2.8] epochs, covering
+    * both the down- and up-sampling branches.
+    *
+    * Distributed shape: the weight lookup is a map literal (or a tiny
+    * broadcast for a real recipe), the coin and shard are per-row integer
+    * hashes, and the copy fan-out is `explode(sequence(...))` bounded by
+    * the max epoch weight — a map-only plan with ZERO shuffles whose
+    * output size is exactly the token-weighted corpus. At 100 TB this is
+    * the shape you want: no exchange, no window, fan-out a small constant.
+    */
+  def repeatMixtureOf(docs: DataFrame, weightsPm: Map[String, Int] = Map.empty,
+                      idHash: Column => Column = prodDocIdHash): DataFrame = {
+    val wPm =
+      if (weightsPm.nonEmpty)
+        coalesce(element_at(typedLit(weightsPm), col("source")), lit(1000))
+      else (idHash(col("source")) % 2401 + lit(400)).cast("int")
+    val copies = docs
+      .select(col("doc_id"), col("source"), wPm.as("w_pm"),
+        idHash(col("doc_id")).as("h"))
+      .withColumn("n_copies",
+        (col("w_pm").cast("long") / 1000).cast("long") +
+          when(col("h") % 1000 < col("w_pm") % 1000, 1L).otherwise(0L))
+      .where(col("n_copies") > 0)
+    copies
+      .select(col("doc_id"), col("source"), col("w_pm"), col("n_copies"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy_idx"))
+      .withColumn("shard",
+        (idHash(concat_ws(":", col("doc_id"), col("copy_idx")))
+          % RepeatShards).cast("int"))
+  }
 }

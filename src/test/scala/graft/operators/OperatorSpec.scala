@@ -185,6 +185,54 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("mixture repetition materializes exact per-mille epoch counts") {
+    import spark.implicits._
+    // driver replay of the portable 60-bit md5-prefix hash
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    // explicit recipe: srcA 2.4 epochs (2 full + 40% coin), srcB 0.4
+    // (downsample to a 40% subset) — the up- and down-sampling branches
+    val docs = (0L until 200L)
+      .map(i => (i, if (i % 2 == 0) "srcA" else "srcB", s"text $i"))
+      .toDF("doc_id", "source", "text")
+    val recipe = Map("srcA" -> 2400, "srcB" -> 400)
+    val rows = TextOps.repeatMixtureOf(docs, recipe,
+        TextOps.portableDocIdHash).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getInt(5)))
+    // exact replay: n_copies = w_pm div 1000 + (h % 1000 < w_pm % 1000)
+    val expected = (0L until 200L).map { i =>
+      val w = if (i % 2 == 0) 2400 else 400
+      i -> (w / 1000 + (if (h60(i.toString) % 1000 < w % 1000) 1 else 0)).toLong
+    }.toMap
+    val byDoc = rows.groupBy(_._1)
+    expected.foreach { case (id, n) =>
+      val copies = byDoc.getOrElse(id, Array.empty)
+      assert(copies.length.toLong === n, s"doc $id copy count")
+      // copy_idx is exactly 1..n and each copy's shard replays the hash
+      assert(copies.map(_._5).sorted.toSeq === (1L to n).toSeq, s"doc $id idx")
+      copies.foreach { c =>
+        assert(c._6 === (h60(s"${c._1}:${c._5}") % TextOps.RepeatShards).toInt)
+      }
+    }
+    // srcA docs all appear ≥ 2 times; srcB only ever 0 or 1
+    rows.filter(_._2 == "srcA").groupBy(_._1).foreach(g => assert(g._2.length >= 2))
+    assert(rows.filter(_._2 == "srcB").groupBy(_._1).forall(_._2.length == 1))
+    // the coin is a uniform per-mille cut: kept srcB fraction within a
+    // loose binomial band around 40% (the count is deterministic, the
+    // band only guards the hash's uniformity)
+    val keptB = rows.count(_._2 == "srcB")
+    assert(keptB > 20 && keptB < 60, s"srcB kept $keptB of 100 at 400 per-mille")
+    // derived-weight default runs and stays within [0.4, 2.8] epochs
+    val derived = TextOps.repeatMixtureOf(docs.drop("text"),
+      idHash = TextOps.portableDocIdHash)
+    val ws = derived.select("w_pm").distinct().collect().map(_.getInt(0))
+    assert(ws.forall(w => w >= 400 && w <= 2800))
+  }
+
   test("bm25 ranks by relevance, length norm, and idf rarity") {
     import spark.implicits._
     // 6 padding docs pin the corpus stats; probe docs isolate one BM25

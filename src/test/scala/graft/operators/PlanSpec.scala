@@ -120,6 +120,15 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).size <= 1, p.take(2000))
   }
 
+  test("mixture repetition is map-only: explode fan-out, no exchange, no join") {
+    val p = planOf(TextOps.repeatMixture(spark, sf))
+    assert(p.contains("Generate"), p.take(2000)) // the sequence explode
+    assert(!p.contains("HashAggregate") && !p.contains("SortMergeJoin") &&
+      !p.contains("BroadcastHashJoin"), p.take(2000))
+    // the only exchange allowed is Tables' single-row-group repartition
+    assert("Exchange".r.findAllIn(p).size <= 1, p.take(2000))
+  }
+
   test("pair-pipeline candidates join on the shingle key — no nested loop") {
     // the eager operators return checkpointed (opaque) frames, so pin
     // the shared prefix-join shape via the lazy plan variant — the
