@@ -82,6 +82,7 @@ object SparkEntry {
     "ann_brute_topk" -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
     "ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
     "ann_lsh_multiprobe" -> ((s: SparkSession, d: String) => Similarity.annLshMultiProbe(s, d)),
+    "emb_knn_graph" -> ((s: SparkSession, d: String) => Similarity.knnGraph(s, d)),
     "ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
     "ann_ivf_pq" -> ((s: SparkSession, d: String) => Similarity.annIvfPq(s, d)),
     "dedup_semantic" -> ((s: SparkSession, d: String) => Dedup.semanticDedup(s, d)),
@@ -169,14 +170,15 @@ object SparkEntry {
   private def annLshMultiProbeOracle: String =
     annLshOracleWith("bit_count(xor(q.bucket, n.bucket)) <= 1")
 
-  private def annLshOracleWith(bucketCond: String): String = {
+  private def annLshOracleWith(bucketCond: String, numPlanes: Int = 4,
+                               queryCond: String = "q.vec_id < 10"): String = {
     import graft.functions.VectorFunctions
     val dim = VectorFunctions.Dim
-    val flat = VectorFunctions.hyperplanesFlat(4, dim)
-    val planes = (0 until 4).map { p =>
+    val flat = VectorFunctions.hyperplanesFlat(numPlanes, dim)
+    val planes = (0 until numPlanes).map { p =>
       (0 until dim).map(c => flat(p * dim + c).toString).mkString("[", ",", "]")
     }
-    val bucket = (0 until 4).map { p =>
+    val bucket = (0 until numPlanes).map { p =>
       s"CASE WHEN list_sum(list_transform(range(1, ${dim + 1}), i -> e[i]*w$p[i])) > 0 THEN ${1 << p} ELSE 0 END"
     }.mkString(" + ")
     s"""$cosineCte,
@@ -185,12 +187,18 @@ object SparkEntry {
        |scored AS (
        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
        |    round(list_sum(list_transform(range(1, ${dim + 1}), i -> q.e[i] * n.e[i])) / (q.nrm * n.nrm), 6) AS cosine
-       |  FROM b q JOIN b n ON q.vec_id < 10 AND n.vec_id <> q.vec_id AND $bucketCond)
+       |  FROM b q JOIN b n ON $queryCond AND n.vec_id <> q.vec_id AND $bucketCond)
        |SELECT query_id, neighbor_id, cosine,
        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
        |FROM scored
        |QUALIFY rank <= 5""".stripMargin
   }
+
+  /** kNN graph = the LSH oracle with the whole corpus as the query side
+    * and the 8-plane (256-bucket) index.
+    */
+  private def knnGraphOracle: String =
+    annLshOracleWith("q.bucket = n.bucket", numPlanes = 8, queryCond = "TRUE")
 
   /** The simhash oracle replays the whole pipeline in SQL: md5-prefix
     * token hashes (hex parse via horner fold), 60 per-bit popularity
@@ -1039,6 +1047,7 @@ object SparkEntry {
         |SELECT vec_id, e.label, label_id FROM embeddings e JOIN d USING (label)""".stripMargin,
     "ann_lsh" -> annLshOracle,
     "ann_lsh_multiprobe" -> annLshMultiProbeOracle,
+    "emb_knn_graph" -> knnGraphOracle,
     "ann_ivf" -> annIvfOracle(),
     "ann_ivf_pq" -> annIvfPqOracle(),
     "dedup_semantic" -> semanticDedupOracle(),

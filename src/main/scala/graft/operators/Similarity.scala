@@ -129,6 +129,49 @@ object Similarity {
     CacheLifecycle.materialize(topKPerQuery(s, scored, k))
   }
 
+  /** All-points kNN graph: every corpus vector's top-k cosine neighbors
+    * among the vectors sharing its LSH sign-bucket — the neighbor-list
+    * primitive that graph-based curation builds on (SemDeDup-style
+    * cluster pruning, graph dedup, diversity scoring). Differs from the
+    * query-set ANN family in physical shape: the probe side is the WHOLE
+    * corpus, so the bucket join is a shuffled equi-join of two
+    * corpus-sized sides (never broadcast), followed by the same bounded
+    * `graft_topk` aggregate (no global sort, no window).
+    *
+    * Scale levers: `numPlanes` sets bucket count 2^p — size it to
+    * log2(n / targetBucketSize) so per-bucket candidate volume stays
+    * O(n · bucketSize), and cap hot buckets like the simhash pipeline if
+    * a degenerate embedding region concentrates mass (the fixture's
+    * uniform synthetic vectors spread evenly, so the default runs
+    * uncapped). Nodes in singleton buckets emit no edges — the graph is
+    * honestly sparse where LSH finds no co-bucketed candidate (recall
+    * rises with multi-probe exactly as in [[annLshMultiProbe]]).
+    *
+    * 8 planes (256 buckets) keeps the sf1 gate's candidate volume ~1.6M
+    * pairs while leaving ≥2-candidate buckets at sf0.01 (500 vectors).
+    */
+  def knnGraph(s: SparkSession, dir: String, k: Int = 5,
+               numPlanes: Int = 8, dim: Int = Dim): DataFrame =
+    CacheLifecycle.materialize(knnGraphPlan(s, dir, k, numPlanes, dim))
+
+  /** Lazy-plan variant of [[knnGraph]] (PlanSpec pins the shuffled-join
+    * shape on the un-materialized frame; the public operator checkpoints).
+    */
+  private[operators] def knnGraphPlan(s: SparkSession, dir: String, k: Int = 5,
+                                      numPlanes: Int = 8, dim: Int = Dim): DataFrame = {
+    val e = corpusVectors(s, dir)
+      .withColumn("bucket", lshBucket(numPlanes, dim)(col("v")))
+    val nbrs = e.select(col("bucket"), col("vec_id").as("neighbor_id"),
+      col("v").as("nv"), col("nrm").as("nn"))
+    val scored = e.join(nbrs, Seq("bucket"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .select(
+        col("vec_id").as("query_id"),
+        col("neighbor_id"),
+        round(call_function("graft_dot", col("v"), col("nv")) / (col("nrm") * col("nn")), 6).as("cosine"))
+    topKPerQuery(s, scored, k)
+  }
+
   /** IVF-style ANN: a coarse quantizer assigns every corpus vector to a
     * cell; each query probes only the `nprobe` cells whose centroids are
     * nearest, scoring candidates exactly. The quantizer is the

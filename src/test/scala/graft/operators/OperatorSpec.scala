@@ -185,6 +185,41 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("knn graph replays exactly: bucket membership, top-k, tie-breaks") {
+    import graft.functions.VectorFunctions
+    val dim = VectorFunctions.Dim
+    val planes = VectorFunctions.hyperplanesFlat(8, dim)
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0d; var i = 0
+      while (i < math.min(a.length, b.length)) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def bucket(v: Array[Float]): Long = (0 until 8).map { p =>
+      var s = 0.0d; var i = 0
+      while (i < dim) { s += planes(p * dim + i) * v(i); i += 1 }
+      if (s > 0) 1L << p else 0L
+    }.sum
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byBucket = vecs.groupBy(v => bucket(v._2))
+    val expected = byBucket.values.toList.flatMap { members =>
+      members.toList.flatMap { case (id, v) =>
+        val nrm = math.sqrt(dot(v, v))
+        members.toList.filter(_._1 != id)
+          .map { case (nid, nv) => (nid, r6(dot(v, nv) / (nrm * math.sqrt(dot(nv, nv))))) }
+          .sortBy { case (nid, c) => (-c, nid) }.take(5).zipWithIndex
+          .map { case ((nid, c), i) => (id, nid, c, i + 1) }
+      }
+    }.toSet
+    val got = Similarity.knnGraph(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty && got.groupBy(_._1).forall(_._2.size <= 5))
+  }
+
   test("mixture repetition materializes exact per-mille epoch counts") {
     import spark.implicits._
     // driver replay of the portable 60-bit md5-prefix hash

@@ -165,6 +165,23 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("knn graph: corpus-sized bucket join shuffles — never broadcasts; no window") {
+    // both join sides are the whole corpus, so the SCALE shape is a
+    // shuffled equi-join on the bucket key; disable the threshold to see it
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = planOf(Similarity.knnGraphPlan(spark, sf))
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        p.take(3000))
+      assert(!p.contains("BroadcastHashJoin"), p.take(3000))
+      // top-k per node is the bounded graft_topk aggregate, not a rank window
+      assert(!p.contains("Window"), p.take(3000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("source overlap: pair fan-out from per-shingle source sets, no self-join") {
     val p = planOf(TextOps.sourceOverlap(spark, sf))
     assert(!p.contains("CartesianProduct"), p.take(3000))
