@@ -58,7 +58,15 @@ object Similarity {
     * excluding self. Deterministic tie-break on neighbor_id after rounding.
     */
   def bruteForceTopK(s: SparkSession, dir: String,
-                     numQueries: Int = 10, k: Int = 5): DataFrame = {
+                     numQueries: Int = 10, k: Int = 5): DataFrame =
+    CacheLifecycle.materialize(bruteForceTopKPlan(s, dir, numQueries, k))
+
+  /** Lazy-plan variant of [[bruteForceTopK]] — the hybrid-RRF vector arm
+    * composes this directly (the fusion consumes ≤kArm rows once; a
+    * checkpoint of the arm would cost more than recomputing it).
+    */
+  private[operators] def bruteForceTopKPlan(s: SparkSession, dir: String,
+                                            numQueries: Int = 10, k: Int = 5): DataFrame = {
     val e = corpusVectors(s, dir)
     val q = e.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
@@ -67,7 +75,7 @@ object Similarity {
         col("query_id"),
         col("vec_id").as("neighbor_id"),
         round(call_function("graft_dot", col("v"), col("qv")) / (col("nrm") * col("qn")), 6).as("cosine"))
-    CacheLifecycle.materialize(topKPerQuery(s, scored, k))
+    topKPerQuery(s, scored, k)
   }
 
   /** Sign-pattern bucket id from `numPlanes` hyperplane projections
@@ -333,10 +341,9 @@ object Similarity {
   def hybridRrf(s: SparkSession, dir: String, k: Int = 10,
                 kArm: Int = 20, rrfK: Double = 60.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val t = TextOps.bm25TopKOf(graft.Tables.documents(s, dir),
-        TextOps.Bm25Query, kArm)
+    val t = TextOps.bm25TopK(s, dir, kArm) // family-shared feats pass
       .select(col("doc_id"), col("rank").as("text_rank"))
-    val v = bruteForceTopK(s, dir, numQueries = 1, k = kArm)
+    val v = bruteForceTopKPlan(s, dir, numQueries = 1, k = kArm)
       .select(col("neighbor_id").as("doc_id"), col("rank").as("vec_rank"))
     val fused = t.join(v, Seq("doc_id"), "full_outer")
       .withColumn("rrf",

@@ -651,8 +651,15 @@ object TextOps {
     */
   val Bm25Query: Seq[String] = Seq("hash", "join", "vector", "stream")
 
-  def bm25TopK(s: SparkSession, dir: String, k: Int = 10): DataFrame =
-    bm25TopKOf(Tables.documents(s, dir), Bm25Query, k)
+  /** Corpus entry point: the per-doc term-frequency frame is family-shared
+    * (6 narrow int columns per doc) so the BM25 entry and the hybrid-RRF
+    * text arm pay the tokenize pass once per (session, corpus).
+    */
+  def bm25TopK(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val feats = FamilyCache.get(s, dir, "bm25_feats")(
+      bm25Feats(Tables.documents(s, dir), Bm25Query))
+    bm25Score(feats, Bm25Query, k)
+  }
 
   /** BM25 top-k retrieval (Robertson/Walker Okapi BM25) — the
     * quality-retrieval primitive of a curation pipeline (mine a corpus
@@ -676,14 +683,24 @@ object TextOps {
     * 100 TB the only cross-node traffic is one stats row and k results.
     */
   def bm25TopKOf(docs: DataFrame, query: Seq[String], k: Int = 10,
-                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25Score(bm25Feats(docs, query), query, k, k1, b)
+
+  /** Per-doc BM25 features (dl + one tf per query term): the narrow
+    * projection both scoring call sites share.
+    */
+  private def bm25Feats(docs: DataFrame, query: Seq[String]): DataFrame = {
     val t = tokens(lower(col("text")))
-    val feats = docs.select(
+    docs.select(
       (col("doc_id") +: size(t).as("dl") +:
         query.zipWithIndex.map { case (term, i) =>
           (size(t) - size(array_remove(t, lit(term)))).as(s"tf_$i")
         }): _*)
+  }
+
+  private def bm25Score(feats: DataFrame, query: Seq[String], k: Int,
+                        k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val statCols = count(lit(1)).cast("double").as("n_docs") +:
       sum(col("dl")).cast("double").as("sum_dl") +:
       query.indices.map(i =>
