@@ -83,6 +83,7 @@ object SparkEntry {
     "ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
     "ann_lsh_multiprobe" -> ((s: SparkSession, d: String) => Similarity.annLshMultiProbe(s, d)),
     "emb_knn_graph" -> ((s: SparkSession, d: String) => Similarity.knnGraph(s, d)),
+    "emb_knn_incremental" -> ((s: SparkSession, d: String) => Similarity.knnIncremental(s, d)),
     "ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
     "ann_ivf_pq" -> ((s: SparkSession, d: String) => Similarity.annIvfPq(s, d)),
     "dedup_semantic" -> ((s: SparkSession, d: String) => Dedup.semanticDedup(s, d)),
@@ -171,7 +172,8 @@ object SparkEntry {
     annLshOracleWith("bit_count(xor(q.bucket, n.bucket)) <= 1")
 
   private def annLshOracleWith(bucketCond: String, numPlanes: Int = 4,
-                               queryCond: String = "q.vec_id < 10"): String = {
+                               queryCond: String = "q.vec_id < 10",
+                               neighborCond: String = "TRUE"): String = {
     import graft.functions.VectorFunctions
     val dim = VectorFunctions.Dim
     val flat = VectorFunctions.hyperplanesFlat(numPlanes, dim)
@@ -187,7 +189,7 @@ object SparkEntry {
        |scored AS (
        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
        |    round(list_sum(list_transform(range(1, ${dim + 1}), i -> q.e[i] * n.e[i])) / (q.nrm * n.nrm), 6) AS cosine
-       |  FROM b q JOIN b n ON $queryCond AND n.vec_id <> q.vec_id AND $bucketCond)
+       |  FROM b q JOIN b n ON $queryCond AND $neighborCond AND n.vec_id <> q.vec_id AND $bucketCond)
        |SELECT query_id, neighbor_id, cosine,
        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
        |FROM scored
@@ -199,6 +201,14 @@ object SparkEntry {
     */
   private def knnGraphOracle: String =
     annLshOracleWith("q.bucket = n.bucket", numPlanes = 8, queryCond = "TRUE")
+
+  /** Incremental kNN = the same 8-plane index with the new batch (odd
+    * vec_id) as the query side and the existing corpus (even) as the
+    * neighbor side.
+    */
+  private def knnIncrementalOracle: String =
+    annLshOracleWith("q.bucket = n.bucket", numPlanes = 8,
+      queryCond = "q.vec_id % 2 = 1", neighborCond = "n.vec_id % 2 = 0")
 
   /** The simhash oracle replays the whole pipeline in SQL: md5-prefix
     * token hashes (hex parse via horner fold), 60 per-bit popularity
@@ -1048,6 +1058,7 @@ object SparkEntry {
     "ann_lsh" -> annLshOracle,
     "ann_lsh_multiprobe" -> annLshMultiProbeOracle,
     "emb_knn_graph" -> knnGraphOracle,
+    "emb_knn_incremental" -> knnIncrementalOracle,
     "ann_ivf" -> annIvfOracle(),
     "ann_ivf_pq" -> annIvfPqOracle(),
     "dedup_semantic" -> semanticDedupOracle(),

@@ -180,6 +180,38 @@ object Similarity {
     topKPerQuery(s, scored, k)
   }
 
+  /** Incremental kNN — the production-ingest twin of [[knnGraph]] (the
+    * embedding-side mirror of `dedup_incremental`): a NEW batch of
+    * vectors (odd vec_id in the fixture split, a real deployment keys on
+    * arrival batch) probes the EXISTING corpus (even vec_id) through the
+    * same LSH sign-bucket index. Candidates are new×old only, so work is
+    * proportional to the BATCH, never the corpus — the shape that lets a
+    * 100 TB index absorb a daily delta without recomputing the graph.
+    * New-batch nodes get neighbor lists immediately; back-edges (old →
+    * new) accumulate on the next full rebuild, exactly as in the batch
+    * ingest pipelines this mirrors.
+    */
+  def knnIncremental(s: SparkSession, dir: String, k: Int = 5,
+                     numPlanes: Int = 8, dim: Int = Dim): DataFrame =
+    CacheLifecycle.materialize(knnIncrementalPlan(s, dir, k, numPlanes, dim))
+
+  private[operators] def knnIncrementalPlan(s: SparkSession, dir: String,
+                                            k: Int = 5, numPlanes: Int = 8,
+                                            dim: Int = Dim): DataFrame = {
+    val e = corpusVectors(s, dir)
+      .withColumn("bucket", lshBucket(numPlanes, dim)(col("v")))
+    val fresh = e.filter(col("vec_id") % 2 === 1)
+    val corpus = e.filter(col("vec_id") % 2 === 0)
+      .select(col("bucket"), col("vec_id").as("neighbor_id"),
+        col("v").as("nv"), col("nrm").as("nn"))
+    val scored = fresh.join(corpus, Seq("bucket"))
+      .select(
+        col("vec_id").as("query_id"),
+        col("neighbor_id"),
+        round(call_function("graft_dot", col("v"), col("nv")) / (col("nrm") * col("nn")), 6).as("cosine"))
+    topKPerQuery(s, scored, k)
+  }
+
   /** IVF-style ANN: a coarse quantizer assigns every corpus vector to a
     * cell; each query probes only the `nprobe` cells whose centroids are
     * nearest, scoring candidates exactly. The quantizer is the

@@ -220,6 +220,30 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.groupBy(_._1).forall(_._2.size <= 5))
   }
 
+  test("incremental knn scores new-batch against corpus only, consistent with the full graph") {
+    val full = Similarity.knnGraph(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inc = Similarity.knnIncremental(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(inc.nonEmpty)
+    // only new (odd) queries, only existing (even) neighbors
+    assert(inc.forall(e => e._1 % 2 == 1 && e._2 % 2 == 0))
+    // every incremental edge carries the same exact cosine as the full
+    // graph computes for that pair when the pair survives the full
+    // graph's top-k (the incremental list can rank deeper because odd
+    // competitors are absent — so containment, not equality)
+    val fullEdges = full.map(e => (e._1, e._2) -> e._3).toMap
+    inc.foreach { case (q, n, c, _) =>
+      fullEdges.get((q, n)).foreach(fc => assert(fc === c, s"cosine drift $q->$n"))
+    }
+    // within each query, ranks are 1..m ordered by (cosine desc, id)
+    inc.groupBy(_._1).foreach { case (q, es) =>
+      val sorted = es.sortBy(e => (-e._3, e._2)).map(_._4).toSeq
+      assert(sorted === (1 to es.length).toSeq, s"rank order for $q")
+      assert(es.length <= 5)
+    }
+  }
+
   test("mixture repetition materializes exact per-mille epoch counts") {
     import spark.implicits._
     // driver replay of the portable 60-bit md5-prefix hash
