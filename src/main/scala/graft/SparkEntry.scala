@@ -125,6 +125,8 @@ object SparkEntry {
     "stream_stream_join" -> (StreamOps.streamStreamJoin _),
     "stream_heavy_hitters" -> ((s: SparkSession, d: String) =>
       StreamOps.streamingHeavyHitters(s, d)),
+    "stream_knn_ingest" -> ((s: SparkSession, d: String) =>
+      StreamOps.streamKnnIngest(s, d)),
     "q28_cube" -> (Relational.q28Cube _),
     "q32_grouping_sets" -> (Relational.q32GroupingSets _),
     "q29_window_ranks" -> (Relational.q29WindowRanks _),
@@ -1059,6 +1061,8 @@ object SparkEntry {
     "ann_lsh_multiprobe" -> annLshMultiProbeOracle,
     "emb_knn_graph" -> knnGraphOracle,
     "emb_knn_incremental" -> knnIncrementalOracle,
+    // the streaming ingest drains to exactly the batch incremental result
+    "stream_knn_ingest" -> knnIncrementalOracle,
     "ann_ivf" -> annIvfOracle(),
     "ann_ivf_pq" -> annIvfPqOracle(),
     "dedup_semantic" -> semanticDedupOracle(),

@@ -228,6 +228,67 @@ object StreamOps {
     ss.table(name)
   }
 
+  /** Streaming ANN ingest — the streaming twin of `emb_knn_incremental`
+    * (online embedding ingestion: vectors arrive on a stream and each
+    * immediately receives its top-k neighbors from the static corpus
+    * index). The new batch (odd vec_id) streams in; the existing corpus
+    * (even) is the STATIC side, bucketed once by the same 8-plane LSH
+    * sign pattern. The stream-static equi-join on the bucket key is
+    * STATELESS (no watermark, no join state — the static side is a
+    * lookup), and the only state is the per-query `graft_topk` buffer:
+    * bounded at k entries per streamed vector, exactly the result being
+    * built. Draining the finite fixture therefore ends at precisely the
+    * batch incremental result, so the same DuckDB oracle applies.
+    *
+    * At scale: the static index is corpus-sized, so the join shuffles on
+    * the bucket key rather than broadcasting (locally Catalyst may
+    * broadcast the small fixture side — the semantics don't change); the
+    * top-k state is new-batch-proportional. This is the shape that lets
+    * an always-on ingest pipeline annotate arriving embeddings without
+    * rebuilding the graph.
+    */
+  def streamKnnIngest(s: SparkSession, dir: String, k: Int = 5,
+                      numPlanes: Int = 8): DataFrame = {
+    import graft.functions.VectorFunctions
+    val ss = streamingSession(s)
+    graft.expressions.DotProduct.register(ss)
+    graft.expressions.TopKAgg.register(ss)
+    val dim = VectorFunctions.Dim
+    val bucketOf = VectorFunctions.bucketKernel(
+      VectorFunctions.hyperplanesFlat(numPlanes, dim), dim)
+    val path = s"$dir/embeddings.parquet"
+    val schema = ss.read.parquet(path).schema
+    val name = s"graft_stream_${counter.incrementAndGet()}"
+    val corpus = ss.read.parquet(path)
+      .filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+      .withColumn("bucket", bucketOf(col("nv")))
+      .withColumn("nn", sqrt(call_function("graft_dot", col("nv"), col("nv"))))
+    val stream = ss.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      .filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .withColumn("bucket", bucketOf(col("qv")))
+      .withColumn("qn", sqrt(call_function("graft_dot", col("qv"), col("qv"))))
+      .join(corpus, Seq("bucket"))
+      .select(col("query_id"),
+        round(call_function("graft_dot", col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("cosine"),
+        col("neighbor_id"))
+      .groupBy("query_id")
+      .agg(call_function("graft_topk", col("cosine"), col("neighbor_id"), lit(k)).as("top"))
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    ss.table(name)
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.id").as("neighbor_id"),
+        col("t.score").as("cosine"), (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** Streaming Count-Min sketch — the custom `graft_cms` aggregate run as
     * a streaming global aggregation: term frequencies accumulate across
     * micro-batches in a constant 32 KiB of state (the sketch IS the

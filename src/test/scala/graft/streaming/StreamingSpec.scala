@@ -74,6 +74,15 @@ class StreamingSpec extends AnyFunSuite {
       "maxBucket=2 must overflow on the fixture — the counter is not wired")
   }
 
+  test("streaming knn ingest drains to exactly the batch incremental result") {
+    val streamed = StreamOps.streamKnnIngest(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val batch = graft.operators.Similarity.knnIncremental(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("streaming agg recovers checkpointed state across a restart") {
     import org.apache.spark.sql.functions._
     import java.nio.file.Files
