@@ -111,6 +111,7 @@ object SparkEntry {
     "text_span_cut" -> ((s: SparkSession, d: String) => TextOps.spanCut(s, d)),
     "stream_static_join" -> ((s: SparkSession, d: String) => StreamOps.streamStaticJoin(s, d)),
     "text_quality" -> (TextOps.qualityScore _),
+    "doc_quality_calibrate" -> ((s: SparkSession, d: String) => TextOps.qualityCalibrate(s, d)),
     "text_lang_id" -> (TextOps.langId _),
     "text_fingerprint" -> (TextOps.fingerprints _),
     "pipeline_curate" -> (TextOps.curate _),
@@ -913,6 +914,20 @@ object SparkEntry {
         |round(list_sum(list_transform(t, x -> length(x))) / len(t), 6) AS mean_token_len,
         |round(length(regexp_replace(text, '[a-zA-Z0-9\s]+', '', 'g')) / length(text), 6) AS punct_ratio
         |FROM w""".stripMargin,
+    // per-source z-score calibration of the (6-decimal-rounded, hence
+    // engine-identical) stopword ratio; avg/stddev_samp differences land
+    // inside the checker's 1e-9 float tolerance; σ=0 guarded to z=0
+    "doc_quality_calibrate" ->
+      """WITH w AS (SELECT doc_id, source,
+        |  round(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |    x -> list_contains(['the','a','of','and','to','in','is','it'], x)))
+        |    / len(regexp_split_to_array(trim(text), '\s+')), 6) AS q
+        |  FROM documents),
+        |s AS (SELECT source, avg(q) AS mu, stddev_samp(q) AS sigma FROM w GROUP BY 1)
+        |SELECT w.doc_id, w.source, w.q,
+        |  CASE WHEN s.sigma <> 0 THEN (w.q - s.mu) / s.sigma ELSE 0.0 END AS z,
+        |  CASE WHEN s.sigma <> 0 THEN (w.q - s.mu) / s.sigma ELSE 0.0 END > -1.0 AS keep
+        |FROM w JOIN s USING (source)""".stripMargin,
     "text_lang_id" ->
       """WITH w AS (SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
         |s AS (SELECT doc_id, lang,

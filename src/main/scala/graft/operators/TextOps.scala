@@ -90,6 +90,39 @@ object TextOps {
       round(punct / length(col("text")).cast("double"), 6).as("punct_ratio"))
   }
 
+  /** Per-source quality calibration — z-score the quality signal WITHIN
+    * each source before applying one global threshold. The curation
+    * problem it solves: raw quality ratios are distribution-shifted
+    * across sources (a forum dump and an encyclopedia have different
+    * stopword baselines), so one global cut either guts the clean source
+    * or admits the noisy one; calibrating per source makes "bottom z"
+    * mean the same thing everywhere (the per-bucket normalization step of
+    * CCNet-style quality filtering).
+    *
+    * The signal is the 6-decimal-rounded stopword ratio (identical
+    * doubles in both engines); μ_s/σ_s are per-source avg/stddev_samp —
+    * a 20-row aggregate broadcast back over a map-only z projection. σ=0
+    * sources (degenerate constant quality) get z=0 rather than an IEEE
+    * infinity, keeping the keep-rule total. At 100 TB: one tiny two-phase
+    * agg + one broadcast — no corpus shuffle at all.
+    */
+  def qualityCalibrate(s: SparkSession, dir: String,
+                       zMin: Double = -1.0): DataFrame = {
+    val t = tokens(col("text"))
+    val q = round(
+      size(filter(t, w => w.isin(Stopwords.map(x => x: Any): _*)))
+        / size(t).cast("double"), 6)
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), q.as("q"))
+    val stats = docs.groupBy("source").agg(
+      avg(col("q")).as("mu"), stddev_samp(col("q")).as("sigma"))
+    val z = when(col("sigma") =!= 0.0,
+      (col("q") - col("mu")) / col("sigma")).otherwise(lit(0.0))
+    docs.join(broadcast(stats), Seq("source"))
+      .select(col("doc_id"), col("source"), col("q"), z.as("z"),
+        (z > zMin).as("keep"))
+  }
+
   /** Language identification by marker-word voting. */
   def langId(s: SparkSession, dir: String): DataFrame = {
     val t = tokens(lower(col("text")))

@@ -220,6 +220,36 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.groupBy(_._1).forall(_._2.size <= 5))
   }
 
+  test("quality calibration standardizes within each source") {
+    val rows = TextOps.qualityCalibrate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3),
+        r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (src, rs) =>
+      val zs = rs.map(_._4)
+      val n = zs.length.toDouble
+      val mean = zs.sum / n
+      // z-scores standardize: mean 0, sample stddev 1 (per source)
+      assert(math.abs(mean) < 1e-9, s"$src z-mean $mean")
+      if (n > 1 && zs.exists(_ != 0.0)) {
+        val sd = math.sqrt(zs.map(z => (z - mean) * (z - mean)).sum / (n - 1))
+        assert(math.abs(sd - 1.0) < 1e-9, s"$src z-sd $sd")
+      }
+      // the keep rule is exactly z > -1, and a calibrated cut keeps the
+      // large majority of every source (that's the point vs a global cut)
+      rs.foreach(r => assert(r._5 === (r._4 > -1.0)))
+      assert(rs.count(_._5).toDouble / n > 0.5, s"$src keep rate")
+    }
+    // replay one source's z exactly from the raw ratios
+    val bySrc = rows.groupBy(_._2).head._2
+    val qs = bySrc.map(_._3)
+    val mu = qs.sum / qs.length
+    val sigma = math.sqrt(qs.map(q => (q - mu) * (q - mu)).sum / (qs.length - 1))
+    bySrc.foreach { r =>
+      assert(math.abs(r._4 - (r._3 - mu) / sigma) < 1e-9, s"z replay doc ${r._1}")
+    }
+  }
+
   test("incremental knn scores new-batch against corpus only, consistent with the full graph") {
     val full = Similarity.knnGraph(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
