@@ -36,18 +36,26 @@ object Tables {
     normalizeTs(load(s, d, "events"))
   }
 
-  /** Normalize an events frame's `ts`: the driver fixture stores
-    * TIMESTAMP(NANOS) which arrives as a nanos long under the legacy
-    * conf (exact integer division to micros is lossless — fixture data
-    * is generated at microsecond resolution); scaled fixtures
-    * (tools.ScaleUp) store a native micros TIMESTAMP that passes
-    * through. Works on batch and streaming frames alike.
+  /** Normalize an events frame's `ts` to instant-semantics TIMESTAMP
+    * regardless of how the fixture generation wrote it:
+    *  - TIMESTAMP(NANOS) arrives as a nanos long under the legacy conf
+    *    (exact integer division to micros is lossless — fixture data is
+    *    generated at microsecond resolution);
+    *  - micros-without-timezone arrives as TIMESTAMP_NTZ, which the
+    *    streaming watermark machinery rejects — reinterpret the wall
+    *    clock in the session timezone (UTC here), value-identical to
+    *    what DuckDB reads from the same file;
+    *  - native micros TIMESTAMP (tools.ScaleUp output) passes through.
+    * Works on batch and streaming frames alike.
     */
   def normalizeTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts",
           org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
   /** documents/embeddings feed compute-heavy per-row operators (shingling,
