@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextOps}
+import graft.operators.{Dedup, Layout, Multimodal, Relational, Similarity, TextOps}
 import graft.streaming.StreamOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -134,7 +134,10 @@ object SparkEntry {
     "q31_sliding_window" -> (Relational.q31SlidingWindow _),
     "q30_string_funcs" -> (Relational.q30StringFuncs _),
     "q17_sessionize" -> (graft.streaming.Sessionize.batch _),
-    "stream_sessionize" -> (graft.streaming.Sessionize.streaming _)
+    "stream_sessionize" -> (graft.streaming.Sessionize.streaming _),
+    "q33_merge_upsert" -> (Relational.q33MergeUpsert _),
+    "doc_snapshot_diff" -> ((s: SparkSession, d: String) => TextOps.snapshotDiff(s, d)),
+    "layout_zorder" -> ((s: SparkSession, d: String) => Layout.zorderLineitem(s, d))
   )
 
   /** DuckDB shingle CTE bodies shared by the near-dup and cluster oracles
@@ -480,6 +483,14 @@ object SparkEntry {
   /** DuckDB replay of [[graft.functions.TextFunctions.portableTokenHash]]:
     * horner-parse the first 15 hex chars of md5 into the same 60-bit long.
     */
+  /** DuckDB replay of [[graft.operators.Layout.zvalue]] over the low 8 bits
+    * of two integer columns: bit i of x at position 2i, bit i of y at 2i+1.
+    */
+  private def zvalSql(x: String, y: String): String =
+    (0 until 8).map(i =>
+      s"((($x % 256) >> $i) & 1) * ${1L << (2 * i)} + " +
+        s"((($y % 256) >> $i) & 1) * ${1L << (2 * i + 1)}").mkString(" + ")
+
   private def md5PrefixSql(e: String): String =
     s"list_reduce(list_transform(range(1, 16), i -> " +
       s"CAST(ord(substr(md5($e), i, 1)) - CASE WHEN substr(md5($e), i, 1) " +
@@ -629,6 +640,34 @@ object SparkEntry {
         |FROM events GROUP BY 1""".stripMargin,
     "dedup_exact_docs" ->
       "SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text",
+    // changelog compaction: the oracle states latest-per-key via the
+    // window form; the engine uses one-shuffle max_by — same survivor
+    // because (ts, event_id) is a total order per key
+    "q33_merge_upsert" ->
+      """SELECT user_id, event_type, last_ts, last_event_id, last_value, n_versions FROM (
+        |  SELECT user_id, event_type, ts AS last_ts, event_id AS last_event_id,
+        |         value AS last_value,
+        |         count(*) OVER (PARTITION BY user_id, event_type) AS n_versions,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+    // snapshot diff: oracle compares text bytes via a full-outer join; the
+    // engine compares xxhash64(text) — equality of content implies equality
+    // of statuses (collision probability 2^-64 per common key)
+    "doc_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 < 9),
+        |n AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END AS text
+        |      FROM documents WHERE doc_id % 10 > 0)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |       CASE WHEN o.doc_id IS NULL THEN 'added'
+        |            WHEN n.doc_id IS NULL THEN 'removed'
+        |            ELSE 'changed' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.text <> n.text""".stripMargin,
+    // Morton interleave replayed as 16 integer shift/mask terms (disjoint
+    // bits, so + is OR) — pure integer arithmetic on both engines
+    "layout_zorder" ->
+      s"SELECT l_orderkey, l_linenumber, CAST(${zvalSql("l_partkey", "l_suppkey")} AS BIGINT) AS zval FROM lineitem",
     "dedup_ngram_jaccard" -> shingleCte,
     // the pair-pipeline build entry returns the same verified pair set
     // (it exists so bench cost attribution is explicit) → same oracle

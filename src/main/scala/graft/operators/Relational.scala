@@ -446,6 +446,34 @@ object Relational {
       .agg(grouping_id().cast("int").as("gid"),
         count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_v"))
 
+  /** Changelog compaction / SCD-1 upsert merge (engine completeness —
+    * the reference is batch-only snapshots): treating events as an upsert
+    * stream keyed by (user_id, event_type), emit the LATEST version of
+    * every key plus its version count. This is the core of incremental
+    * ingestion at scale (Hudi/Iceberg-style merge-on-read compaction):
+    * a base snapshot unioned with a changelog compacts with exactly the
+    * same plan.
+    *
+    * One hash shuffle with map-side partial `max_by` — deliberately NOT a
+    * window (`row_number ... rn=1` sorts every partition); `max_by` keeps
+    * a single row per key in the partial aggregate, so the exchange
+    * carries one row per key per mapper, not the full changelog.
+    * Tie-break on (ts, event_id): event_id is unique, so the survivor is
+    * deterministic at any scale.
+    */
+  def q33MergeUpsert(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("user_id", "event_type")
+      .agg(
+        max_by(struct(col("ts"), col("event_id"), col("value")),
+          struct(col("ts"), col("event_id"))).as("last"),
+        count(lit(1)).as("n_versions"))
+      .select(col("user_id"), col("event_type"),
+        col("last.ts").as("last_ts"),
+        col("last.event_id").as("last_event_id"),
+        col("last.value").as("last_value"),
+        col("n_versions"))
+
   /** Pipeline composition (ny_taxi_ml end-to-end ETL shape): filter → feature
     * engineering → threshold split (P9) → per-split aggregate, re-joined.
     * Exercises caching-free recompute of a shared subplan.

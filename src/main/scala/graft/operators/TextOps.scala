@@ -371,6 +371,51 @@ object TextOps {
           .as("text_clean"))
   }
 
+  /** Corpus snapshot diff — the delta between two crawls/exports of the
+    * same corpus, keyed by doc_id and compared by CONTENT: `added`
+    * (only in the new snapshot), `removed` (only in the old), `changed`
+    * (present in both, text differs); unchanged documents are filtered
+    * out, so the output is delta-sized, not corpus-sized. The two
+    * snapshots are deterministic slices of the fixture (old = doc_id
+    * ending 0-8, new = ending 1-9, with every doc_id % 7 == 0 carrying a
+    * simulated revision) so the oracle can derive them identically.
+    *
+    * Scale shape: each side hashes its text AT THE SCAN (`xxhash64`), so
+    * the one doc_id exchange carries 16 bytes per row instead of the
+    * document body; union + single groupBy replaces a full-outer join —
+    * ONE shuffle total for the whole diff. At 100 TB the snapshots are
+    * separate partitioned scans and this plan is unchanged.
+    */
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame =
+    snapshotDiffOf(
+      Tables.documents(s, dir).filter(col("doc_id") % 10 < 9),
+      Tables.documents(s, dir).filter(col("doc_id") % 10 > 0)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text"))))
+
+  /** DataFrame-first core of [[snapshotDiff]] over two (doc_id, text)
+    * snapshots. Content equality is decided by `xxhash64(text)` — a
+    * same-engine comparison on both sides, so a hash collision (2⁻⁶⁴ per
+    * common key) is the only approximation versus byte compare.
+    */
+  def snapshotDiffOf(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
+    val o = oldSnap.select(col("doc_id"), xxhash64(col("text")).as("h"),
+      lit(0).as("side"))
+    val n = newSnap.select(col("doc_id"), xxhash64(col("text")).as("h"),
+      lit(1).as("side"))
+    o.unionByName(n)
+      .groupBy("doc_id")
+      .agg(max(when(col("side") === 0, col("h"))).as("h_old"),
+        max(when(col("side") === 1, col("h"))).as("h_new"))
+      .select(col("doc_id"),
+        when(col("h_old").isNull, lit("added"))
+          .when(col("h_new").isNull, lit("removed"))
+          .when(col("h_old") =!= col("h_new"), lit("changed"))
+          .as("status"))
+      .filter(col("status").isNotNull)
+  }
+
   /** Benchmark decontamination — flag training documents that share any
     * word k-shingle with a held-out evaluation set (the GPT-3/PaLM-style
     * n-gram-collision test-set filter). The eval set here is the

@@ -226,4 +226,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!readSchema.contains("event_type"),
       s"unused column not pruned: $readSchema")
   }
+
+  test("merge upsert is one exchange of two-phase max_by — no window sort") {
+    val p = planOf(Relational.q33MergeUpsert(spark, sf))
+    // partial + final aggregate around exactly one hash exchange; a window
+    // (row_number) formulation would sort the full changelog instead
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+    assert("Aggregate".r.findAllIn(p).size >= 2, p.take(3000))
+  }
+
+  test("snapshot diff is hash-at-scan + one doc_id exchange, no join") {
+    val p = planOf(TextOps.snapshotDiff(spark, sf))
+    // union + groupBy formulation: no SMJ/BHJ of the two snapshots, and the
+    // exchange carries (doc_id, hash, side), never the text column
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      p.take(3000))
+    // one content exchange (plus the fixture loader's round-robin split)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p.take(3000))
+  }
+
+  test("z-order key is a zero-exchange narrow projection") {
+    val p = planOf(Layout.zorderLineitem(spark, sf))
+    assert(!p.contains("Exchange"), p.take(3000))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_quantity"),
+      s"unused columns not pruned: $readSchema")
+  }
 }
