@@ -137,7 +137,9 @@ object SparkEntry {
     "stream_sessionize" -> (graft.streaming.Sessionize.streaming _),
     "q33_merge_upsert" -> (Relational.q33MergeUpsert _),
     "doc_snapshot_diff" -> ((s: SparkSession, d: String) => TextOps.snapshotDiff(s, d)),
-    "layout_zorder" -> ((s: SparkSession, d: String) => Layout.zorderLineitem(s, d))
+    "layout_zorder" -> ((s: SparkSession, d: String) => Layout.zorderLineitem(s, d)),
+    "stream_merge_upsert" -> (StreamOps.streamMergeUpsert _),
+    "text_redact_pii" -> ((s: SparkSession, d: String) => TextOps.redactPii(s, d))
   )
 
   /** DuckDB shingle CTE bodies shared by the near-dup and cluster oracles
@@ -651,6 +653,32 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY user_id, event_type
         |                            ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events) WHERE rn = 1""".stripMargin,
+    // streaming CDC materialized view drains to exactly the batch
+    // compaction → same oracle as q33_merge_upsert
+    "stream_merge_upsert" ->
+      """SELECT user_id, event_type, last_ts, last_event_id, last_value, n_versions FROM (
+        |  SELECT user_id, event_type, ts AS last_ts, event_id AS last_event_id,
+        |         value AS last_value,
+        |         count(*) OVER (PARTITION BY user_id, event_type) AS n_versions,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+    // PII redaction: the oracle replays the deterministic taint and the
+    // same Java∩RE2-portable regexes with the global flag
+    "text_redact_pii" ->
+      """WITH t AS (SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 2 = 0 THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+        |  CASE WHEN doc_id % 3 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+        |  CASE WHEN doc_id % 5 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1' ELSE '' END
+        |  AS text FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[a-z0-9]+@[a-z0-9]+\.[a-z]+', '<EMAIL>', 'g'),
+        |    '555-[0-9]{4}', '<PHONE>', 'g'),
+        |    '10\.[0-9]+\.0\.1', '<IP>', 'g') AS clean_text,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[a-z0-9]+@[a-z0-9]+\.[a-z]+|555-[0-9]{4}|10\.[0-9]+\.0\.1')) AS INTEGER) AS n_pii
+        |FROM t""".stripMargin,
     // snapshot diff: oracle compares text bytes via a full-outer join; the
     // engine compares xxhash64(text) — equality of content implies equality
     // of statuses (collision probability 2^-64 per common key)

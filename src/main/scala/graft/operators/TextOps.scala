@@ -371,6 +371,49 @@ object TextOps {
           .as("text_clean"))
   }
 
+  /** PII redaction — the inline scrubbing pass every public-web corpus
+    * runs before training (emails, phone numbers, IP addresses → typed
+    * placeholder tokens). The fixture text is synthetic word salad, so
+    * the queries entry first plants deterministic PII keyed on doc_id
+    * (email on ids ≡0 mod 2, phone on ≡0 mod 3, IP on ≡0 mod 5) and the
+    * oracle replays the same planting — redaction behavior is then
+    * exercised on every combination including the no-PII case.
+    */
+  def redactPii(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tainted = docs.select(col("doc_id"),
+      concat(
+        col("text"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" call 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" from 10."), (col("doc_id") % 256).cast("string"), lit(".0.1")))
+          .otherwise(lit(""))).as("text"))
+    redactPiiOf(tainted)
+  }
+
+  /** Core of [[redactPii]] over any (doc_id, text): one narrow codegen
+    * projection — count matches, then three chained regexp_replace passes.
+    * Patterns are kept in the Java∩RE2 common subset so any engine
+    * replays them identically. Zero shuffle; at 100 TB this is a map-only
+    * pass fused into whatever scan precedes it.
+    */
+  def redactPiiOf(docs: DataFrame): DataFrame = {
+    val email = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+    val phone = "555-[0-9]{4}"
+    val ip = "10\\.[0-9]+\\.0\\.1"
+    val any = s"$email|$phone|$ip"
+    docs.select(
+      col("doc_id"),
+      regexp_replace(regexp_replace(regexp_replace(col("text"),
+        email, "<EMAIL>"), phone, "<PHONE>"), ip, "<IP>").as("clean_text"),
+      size(regexp_extract_all(col("text"), lit(any), lit(0))).as("n_pii"))
+  }
+
   /** Corpus snapshot diff — the delta between two crawls/exports of the
     * same corpus, keyed by doc_id and compared by CONTENT: `added`
     * (only in the new snapshot), `removed` (only in the old), `changed`

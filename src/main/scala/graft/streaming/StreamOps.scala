@@ -454,4 +454,43 @@ object StreamOps {
     finally q.stop()
     ss.table(name)
   }
+
+  /** Streaming changelog compaction — the streaming twin of
+    * `q33_merge_upsert` (a CDC materialized view: upserts arrive on a
+    * stream, the view always holds the latest version per key). The same
+    * one-aggregate plan as the batch operator — `max_by` keyed by
+    * (user_id, event_type) with the (ts, event_id) total order — run as a
+    * streaming aggregation in complete mode. State is ONE buffered row
+    * per live key (bounded by key cardinality, the materialized view
+    * itself), never the changelog; partial aggregation still compacts
+    * each micro-batch map-side. Draining the finite fixture ends at
+    * exactly the batch result, so the SAME DuckDB oracle gates it.
+    */
+  def streamMergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val ss = streamingSession(s)
+    val path = s"$dir/events.parquet"
+    val schema = ss.read.parquet(path).schema
+    val name = s"graft_stream_${counter.incrementAndGet()}"
+    val stream = ss.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .transform(graft.Tables.normalizeTs)
+      .groupBy("user_id", "event_type")
+      .agg(
+        max_by(struct(col("ts"), col("event_id"), col("value")),
+          struct(col("ts"), col("event_id"))).as("last"),
+        count(lit(1)).as("n_versions"))
+      .select(col("user_id"), col("event_type"),
+        col("last.ts").as("last_ts"),
+        col("last.event_id").as("last_event_id"),
+        col("last.value").as("last_value"),
+        col("n_versions"))
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    ss.table(name)
+  }
 }

@@ -85,6 +85,21 @@ class LayoutSpec extends AnyFunSuite {
     assert(merged.except(direct).isEmpty && direct.except(merged).isEmpty)
   }
 
+  test("pii redaction masks every planted pattern and counts occurrences") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hello bob42@mail.com and 555-1234 from 10.3.0.1 twice bob42@mail.com"),
+      (2L, "no pii here at all"),
+      (3L, "edge 555-12345 has extra digit")) // greedy prefix still matches 555-1234
+      .toDF("doc_id", "text")
+    val got = TextOps.redactPiiOf(docs)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(got(1L)._1 == "hello <EMAIL> and <PHONE> from <IP> twice <EMAIL>")
+    assert(got(1L)._2 == 4)
+    assert(got(2L) == ("no pii here at all", 0))
+    assert(got(3L)._1 == "edge <PHONE>5 has extra digit" && got(3L)._2 == 1)
+  }
+
   test("snapshot diff emits only deltas with correct statuses") {
     import spark.implicits._
     val oldSnap = Seq(

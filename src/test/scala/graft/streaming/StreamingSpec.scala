@@ -173,6 +173,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming merge-upsert view drains to exactly the batch compaction") {
+    val streamed = StreamOps.streamMergeUpsert(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getLong(5))).toSet
+    val batch = graft.operators.Relational.q33MergeUpsert(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getLong(5))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming sessions are a subset of batch sessions; only tail sessions withheld") {
     val batch = Sessionize.batch(spark, sf)
       .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(3))).toSet
