@@ -139,7 +139,8 @@ object SparkEntry {
     "doc_snapshot_diff" -> ((s: SparkSession, d: String) => TextOps.snapshotDiff(s, d)),
     "layout_zorder" -> ((s: SparkSession, d: String) => Layout.zorderLineitem(s, d)),
     "stream_merge_upsert" -> (StreamOps.streamMergeUpsert _),
-    "text_redact_pii" -> ((s: SparkSession, d: String) => TextOps.redactPii(s, d))
+    "text_redact_pii" -> ((s: SparkSession, d: String) => TextOps.redactPii(s, d)),
+    "search_maxsim" -> ((s: SparkSession, d: String) => Similarity.maxSim(s, d))
   )
 
   /** DuckDB shingle CTE bodies shared by the near-dup and cluster oracles
@@ -755,6 +756,28 @@ object SparkEntry {
          |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
          |FROM scored
          |QUALIFY rank <= 5""".stripMargin,
+    // MaxSim: per-query-vector maxes are order-independent; the score is
+    // a fixed left-to-right 4-term sum of round(·,6) values — both
+    // engines replay the identical doubles
+    "search_maxsim" ->
+      s"""$cosineCte,
+         |qd AS (SELECT vec_id // 4 AS query_id, CAST(vec_id % 4 AS INTEGER) AS qpos, e, nrm
+         |       FROM v WHERE vec_id < 8),
+         |cd AS (SELECT vec_id // 4 AS doc_id, e, nrm FROM v WHERE vec_id >= 8),
+         |sc AS (SELECT q.query_id, q.qpos, c.doc_id,
+         |         round(list_sum(list_transform(range(1, len(q.e) + 1), i -> q.e[i] * c.e[i])) / (q.nrm * c.nrm), 6) AS cos
+         |       FROM qd q CROSS JOIN cd c),
+         |px AS (SELECT query_id, doc_id,
+         |         max(CASE WHEN qpos = 0 THEN cos END) AS c0,
+         |         max(CASE WHEN qpos = 1 THEN cos END) AS c1,
+         |         max(CASE WHEN qpos = 2 THEN cos END) AS c2,
+         |         max(CASE WHEN qpos = 3 THEN cos END) AS c3
+         |       FROM sc GROUP BY 1, 2)
+         |SELECT query_id, doc_id AS neighbor_id,
+         |  round(((c0 + c1) + c2) + c3, 6) AS maxsim,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY round(((c0 + c1) + c2) + c3, 6) DESC, doc_id) AS INTEGER) AS rank
+         |FROM px QUALIFY rank <= 5""".stripMargin,
     "emb_label_centroids" ->
       """WITH ex AS (SELECT label, i AS dim_idx, embedding[i]::DOUBLE AS x
         |            FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)),

@@ -598,6 +598,49 @@ object Similarity {
         when(col("bucket") < trainPct, lit("train")).otherwise(lit("test")))
       .select("vec_id", "label", "bucket", "split")
 
+  /** Multi-vector MaxSim retrieval (the late-interaction scoring of
+    * ColBERT, Khattab & Zaharia SIGIR'20): documents and queries are SETS
+    * of vectors (here: consecutive runs of `vecsPerDoc` fixture vectors
+    * form one passage), and score(Q, D) = Σ_{q∈Q} max_{d∈D} cosine(q, d)
+    * — each query vector independently finds its best-matching document
+    * vector, so fine-grained term-level matches survive pooling.
+    *
+    * Plan: query vectors (a handful) broadcast against the corpus scan —
+    * the same single-pass shape as [[bruteForceTopK]], ×|Q| rows into a
+    * two-phase hash aggregate keyed (query_id, doc_id). The per-query-
+    * vector maxes land in FIXED columns (conditional max per position),
+    * and the final score is a static left-to-right sum of those columns —
+    * order-independent maxes plus a fixed-parenthesization sum, so any
+    * engine replays the exact doubles. Top-k via the bounded `graft_topk`
+    * aggregate (no global sort). At scale the corpus side stays
+    * partition-local until the (query_id, doc_id)-keyed aggregate, whose
+    * cardinality is |Q|×|docs| — bound k' per doc with an IVF/LSH probe
+    * upstream exactly as the single-vector family does.
+    */
+  def maxSim(s: SparkSession, dir: String, numQueryDocs: Int = 2,
+             vecsPerDoc: Int = 4, k: Int = 5): DataFrame = {
+    val qVecs = numQueryDocs * vecsPerDoc
+    val e = corpusVectors(s, dir)
+    val q = e.filter(col("vec_id") < qVecs)
+      .select(expr(s"vec_id div $vecsPerDoc").as("query_id"),
+        (col("vec_id") % vecsPerDoc).cast("int").as("qpos"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val scored = e.filter(col("vec_id") >= qVecs)
+      .withColumn("doc_id", expr(s"vec_id div $vecsPerDoc"))
+      .crossJoin(broadcast(q))
+      .select(col("query_id"), col("qpos"), col("doc_id"),
+        round(call_function("graft_dot", col("v"), col("qv")) /
+          (col("nrm") * col("qn")), 6).as("cos"))
+    val maxes = scored.groupBy("query_id", "doc_id")
+      .agg(max(when(col("qpos") === 0, col("cos"))).as("c0"),
+        (1 until vecsPerDoc).map(i =>
+          max(when(col("qpos") === i, col("cos"))).as(s"c$i")): _*)
+    val summed = maxes.select(col("query_id"), col("doc_id").as("neighbor_id"),
+      round((0 until vecsPerDoc).map(i => col(s"c$i")).reduce(_ + _), 6).as("cosine"))
+    CacheLifecycle.materialize(
+      topKPerQuery(s, summed, k).withColumnRenamed("cosine", "maxsim"))
+  }
+
   /** Centroid summary per label — the "coarse quantizer" statistics an IVF
     * index maintains (per-cell counts + mean vector), computed distributed:
     * explode to (label, dim_idx, component), aggregate, reassemble.

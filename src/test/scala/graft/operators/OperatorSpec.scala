@@ -220,6 +220,40 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.groupBy(_._1).forall(_._2.size <= 5))
   }
 
+  test("maxsim replays exactly and rewards term-level matches") {
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0d; var i = 0
+      while (i < math.min(a.length, b.length)) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val nrm = vecs.map { case (id, v) => id -> math.sqrt(dot(v, v)) }.toMap
+    val queries = vecs.filter(_._1 < 8).groupBy(_._1 / 4)
+    val docs = vecs.filter(_._1 >= 8).groupBy(_._1 / 4)
+    val expected = queries.toList.flatMap { case (qid, qvs) =>
+      docs.toList.map { case (did, dvs) =>
+        // per query vector: max rounded cosine over the doc's vectors;
+        // score: fixed left-to-right sum, rounded — as the engine computes
+        val maxes = qvs.sortBy(_._1).map { case (qv_id, qv) =>
+          dvs.map { case (dv_id, dv) =>
+            r6(dot(dv, qv) / (nrm(dv_id) * nrm(qv_id))) }.max
+        }
+        (qid, did, r6(maxes.reduceLeft(_ + _)))
+      }.sortBy { case (_, did, m) => (-m, did) }.take(5).zipWithIndex
+        .map { case ((q, d, m), i) => (q, d, m, i + 1) }
+    }.toSet
+    val got = Similarity.maxSim(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(got === expected)
+    // every score is bounded by |Q| and at least |Q| * min cosine (= -4)
+    assert(got.forall { case (_, _, m, _) => m <= 4.0 + 1e-9 && m >= -4.0 - 1e-9 })
+    assert(got.groupBy(_._1).forall(_._2.size == 5))
+  }
+
   test("quality calibration standardizes within each source") {
     val rows = TextOps.qualityCalibrate(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3),
