@@ -429,13 +429,18 @@ object TextOps {
     * ONE shuffle total for the whole diff. At 100 TB the snapshots are
     * separate partitioned scans and this plan is unchanged.
     */
-  def snapshotDiff(s: SparkSession, dir: String): DataFrame =
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    // raw loads, NOT Tables.documents: its round-robin repartition would
+    // shuffle full text bodies purely for parallelism, while this plan
+    // hashes at the scan and only ever exchanges 16-byte rows
+    val docs = Tables.load(s, dir, "documents")
     snapshotDiffOf(
-      Tables.documents(s, dir).filter(col("doc_id") % 10 < 9),
-      Tables.documents(s, dir).filter(col("doc_id") % 10 > 0)
+      docs.filter(col("doc_id") % 10 < 9),
+      docs.filter(col("doc_id") % 10 > 0)
         .withColumn("text",
           when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [rev2]")))
             .otherwise(col("text"))))
+  }
 
   /** DataFrame-first core of [[snapshotDiff]] over two (doc_id, text)
     * snapshots. Content equality is decided by `xxhash64(text)` — a
