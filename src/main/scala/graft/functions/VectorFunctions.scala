@@ -103,6 +103,20 @@ object VectorFunctions {
     * splitmix64-scrambled value in [-1, 1). Fixed seed → reproducible
     * bucketing/sketching across runs and engines.
     */
+  /** Plane count that holds LSH bucket occupancy near `targetBucketSize`
+    * as the corpus grows: 2^p buckets ≈ n / target. This is THE scaling
+    * lever for every sign-bucketed operator (knn graph, incremental knn,
+    * streaming ANN ingest): with planes fixed, candidate volume grows as
+    * n²/2^p — measured on the ×10 fixture step as a 90× pair blow-up
+    * (sumSq 20.9k → 1.87M, max bucket 26 → 205; tools.BucketBalance).
+    * Re-deriving p from n restores ~linear candidate growth; the floor
+    * keeps small corpora at the well-tested default geometry.
+    */
+  def adaptivePlaneCount(corpusSize: Long, targetBucketSize: Int = 32,
+                         floor: Int = 8): Int =
+    math.max(floor, 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1L, corpusSize / math.max(1, targetBucketSize) - 1)).toInt)
+
   def hyperplanesFlat(numPlanes: Int, dim: Int): Array[Double] = {
     val out = new Array[Double](numPlanes * dim)
     var p = 0

@@ -254,6 +254,42 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.groupBy(_._1).forall(_._2.size == 5))
   }
 
+  test("adaptive plane count restores bounded buckets as the corpus grows") {
+    import graft.functions.VectorFunctions
+    // unit values: the fixture geometries
+    assert(VectorFunctions.adaptivePlaneCount(2000) == 8)    // sf0.1: floor
+    assert(VectorFunctions.adaptivePlaneCount(20000) == 10)  // sf1: 1024 buckets
+    assert(VectorFunctions.adaptivePlaneCount(2000000) == 16)
+    // behavior: on a deterministic pseudo-random corpus, re-derived planes
+    // shrink both the hottest bucket and the candidate-pair volume (sumSq)
+    import spark.implicits._
+    val dim = VectorFunctions.Dim
+    val vecs = (0 until 4096).map { i =>
+      val v = new Array[Float](dim)
+      var z = i.toLong * 0x9E3779B97F4A7C15L + 1
+      var c = 0
+      while (c < dim) {
+        z = z * 6364136223846793005L + 1442695040888963407L
+        v(c) = (z >>> 40).toFloat / (1L << 24).toFloat - 0.5f
+        c += 1
+      }
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    def pairStats(planes: Int): (Long, Long) = {
+      val b = vecs.select(VectorFunctions.bucketKernel(
+          VectorFunctions.hyperplanesFlat(planes, dim), dim)(col("embedding")).as("b"))
+        .groupBy("b").count()
+        .agg(max("count"), sum(col("count") * col("count"))).collect()(0)
+      (b.getLong(0), b.getLong(1))
+    }
+    val (max8, sq8) = pairStats(8)
+    val adaptive = VectorFunctions.adaptivePlaneCount(4096, targetBucketSize = 8)
+    assert(adaptive == 9)
+    val (maxA, sqA) = pairStats(adaptive)
+    assert(maxA < max8, s"hottest bucket did not shrink: $maxA vs $max8")
+    assert(sqA * 3 < sq8 * 2, s"candidate volume did not shrink: $sqA vs $sq8")
+  }
+
   test("quality calibration standardizes within each source") {
     val rows = TextOps.qualityCalibrate(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3),
