@@ -140,7 +140,9 @@ object SparkEntry {
     "layout_zorder" -> ((s: SparkSession, d: String) => Layout.zorderLineitem(s, d)),
     "stream_merge_upsert" -> (StreamOps.streamMergeUpsert _),
     "text_redact_pii" -> ((s: SparkSession, d: String) => TextOps.redactPii(s, d)),
-    "search_maxsim" -> ((s: SparkSession, d: String) => Similarity.maxSim(s, d))
+    "search_maxsim" -> ((s: SparkSession, d: String) => Similarity.maxSim(s, d)),
+    "q34_funnel" -> (Relational.q34Funnel _),
+    "q35_unpivot" -> (Relational.q35Unpivot _)
   )
 
   /** DuckDB shingle CTE bodies shared by the near-dup and cluster oracles
@@ -593,6 +595,36 @@ object SparkEntry {
         |FROM events GROUP BY 1""".stripMargin,
     "q12_topk" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    "q34_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1)
+        |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+        |  CAST(1 + CASE WHEN c.t_click IS NOT NULL THEN 1 ELSE 0 END
+        |         + CASE WHEN p.t_purchase IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+        |    AS stages_reached
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |       LEFT JOIN p ON v.user_id = p.user_id""".stripMargin,
+    // melt of the q11 matrix: spelled as an explicit 5-way stack so the
+    // oracle is engine-portable (DuckDB's UNPIVOT reorders rows)
+    "q35_unpivot" ->
+      """WITH m AS (SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view
+        |  FROM events GROUP BY 1)
+        |SELECT user_id, 'click' AS event_type, click AS cnt FROM m
+        |UNION ALL SELECT user_id, 'error', error FROM m
+        |UNION ALL SELECT user_id, 'purchase', purchase FROM m
+        |UNION ALL SELECT user_id, 'signup', signup FROM m
+        |UNION ALL SELECT user_id, 'view', view FROM m""".stripMargin,
     "q13_offset" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |ORDER BY l_orderkey, l_linenumber LIMIT 500 OFFSET 1000""".stripMargin,

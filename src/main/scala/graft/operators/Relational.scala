@@ -474,6 +474,51 @@ object Relational {
         col("last.value").as("last_value"),
         col("n_versions"))
 
+  /** Ordered-funnel analysis: for every user, the event-time of the first
+    * `view`, the first `click` strictly after it, and the first `purchase`
+    * strictly after that — the conversion-funnel primitive of product
+    * analytics (and, pipeline-side, of ordered data-lineage audits).
+    *
+    * Plan: three chained per-user min-aggregations, each over ONLY its
+    * event-type slice (the filter reaches the scan, so each exchange
+    * carries one stage's rows, and their union is at most one pass over
+    * events). Stage outputs are per-user one-row aggregates — orders of
+    * magnitude smaller than events — which join back by broadcast under
+    * AQE; no windows, no sorts. Stage flags derive from timestamp
+    * nullability.
+    */
+  def q34Funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select("user_id", "event_type", "ts")
+    val t1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t_view"))
+    val t2 = ev.filter(col("event_type") === "click")
+      .join(t1, Seq("user_id"))
+      .filter(col("ts") > col("t_view"))
+      .groupBy("user_id").agg(min("ts").as("t_click"))
+    val t3 = ev.filter(col("event_type") === "purchase")
+      .join(t2, Seq("user_id"))
+      .filter(col("ts") > col("t_click"))
+      .groupBy("user_id").agg(min("ts").as("t_purchase"))
+    t1.join(t2, Seq("user_id"), "left")
+      .join(t3, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+        (lit(1) + when(col("t_click").isNotNull, 1).otherwise(0)
+          + when(col("t_purchase").isNotNull, 1).otherwise(0))
+          .cast("int").as("stages_reached"))
+  }
+
+  /** Unpivot (melt) — the long-form inverse of q11's pivot (A11): the
+    * per-user event-type count matrix flows back to (user_id, event_type,
+    * cnt) rows. `unpivot` is a zero-shuffle row expansion (Expand node) on
+    * top of the pivot's aggregate; round-tripping pivot∘unpivot is the
+    * reshape pair every feature store needs in both directions.
+    */
+  def q35Unpivot(s: SparkSession, dir: String): DataFrame =
+    q11Pivot(s, dir).unpivot(
+      Array(col("user_id")),
+      Array("click", "error", "purchase", "signup", "view").map(col),
+      "event_type", "cnt")
+
   /** Pipeline composition (ny_taxi_ml end-to-end ETL shape): filter → feature
     * engineering → threshold split (P9) → per-split aggregate, re-joined.
     * Exercises caching-free recompute of a shared subplan.

@@ -254,6 +254,40 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.groupBy(_._1).forall(_._2.size == 5))
   }
 
+  test("funnel stages are strictly ordered and flags match timestamp presence") {
+    val rows = Relational.q34Funnel(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val tv = r.getTimestamp(1)
+      val tc = if (r.isNullAt(2)) null else r.getTimestamp(2)
+      val tp = if (r.isNullAt(3)) null else r.getTimestamp(3)
+      val stages = r.getInt(4)
+      assert(tv != null)
+      if (tp != null) assert(tc != null, "purchase stage requires click stage")
+      if (tc != null) assert(tv.before(tc))
+      if (tp != null) assert(tc.before(tp))
+      assert(stages == 1 + (if (tc != null) 1 else 0) + (if (tp != null) 1 else 0))
+    }
+    // at least one user converts fully on the fixture (every sf0.001
+    // view-user happens to convert; partial funnels are exercised above
+    // whenever timestamps are absent, and at sf0.01+ by the oracle gate)
+    assert(rows.exists(_.getInt(4) == 3))
+  }
+
+  test("unpivot round-trips the pivot back to long form") {
+    import spark.implicits._
+    val melted = Relational.q35Unpivot(spark, sf)
+      .collect().map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+    // direct long-form counts; melted zeros appear for absent combos
+    val direct = graft.Tables.events(spark, sf)
+      .groupBy("user_id", "event_type").count()
+      .collect().map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+    direct.foreach { case (k, v) => assert(melted(k) == v, s"$k") }
+    melted.foreach { case (k, v) => if (!direct.contains(k)) assert(v == 0L, s"$k") }
+    val users = direct.keySet.map(_._1).size
+    assert(melted.size == users * 5)
+  }
+
   test("adaptive plane count restores bounded buckets as the corpus grows") {
     import graft.functions.VectorFunctions
     // unit values: the fixture geometries

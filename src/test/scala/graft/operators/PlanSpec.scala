@@ -246,6 +246,25 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p.take(3000))
   }
 
+  test("funnel pushes stage filters to the scan; no window, no nested loop") {
+    val p = planOf(Relational.q34Funnel(spark, sf))
+    assert(!p.contains("Window") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    // each stage scans only its slice: the event_type filter is pushed
+    assert(p.contains("EqualTo(event_type,view)") ||
+      p.contains("EqualTo(event_type, view)"), p.take(3000))
+  }
+
+  test("unpivot is a zero-extra-shuffle row expansion over the pivot aggregate") {
+    val pivotOnly = "Exchange hashpartitioning".r
+      .findAllIn(planOf(Relational.q11Pivot(spark, sf))).size
+    val p = planOf(Relational.q35Unpivot(spark, sf))
+    // the melt adds no exchange beyond what the pivot itself plans
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === pivotOnly,
+      p.take(3000))
+    assert(p.contains("Expand"), p.take(3000))
+  }
+
   test("z-order key is a zero-exchange narrow projection") {
     val p = planOf(Layout.zorderLineitem(spark, sf))
     assert(!p.contains("Exchange"), p.take(3000))
