@@ -71,21 +71,38 @@ object Bench {
         .queryName("graft_warmup_stream").start()
       q.processAllAvailable(); q.stop()
     }
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
-      catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    // SPARK_GRAFT_BENCH_SWEEPS=N (default 1): repeat the WHOLE suite N
+    // times and keep each query's median. Sweeping whole suites (with the
+    // family caches released between sweeps) preserves in-suite semantics
+    // — first-toucher attribution, shared-intermediate reuse — where
+    // per-query repetition would measure warm memoized state instead.
+    // The driver runs the default single sweep.
+    val sweeps = sys.env.get("SPARK_GRAFT_BENCH_SWEEPS").map(_.toInt).getOrElse(1)
+    val sweepResults = (1 to sweeps).map { _ =>
+      val r = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).count()
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        name -> (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      // drop memoized pairs + family-shared corpus intermediates so the
+      // next sweep pays the builds again (and the JVM exits clean)
+      graft.operators.Dedup.releasePairs()
+      r
     }
-    graft.operators.Dedup.releasePairs() // drop memoized pairs + family-shared corpus intermediates
+    val results = sweepResults.head.map(_._1).map { name =>
+      val samples = sweepResults.map(_.find(_._1 == name).get._2).sorted
+      name -> samples(samples.length / 2)
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val sweepNote = if (sweeps > 1) s""","sweeps":$sweeps""" else ""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$sweepNote}"""
     println(json)
     // The driver captures only a tail of stdout, which can truncate the
     // per-query map — always persist the complete record to a repo file too.
