@@ -142,7 +142,9 @@ object SparkEntry {
     "text_redact_pii" -> ((s: SparkSession, d: String) => TextOps.redactPii(s, d)),
     "search_maxsim" -> ((s: SparkSession, d: String) => Similarity.maxSim(s, d)),
     "q34_funnel" -> (Relational.q34Funnel _),
-    "q35_unpivot" -> (Relational.q35Unpivot _)
+    "q35_unpivot" -> (Relational.q35Unpivot _),
+    "pipeline_curate_incremental" -> ((s: SparkSession, d: String) =>
+      TextOps.curateIncremental(s, d))
   )
 
   /** DuckDB shingle CTE bodies shared by the near-dup and cluster oracles
@@ -712,6 +714,30 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text,
         |    '[a-z0-9]+@[a-z0-9]+\.[a-z]+|555-[0-9]{4}|10\.[0-9]+\.0\.1')) AS INTEGER) AS n_pii
         |FROM t""".stripMargin,
+    // incremental curation: quality gate + eval-shingle contamination +
+    // incremental near-dup rejection, each CTE identical to its
+    // stand-alone oracle; admission is the conjunction
+    "pipeline_curate_incremental" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |q AS (SELECT d.doc_id, d.source, d.lang, CAST(len(w.w) AS INTEGER) AS n_tokens
+        |      FROM documents d JOIN w ON d.doc_id = w.doc_id
+        |      WHERE d.doc_id % 2 = 1 AND len(w.w) >= 20
+        |        AND len(list_distinct(w.w)) / CAST(len(w.w) AS DOUBLE) >= 0.3),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+        |       FROM w, UNNEST(range(1, len(w)-1)) AS t(i) WHERE len(w) >= 3),
+        |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 10 = 0),
+        |cont AS (SELECT s.doc_id FROM sh s JOIN ev USING (sh)
+        |         GROUP BY 1 HAVING count(*) >= 5),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS id_new, b.doc_id AS id_old, count(*) AS c
+        |          FROM sh a JOIN sh b ON a.sh = b.sh
+        |          WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0 GROUP BY 1, 2),
+        |dup AS (SELECT DISTINCT id_new FROM inter
+        |        JOIN sizes sa ON id_new = sa.doc_id JOIN sizes sb ON id_old = sb.doc_id
+        |        WHERE round(c / (sa.n + sb.n - c), 6) >= 0.5)
+        |SELECT q.doc_id, q.source, q.lang, q.n_tokens FROM q
+        |WHERE NOT EXISTS (SELECT 1 FROM cont WHERE cont.doc_id = q.doc_id)
+        |  AND NOT EXISTS (SELECT 1 FROM dup WHERE dup.id_new = q.doc_id)""".stripMargin,
     // snapshot diff: oracle compares text bytes via a full-outer join; the
     // engine compares xxhash64(text) — equality of content implies equality
     // of statuses (collision probability 2^-64 per common key)

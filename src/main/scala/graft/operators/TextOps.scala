@@ -679,6 +679,43 @@ object TextOps {
         round(col("nrm"), 6).as("emb_norm"))
   }
 
+  /** Incremental curation — the production ingest loop: a NEW batch of
+    * documents (odd doc_id in the fixture split) flows through the full
+    * admission chain against the EXISTING corpus state (even doc_id):
+    * quality gate → decontamination against the eval slice → near-dup
+    * rejection against the corpus (the incremental new×old pair set,
+    * family-shared with the batch dedup pipeline) → accepted manifest.
+    * This is the shape every continuously-crawling pipeline runs per
+    * ingest cycle: work is batch-proportional (candidates are new×old
+    * only; the eval dictionary is a broadcast), never corpus-quadratic.
+    *
+    * Contamination here is thresholded (≥ `minShared` shared 3-grams)
+    * rather than any-overlap: high-frequency n-grams collide by chance,
+    * and real decontamination rules count overlapping grams for exactly
+    * this reason — the fixture's small vocabulary makes the difference
+    * vivid (any-overlap rejects ~99% of the batch; the threshold keeps
+    * chance collisions and rejects genuine overlap).
+    */
+  def curateIncremental(s: SparkSession, dir: String,
+                        evalMod: Int = 10, minShared: Int = 5): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val t = tokens(col("text"))
+    val newBatch = docs.filter(col("doc_id") % 2 === 1)
+    val quality = newBatch.select(col("doc_id"), col("source"), col("lang"),
+        size(t).as("n_tokens"),
+        (size(array_distinct(t)) / size(t).cast("double")).as("distinct_ratio"))
+      .filter(col("n_tokens") >= 20 && col("distinct_ratio") >= 0.3)
+    val contaminated = decontaminateOf(
+        newBatch, docs.filter(col("doc_id") % evalMod === 0), 3)
+      .filter(col("n_shared") >= minShared).select("doc_id")
+    val nearDup = Dedup.incremental(s, dir)
+      .select(col("id_new").as("doc_id")).distinct()
+    quality
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .join(nearDup, Seq("doc_id"), "left_anti")
+      .select("doc_id", "source", "lang", "n_tokens")
+  }
+
   /** Deterministic per-source TOKEN-budget sampling — the form a mixing
     * recipe actually states ("x tokens of source y"): within each source,
     * docs are ranked by the engine-portable hash (a reproducible shuffle)

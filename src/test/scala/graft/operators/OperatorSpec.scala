@@ -254,6 +254,28 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.groupBy(_._1).forall(_._2.size == 5))
   }
 
+  test("incremental curation admits exactly quality ∩ ¬contaminated ∩ ¬near-dup") {
+    val accepted = TextOps.curateIncremental(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // recompose from the stand-alone verified operators
+    val t = graft.functions.TextFunctions.tokens(col("text"))
+    val docs = graft.Tables.documents(spark, sf)
+    val quality = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), size(t).as("n"),
+        (size(array_distinct(t)) / size(t).cast("double")).as("r"))
+      .filter(col("n") >= 20 && col("r") >= 0.3)
+      .collect().map(_.getLong(0)).toSet
+    val contaminated = TextOps.decontaminateOf(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 10 === 0), 3)
+      .filter(col("n_shared") >= 5).collect().map(_.getLong(0)).toSet
+    val nearDup = Dedup.incremental(spark, sf)
+      .select("id_new").collect().map(_.getLong(0)).toSet
+    assert(accepted == quality -- contaminated -- nearDup)
+    assert(accepted.nonEmpty)
+    assert(accepted.forall(_ % 2 == 1), "only new-batch docs are admitted")
+  }
+
   test("funnel stages are strictly ordered and flags match timestamp presence") {
     val rows = Relational.q34Funnel(spark, sf).collect()
     assert(rows.nonEmpty)

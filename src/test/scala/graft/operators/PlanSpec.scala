@@ -16,6 +16,19 @@ class PlanSpec extends AnyFunSuite {
     df.queryExecution.toString
   }
 
+  test("no batch query ever plans an unbroadcast cartesian product") {
+    // global guard: a CartesianProduct (both sides shuffled to every
+    // pairing) is never acceptable at scale; broadcast nested-loop joins
+    // are fine only because their build side is a handful of query rows
+    graft.SparkEntry.queries
+      .filterNot { case (name, _) => name.startsWith("stream_") }
+      .foreach { case (name, fn) =>
+        val p = planOf(fn(spark, sf))
+        assert(!p.contains("CartesianProduct"),
+          s"$name plans a CartesianProduct:\n${p.take(1500)}")
+      }
+  }
+
   test("q07 conjunctive filter reaches the parquet scan as PushedFilters") {
     val p = planOf(Relational.q07FilterConj(spark, sf))
     assert(p.contains("PushedFilters:"), "no pushdown section in scan")
