@@ -445,13 +445,15 @@ object TextOps {
   /** DataFrame-first core of [[snapshotDiff]] over two (doc_id, text)
     * snapshots. Content equality is decided by `xxhash64(text)` — a
     * same-engine comparison on both sides, so a hash collision (2⁻⁶⁴ per
-    * common key) is the only approximation versus byte compare.
+    * common key) is the only approximation versus byte compare. NULL text
+    * coalesces to the empty string BEFORE hashing: a present row with
+    * absent content must read as present (else its NULL hash would
+    * mimic a missing row and flip the status to added/removed).
     */
   def snapshotDiffOf(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
-    val o = oldSnap.select(col("doc_id"), xxhash64(col("text")).as("h"),
-      lit(0).as("side"))
-    val n = newSnap.select(col("doc_id"), xxhash64(col("text")).as("h"),
-      lit(1).as("side"))
+    val h = xxhash64(coalesce(col("text"), lit("")))
+    val o = oldSnap.select(col("doc_id"), h.as("h"), lit(0).as("side"))
+    val n = newSnap.select(col("doc_id"), h.as("h"), lit(1).as("side"))
     o.unionByName(n)
       .groupBy("doc_id")
       .agg(max(when(col("side") === 0, col("h"))).as("h_old"),

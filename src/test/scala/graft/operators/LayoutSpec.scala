@@ -113,6 +113,12 @@ class LayoutSpec extends AnyFunSuite {
     assert(got == Map(1L -> "removed", 3L -> "changed", 5L -> "added"))
     // unchanged keys (2, 4) are absent: the output is delta-sized
     assert(!got.contains(2L) && !got.contains(4L))
+    // NULL text is present-but-empty, never a phantom add/remove
+    val withNulls = TextOps.snapshotDiffOf(
+      Seq((1L, null: String), (2L, "x")).toDF("doc_id", "text"),
+      Seq((1L, null: String), (2L, null: String)).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(withNulls == Map(2L -> "changed"), s"got $withNulls")
   }
 }
 
