@@ -714,8 +714,9 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text,
         |    '[a-z0-9]+@[a-z0-9]+\.[a-z]+|555-[0-9]{4}|10\.[0-9]+\.0\.1')) AS INTEGER) AS n_pii
         |FROM t""".stripMargin,
-    // incremental curation: quality gate + eval-shingle contamination +
-    // incremental near-dup rejection, each CTE identical to its
+    // incremental curation: quality gate + eval contamination on 5-gram
+    // shingles (any overlap — gram length is the scale-stable knob) +
+    // 3-gram incremental near-dup rejection; each CTE identical to its
     // stand-alone oracle; admission is the conjunction
     "pipeline_curate_incremental" ->
       """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
@@ -723,11 +724,13 @@ object SparkEntry {
         |      FROM documents d JOIN w ON d.doc_id = w.doc_id
         |      WHERE d.doc_id % 2 = 1 AND len(w.w) >= 20
         |        AND len(list_distinct(w.w)) / CAST(len(w.w) AS DOUBLE) >= 0.3),
+        |sh5 AS (SELECT DISTINCT doc_id,
+        |          w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS sh
+        |        FROM w, UNNEST(range(1, len(w)-3)) AS t(i) WHERE len(w) >= 5),
+        |ev AS (SELECT DISTINCT sh FROM sh5 WHERE doc_id % 10 = 0),
+        |cont AS (SELECT DISTINCT s.doc_id FROM sh5 s JOIN ev USING (sh)),
         |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
         |       FROM w, UNNEST(range(1, len(w)-1)) AS t(i) WHERE len(w) >= 3),
-        |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 10 = 0),
-        |cont AS (SELECT s.doc_id FROM sh s JOIN ev USING (sh)
-        |         GROUP BY 1 HAVING count(*) >= 5),
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
         |inter AS (SELECT a.doc_id AS id_new, b.doc_id AS id_old, count(*) AS c
         |          FROM sh a JOIN sh b ON a.sh = b.sh

@@ -691,15 +691,17 @@ object TextOps {
     * ingest cycle: work is batch-proportional (candidates are new×old
     * only; the eval dictionary is a broadcast), never corpus-quadratic.
     *
-    * Contamination here is thresholded (≥ `minShared` shared 3-grams)
-    * rather than any-overlap: high-frequency n-grams collide by chance,
-    * and real decontamination rules count overlapping grams for exactly
-    * this reason — the fixture's small vocabulary makes the difference
-    * vivid (any-overlap rejects ~99% of the batch; the threshold keeps
-    * chance collisions and rejects genuine overlap).
+    * Contamination uses LONGER shingles (`contamK`-grams, default 5) than
+    * the 3-gram near-dup stage — the GPT-3-style rule (13-grams there):
+    * chance n-gram collision grows with the eval dictionary, so an
+    * any-overlap rule on short grams degenerates as the corpus scales
+    * (measured here: 3-gram any-overlap rejects ~99% of the batch at
+    * sf0.01 and 100% at sf1, while 5-gram overlap stays a stable 2-5%
+    * genuine-copy signal at both scales). Gram length, not an absolute
+    * overlap count, is the scale-stable knob.
     */
   def curateIncremental(s: SparkSession, dir: String,
-                        evalMod: Int = 10, minShared: Int = 5): DataFrame = {
+                        evalMod: Int = 10, contamK: Int = 5): DataFrame = {
     val docs = Tables.documents(s, dir)
     val t = tokens(col("text"))
     val newBatch = docs.filter(col("doc_id") % 2 === 1)
@@ -708,8 +710,8 @@ object TextOps {
         (size(array_distinct(t)) / size(t).cast("double")).as("distinct_ratio"))
       .filter(col("n_tokens") >= 20 && col("distinct_ratio") >= 0.3)
     val contaminated = decontaminateOf(
-        newBatch, docs.filter(col("doc_id") % evalMod === 0), 3)
-      .filter(col("n_shared") >= minShared).select("doc_id")
+        newBatch, docs.filter(col("doc_id") % evalMod === 0), contamK)
+      .filter(col("contaminated")).select("doc_id")
     val nearDup = Dedup.incremental(s, dir)
       .select(col("id_new").as("doc_id")).distinct()
     quality

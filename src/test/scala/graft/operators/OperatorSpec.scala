@@ -267,8 +267,8 @@ class OperatorSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     val contaminated = TextOps.decontaminateOf(
         docs.filter(col("doc_id") % 2 === 1),
-        docs.filter(col("doc_id") % 10 === 0), 3)
-      .filter(col("n_shared") >= 5).collect().map(_.getLong(0)).toSet
+        docs.filter(col("doc_id") % 10 === 0), 5)
+      .filter(col("contaminated")).collect().map(_.getLong(0)).toSet
     val nearDup = Dedup.incremental(spark, sf)
       .select("id_new").collect().map(_.getLong(0)).toSet
     assert(accepted == quality -- contaminated -- nearDup)
