@@ -70,7 +70,7 @@ final class NyTaxiBenchmark extends BaseBenchmark {
     * but without ordering or driver-side sorting (scales to any result set).
     */
   private def resultHash(df: DataFrame): Long = {
-    val hashed = df.select(xxhash64(df.columns.map(col): _*).as("h"))
+    val hashed = df.select(xxhash64(df.columns.toIndexedSeq.map(col): _*).as("h"))
     hashed.agg(expr("bit_xor(h)")).collect()(0).getLong(0)
   }
 
@@ -80,7 +80,7 @@ final class NyTaxiBenchmark extends BaseBenchmark {
       .getOrElse(Array.empty[String]).filter(_.matches("trips_x.*\\.csv.*"))
     if (csvs.nonEmpty)
       s.read.schema(NyTaxiSchema.schema).option("header", "false")
-        .csv(csvs.map(f => s"$dir/$f").sorted.take(dfilesNum): _*)
+        .csv(csvs.map(f => s"$dir/$f").sorted.take(dfilesNum).toIndexedSeq: _*)
     else
       // fixture fallback is a single parquet table; dfiles_num caps the
       // file list above, so with one file any value ≥ 1 reads everything

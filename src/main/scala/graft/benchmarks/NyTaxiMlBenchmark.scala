@@ -111,8 +111,8 @@ final class NyTaxiMlBenchmark extends BaseBenchmark {
     if (csvs.nonEmpty) {
       // S3: header + partial schema (rest inferred), names normalized (P4)
       val raw = s.read.option("header", "true").option("inferSchema", "true")
-        .csv(csvs.map(f => s"$dir/$f").sorted: _*)
-      val norm = raw.toDF(raw.columns.map(_.trim.toLowerCase): _*)
+        .csv(csvs.map(f => s"$dir/$f").sorted.toIndexedSeq: _*)
+      val norm = raw.toDF(raw.columns.toIndexedSeq.map(_.trim.toLowerCase): _*)
       norm.withColumnRenamed("tpep_pickup_datetime", "pickup_datetime")
         .withColumnRenamed("tpep_dropoff_datetime", "dropoff_datetime")
     } else {

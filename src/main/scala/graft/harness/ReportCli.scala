@@ -116,7 +116,7 @@ object ReportCli {
       .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3)))
     val perBench = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (bench, rs) =>
       val backends = rs.map(_._2).distinct.sorted
-      val header: Seq[Any] = "backend" +: backends
+      val header: Seq[Any] = "backend" +: backends.toIndexedSeq
       val measurements = rs.map(_._3).distinct.sorted.toSeq
       val body: Seq[Seq[Any]] = measurements.map { m =>
         val byBackend = rs.filter(_._3 == m).map(t => t._2 -> t._4).toMap
