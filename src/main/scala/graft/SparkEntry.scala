@@ -144,7 +144,15 @@ object SparkEntry {
     "q34_funnel" -> (Relational.q34Funnel _),
     "q35_unpivot" -> (Relational.q35Unpivot _),
     "pipeline_curate_incremental" -> ((s: SparkSession, d: String) =>
-      TextOps.curateIncremental(s, d))
+      TextOps.curateIncremental(s, d)),
+    "emb_cluster_topics" -> ((s: SparkSession, d: String) =>
+      Similarity.clusterTopics(s, d)),
+    "emb_outliers" -> ((s: SparkSession, d: String) =>
+      Similarity.labelOutliers(s, d)),
+    "text_ngram_novelty" -> ((s: SparkSession, d: String) =>
+      TextOps.ngramNovelty(s, d)),
+    "q36_robust_stats" -> (Relational.q36RobustStats _),
+    "stream_curate" -> (StreamOps.streamCurate _)
   )
 
   /** DuckDB shingle CTE bodies shared by the near-dup and cluster oracles
@@ -1341,6 +1349,74 @@ object SparkEntry {
         |  (PARTITION BY user_id ORDER BY ts, value ROWS UNBOUNDED PRECEDING) AS sid FROM o)
         |SELECT user_id, min(ts) AS session_start, max(ts) AS last_ts,
         |  count(*) AS n_events, round(sum(value), 2) AS sum_v
-        |FROM s GROUP BY user_id, sid""".stripMargin
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+    // seed-point cell assignment (annIvfOracle's technique) joined to the
+    // documents' term explosion; count ranking is pure-integer so the
+    // per-cell top-k replays exactly
+    "emb_cluster_topics" ->
+      s"""$cosineCte,
+         |c AS (SELECT vec_id AS cell, e AS ce FROM v WHERE vec_id < 16),
+         |d AS (SELECT v.vec_id, c.cell,
+         |  list_sum(list_transform(range(1, ${graft.functions.VectorFunctions.Dim + 1}), i -> (v.e[i] - c.ce[i]) * (v.e[i] - c.ce[i]))) AS dist
+         |  FROM v, c),
+         |a AS (SELECT vec_id, cell FROM d
+         |      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1),
+         |tok AS (SELECT a.cell, unnest(regexp_split_to_array(trim(lower(doc.text)), '\\s+')) AS term
+         |        FROM documents doc JOIN a ON a.vec_id = doc.doc_id),
+         |cnts AS (SELECT cell, term, count(*) AS cnt FROM tok
+         |         WHERE length(term) > 0 GROUP BY 1, 2)
+         |SELECT cell, term, cnt,
+         |  CAST(row_number() OVER (PARTITION BY cell ORDER BY cnt DESC, term) AS INTEGER) AS rank
+         |FROM cnts
+         |QUALIFY rank <= 5""".stripMargin,
+    // label means over the exploded components, per-vector squared-L2
+    // distance, ranking on the ROUNDED distance with vec_id tie-break
+    "emb_outliers" ->
+      """WITH ex AS (SELECT vec_id, label, i AS dim_idx, embedding[i]::DOUBLE AS x
+        |            FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)),
+        |m AS (SELECT label, dim_idx, avg(x) AS mean_x FROM ex GROUP BY 1, 2),
+        |d AS (SELECT vec_id, ex.label,
+        |        round(sum((x - mean_x) * (x - mean_x)), 6) AS dist
+        |      FROM ex JOIN m USING (label, dim_idx) GROUP BY 1, 2)
+        |SELECT vec_id, label, dist,
+        |  CAST(row_number() OVER (PARTITION BY label ORDER BY dist DESC, vec_id) AS INTEGER) AS rank
+        |FROM d
+        |QUALIFY rank <= 3""".stripMargin,
+    // distinct 3-gram shingles (the near-dup family's sh CTE) with a
+    // shingle-keyed count window as the document frequency
+    "text_ngram_novelty" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+        |       FROM w, UNNEST(range(1, len(w)-1)) AS t(i) WHERE len(w) >= 3),
+        |df AS (SELECT doc_id, count(*) OVER (PARTITION BY sh) AS df FROM sh)
+        |SELECT doc_id, count(*) AS n_shingles,
+        |  count(*) FILTER (WHERE df = 1) AS n_unique,
+        |  round(count(*) FILTER (WHERE df = 1) / count(*), 6) AS novelty
+        |FROM df GROUP BY 1""".stripMargin,
+    "q36_robust_stats" ->
+      """WITH med AS (SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med,
+        |             count(*) AS n_rows FROM lineitem GROUP BY 1),
+        |mad AS (SELECT li.l_returnflag,
+        |          quantile_cont(abs(l_quantity - med), 0.5) AS mad
+        |        FROM lineitem li JOIN med USING (l_returnflag) GROUP BY 1),
+        |md AS (SELECT l_returnflag, l_linestatus AS mode_status FROM (
+        |         SELECT l_returnflag, l_linestatus, count(*) AS n
+        |         FROM lineitem GROUP BY 1, 2)
+        |       QUALIFY row_number() OVER (PARTITION BY l_returnflag
+        |                                  ORDER BY n DESC, l_linestatus) = 1)
+        |SELECT med.l_returnflag, round(med, 6) AS median_qty,
+        |  round(mad, 6) AS mad_qty, mode_status, n_rows
+        |FROM med JOIN mad USING (l_returnflag) JOIN md USING (l_returnflag)""".stripMargin,
+    // quality filter then distinct surviving (fp, lang, n_tokens) — the
+    // arrival-order-free projection of the streaming curation state
+    "stream_curate" ->
+      """WITH f AS (SELECT lang,
+        |  md5(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS fp,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+        |  len(list_distinct(regexp_split_to_array(trim(text), '\s+')))::DOUBLE
+        |    / len(regexp_split_to_array(trim(text), '\s+')) AS distinct_ratio
+        |  FROM documents)
+        |SELECT DISTINCT fp, lang, n_tokens
+        |FROM f WHERE n_tokens >= 20 AND distinct_ratio >= 0.3""".stripMargin
   )
 }

@@ -535,4 +535,41 @@ object Relational {
       .agg(count(lit(1)).as("n_test"), round(avg("value"), 4).as("avg_test"))
     t.join(v, Seq("event_type"), "full_outer")
   }
+
+  /** Robust per-group statistics — exact median, median absolute
+    * deviation (the robust dispersion used for outlier fences where
+    * stddev is skew-fragile), and the categorical mode: the three
+    * estimators a data-quality pass computes per segment. MAD is the
+    * genuinely two-pass shape: the per-group median broadcasts back onto
+    * the scan and a SECOND exact percentile runs over |x − median|.
+    *
+    * Distributed shape: exact percentiles are sort-based per-group
+    * aggregates (the at-scale lever is q20's approx sketches; this
+    * operator is the exact gold standard they're validated against);
+    * group count is tiny (return flags), so both passes are two-phase
+    * aggregates with no window over data rows. The mode is a
+    * (group, value) pre-aggregate — corpus-sized input compacted
+    * map-side — topped by a per-group row_number on counts with a
+    * lexicographic tie-break both engines replay.
+    */
+  def q36RobustStats(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val med = li.groupBy("l_returnflag")
+      .agg(expr("percentile(l_quantity, 0.5D)").as("med"),
+        count(lit(1)).as("n_rows"))
+    val mad = li.join(broadcast(med.select(col("l_returnflag"), col("med"))),
+        Seq("l_returnflag"))
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(abs(l_quantity - med), 0.5D)").as("mad"))
+    val mode = li.groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("l_returnflag")
+          .orderBy(col("n").desc, col("l_linestatus"))))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("l_linestatus").as("mode_status"))
+    med.join(mad, Seq("l_returnflag")).join(mode, Seq("l_returnflag"))
+      .select(col("l_returnflag"), round(col("med"), 6).as("median_qty"),
+        round(col("mad"), 6).as("mad_qty"), col("mode_status"), col("n_rows"))
+  }
 }

@@ -657,4 +657,68 @@ object Similarity {
         max("n").as("n_vectors"),
         round(sqrt(sum(col("mean_x") * col("mean_x"))), 6).as("centroid_norm"))
   }
+
+  /** Per-cluster topic terms — the corpus-cartography op of a curation
+    * pipeline ("what is IN each embedding cluster?", the summary step of
+    * SemDeDup/cluster-balance workflows): every vector is assigned to a
+    * cell of the deterministic seed-point quantizer [[annIvf]] already
+    * uses, cells join their documents (the fixture pairs vec_id = doc_id),
+    * and the most frequent terms per cell label the cluster.
+    *
+    * Distributed shape: one full-pass compiled assignment kernel inside
+    * the scan (no shuffle), one id-equi-join docs↔cells (co-partitioned
+    * at scale — both sides key on the document id), explode to terms,
+    * two-phase hash aggregate on (cell, term), and a per-cell top-k
+    * window whose key cardinality is numCells — a handful of groups, so
+    * the window never concentrates the corpus (the per-cell term
+    * dictionaries it ranks are already aggregate-compacted).
+    */
+  def clusterTopics(s: SparkSession, dir: String, numCells: Int = 16,
+                    topTerms: Int = 5): DataFrame = {
+    val e = corpusVectors(s, dir)
+    val centroids: Array[Array[Double]] = e.filter(col("vec_id") < numCells)
+      .orderBy("vec_id").select("v")
+      .collect().map(_.getAs[scala.collection.Seq[Float]](0).toArray.map(_.toDouble))
+    val assigned = e
+      .withColumn("cell", nearestCellKernel(centroids)(col("v")).cast("long"))
+      .select(col("vec_id").as("doc_id"), col("cell"))
+    val counts = Tables.documents(s, dir)
+      .join(assigned, Seq("doc_id"))
+      .select(col("cell"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("cell", "term").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("cell").orderBy(col("cnt").desc, col("term"))
+    counts.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= topTerms)
+  }
+
+  /** Per-label distance outliers — the mislabel/contamination detector of
+    * an embedding pipeline: the farthest members of each label's cluster
+    * are exactly the candidates a curation pass re-inspects (wrong label,
+    * noise vector, adversarial insert). Distance is squared L2 to the
+    * label's mean vector.
+    *
+    * Distributed shape: label means via one two-phase hash aggregate over
+    * the exploded components (labels × dims rows — tiny), broadcast back
+    * onto the exploded scan (the fact side never shuffles for the join),
+    * per-vector distance via a second (vec_id, label)-keyed aggregate,
+    * then a per-label top-k window ranking on the ROUNDED distance with a
+    * vec_id tie-break so both engines pick identical rows. Window key
+    * cardinality = labels; each group holds aggregate-compacted rows only.
+    */
+  def labelOutliers(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val ex = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(transform(col("embedding"), x => x.cast("double")))
+          .as(Seq("dim_idx", "x")))
+    val means = ex.groupBy("label", "dim_idx").agg(avg("x").as("mean_x"))
+    val dist = ex.join(broadcast(means), Seq("label", "dim_idx"))
+      .groupBy("vec_id", "label")
+      .agg(round(sum((col("x") - col("mean_x")) * (col("x") - col("mean_x"))), 6)
+        .as("dist"))
+    val w = Window.partitionBy("label").orderBy(col("dist").desc, col("vec_id"))
+    dist.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+  }
 }

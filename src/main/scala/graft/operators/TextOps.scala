@@ -1119,4 +1119,34 @@ object TextOps {
         (idHash(concat_ws(":", col("doc_id"), col("copy_idx")))
           % RepeatShards).cast("int"))
   }
+
+  /** Per-document n-gram novelty — "how much of this document exists
+    * nowhere else in the corpus?": the share of a document's distinct
+    * word 3-gram shingles whose corpus document-frequency is 1. Low
+    * novelty flags boilerplate/template documents the near-dup pipelines
+    * may miss (no single partner passes the pair threshold, yet the text
+    * is assembled from corpus-common fragments); high novelty is the
+    * uniqueness signal quality-weighted sampling consumes.
+    *
+    * Distributed shape: the same distinct-shingle explode the near-dup
+    * family uses (compiled shingle kernel, partition-local), ONE count
+    * window keyed on the shingle (shingles are distinct per doc, so the
+    * count IS the document frequency — no join back), then one
+    * doc-keyed aggregate. Two hash shuffles total, no pair join — cost
+    * is linear in corpus token count at any scale.
+    */
+  def ngramNovelty(s: SparkSession, dir: String, k: Int = 3): DataFrame =
+    ngramNoveltyOf(Tables.documents(s, dir), k)
+
+  /** DataFrame-first core of [[ngramNovelty]] over (doc_id, text). */
+  def ngramNoveltyOf(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = docs.select(col("doc_id"), explode(shingles(col("text"), k)).as("sh"))
+    sh.withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("df") === 1, lit(1))).as("n_unique"))
+      .withColumn("novelty",
+        round(col("n_unique") / col("n_shingles").cast("double"), 6))
+  }
 }

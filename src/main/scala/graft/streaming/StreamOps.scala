@@ -436,6 +436,47 @@ object StreamOps {
     graft.operators.Dedup.verifyCandidates(ss, dir, ss.table(name).distinct())
   }
 
+  /** Streaming curation — the ingest-time twin of `pipeline_curate`'s
+    * filter+dedup stages: documents arrive on a stream, a STATELESS
+    * quality projection (token count, distinct-token ratio) drops the
+    * junk in the micro-batch map phase, and the survivors dedup exactly
+    * on their content fingerprint. Emitted rows are functions of the
+    * text alone (fingerprint, token count) plus the lang tag, so the
+    * distinct set is deterministic regardless of arrival order — which
+    * is what lets one batch SQL oracle gate the stream.
+    *
+    * State: one entry per distinct surviving (fp, lang, n_tokens) —
+    * bounded by the DEDUPED corpus, the same bound the batch pipeline's
+    * groupBy carries; the quality filter runs BEFORE the stateful op, so
+    * junk never enters the state store. At production scale the
+    * watermarked `dropDuplicatesWithinWatermark` variant of
+    * [[streamingDedupBounded]] swaps in unchanged.
+    */
+  def streamCurate(s: SparkSession, dir: String): DataFrame = {
+    val ss = streamingSession(s)
+    val path = s"$dir/documents.parquet"
+    val schema = ss.read.parquet(path).schema
+    val name = s"graft_stream_${counter.incrementAndGet()}"
+    val t = graft.functions.TextFunctions.tokens(col("text"))
+    val stream = ss.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .select(col("lang"),
+        graft.functions.TextFunctions.fingerprint(col("text")).as("fp"),
+        size(t).as("n_tokens"),
+        (size(array_distinct(t)) / size(t).cast("double")).as("distinct_ratio"))
+      .filter(col("n_tokens") >= 20 && col("distinct_ratio") >= 0.3)
+      .select("fp", "lang", "n_tokens")
+      .dropDuplicates("fp", "lang", "n_tokens")
+    val q = stream.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    ss.table(name)
+  }
+
   def streamingDedup(s: SparkSession, dir: String): DataFrame = {
     val ss = streamingSession(s)
     val path = s"$dir/documents.parquet"

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.Tables
+import graft.functions.TextFunctions
+
+/** Semantic pins for the round-5 analytics additions: cluster topics,
+  * label outliers, n-gram novelty, robust stats, and the streaming
+  * curation pipeline's batch equality.
+  */
+class AnalyticsOpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("cluster topics: ranks are 1..n per cell, counts non-increasing") {
+    val rows = Similarity.clusterTopics(spark, sf)
+      .orderBy("cell", "rank").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (cell, rs) =>
+      val ranks = rs.map(_.getInt(3)).toSeq
+      assert(ranks == (1 to rs.length), s"cell $cell ranks $ranks")
+      val counts = rs.sortBy(_.getInt(3)).map(_.getLong(2)).toSeq
+      assert(counts == counts.sorted.reverse, s"cell $cell counts not sorted")
+      assert(rs.length <= 5)
+    }
+  }
+
+  test("label outliers: top-3 per label, ranked by descending distance") {
+    val rows = Similarity.labelOutliers(spark, sf).collect()
+    val labels = Tables.embeddings(spark, sf)
+      .select("label").distinct().count()
+    assert(rows.length <= labels * 3)
+    rows.groupBy(_.getInt(1)).foreach { case (label, rs) =>
+      val byRank = rs.sortBy(_.getInt(3))
+      assert(byRank.map(_.getInt(3)).toSeq == (1 to rs.length))
+      val dists = byRank.map(_.getDouble(2)).toSeq
+      assert(dists == dists.sorted.reverse, s"label $label dists not desc")
+      assert(dists.forall(_ >= 0.0))
+    }
+  }
+
+  test("ngram novelty: bounded ratios, and a cloned doc zeroes both twins") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val nov = TextOps.ngramNoveltyOf(docs, 3).collect()
+    assert(nov.nonEmpty)
+    nov.foreach { r =>
+      val (n, u, v) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(u <= n && v >= 0.0 && v <= 1.0, s"doc ${r.getLong(0)}: $n $u $v")
+    }
+    // clone one doc under a fresh id: every shingle of both copies now has
+    // df >= 2, so both twins report novelty 0 while other docs only drop
+    val base = docs.limit(1)
+    val clone = base.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val cloned = TextOps.ngramNoveltyOf(docs.union(clone), 3)
+      .filter(col("doc_id") === base.collect()(0).getLong(0) ||
+        col("doc_id") >= 1000000L)
+      .collect()
+    assert(cloned.length == 2)
+    cloned.foreach(r => assert(r.getDouble(3) == 0.0, s"twin ${r.getLong(0)}"))
+  }
+
+  test("robust stats: MAD and median agree with a hand computation") {
+    import spark.implicits._
+    val rows = Relational.q36RobustStats(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // replay one group driver-side
+    val flag = rows.head.getString(0)
+    val qs = Tables.lineitem(spark, sf)
+      .filter(col("l_returnflag") === flag)
+      .select("l_quantity").as[Double].collect().sorted
+    def med(a: Array[Double]): Double = {
+      val n = a.length
+      if (n % 2 == 1) a(n / 2) else (a(n / 2 - 1) + a(n / 2)) / 2.0
+    }
+    val m = med(qs)
+    val mad = med(qs.map(x => math.abs(x - m)).sorted)
+    val got = rows.find(_.getString(0) == flag).get
+    assert(math.abs(got.getDouble(1) - m) < 1e-6, s"median ${got.getDouble(1)} vs $m")
+    assert(math.abs(got.getDouble(2) - mad) < 1e-6, s"mad ${got.getDouble(2)} vs $mad")
+  }
+
+  test("stream curate equals the batch quality-filter + distinct projection") {
+    val streamed = graft.streaming.StreamOps.streamCurate(spark, sf)
+      .select("fp", "lang", "n_tokens").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val t = TextFunctions.tokens(col("text"))
+    val batch = Tables.documents(spark, sf)
+      .select(col("lang"), TextFunctions.fingerprint(col("text")).as("fp"),
+        size(t).as("n_tokens"),
+        (size(array_distinct(t)) / size(t).cast("double")).as("dr"))
+      .filter(col("n_tokens") >= 20 && col("dr") >= 0.3)
+      .select("fp", "lang", "n_tokens").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+}
