@@ -152,7 +152,9 @@ object SparkEntry {
     "text_ngram_novelty" -> ((s: SparkSession, d: String) =>
       TextOps.ngramNovelty(s, d)),
     "q36_robust_stats" -> (Relational.q36RobustStats _),
-    "stream_curate" -> (StreamOps.streamCurate _)
+    "stream_curate" -> (StreamOps.streamCurate _),
+    "q37_resample" -> (Relational.q37Resample _),
+    "search_mmr" -> ((s: SparkSession, d: String) => Similarity.mmrRerank(s, d))
   )
 
   /** DuckDB shingle CTE bodies shared by the near-dup and cluster oracles
@@ -1417,6 +1419,65 @@ object SparkEntry {
         |    / len(regexp_split_to_array(trim(text), '\s+')) AS distinct_ratio
         |  FROM documents)
         |SELECT DISTINCT fp, lang, n_tokens
-        |FROM f WHERE n_tokens >= 20 AND distinct_ratio >= 0.3""".stripMargin
+        |FROM f WHERE n_tokens >= 20 AND distinct_ratio >= 0.3""".stripMargin,
+    "q37_resample" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |  count(*) AS cnt_day, round(sum(value), 4) AS sum_v
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM events),
+        |spine AS (SELECT event_type, CAST(unnest(generate_series(d0::TIMESTAMP, d1::TIMESTAMP, INTERVAL 1 DAY)) AS DATE) AS day
+        |          FROM (SELECT DISTINCT event_type FROM events), b),
+        |j AS (SELECT s.event_type, s.day, coalesce(d.cnt_day, 0) AS cnt, d.sum_v
+        |      FROM spine s LEFT JOIN daily d ON d.event_type = s.event_type AND d.day = s.day),
+        |w AS (SELECT event_type, day, cnt,
+        |        round(coalesce(sum_v, last_value(sum_v IGNORE NULLS) OVER
+        |          (PARTITION BY event_type ORDER BY day
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), 4) AS sum_v_ff,
+        |        lag(cnt) OVER (PARTITION BY event_type ORDER BY day) AS prev
+        |      FROM j)
+        |SELECT event_type, day, cnt, sum_v_ff,
+        |  CASE WHEN prev IS NULL OR prev = 0 THEN NULL
+        |       ELSE round((cnt - prev) / CAST(prev AS DOUBLE), 6) END AS pct_change
+        |FROM w""".stripMargin,
+    "search_mmr" -> mmrOracle()
   )
+
+  /** The MMR oracle replays the greedy diversity selection as a recursive
+    * CTE: the candidate arm and kArm² pairwise similarities use the exact
+    * rounded cosine chains of the other vector oracles, and each
+    * recursion step picks argmax round(λ·rel − λc·maxsim, 6) with a
+    * doc_id tie-break via a LATERAL top-1 — the same rounded doubles the
+    * driver-side greedy loop compares, so the selected sequence is
+    * bit-identical.
+    */
+  private def mmrOracle(kArm: Int = 20, k: Int = 10): String = {
+    val dim = graft.functions.VectorFunctions.Dim
+    val lam = graft.operators.Similarity.MmrLambda
+    val lamC = graft.operators.Similarity.MmrLambdaC
+    def dot(a: String, b: String) =
+      s"list_sum(list_transform(range(1, ${dim + 1}), i -> $a.e[i] * $b.e[i]))"
+    s"""WITH RECURSIVE ${cosineCte.stripPrefix("WITH ")},
+       |scored AS (SELECT n.vec_id AS doc_id,
+       |    round(${dot("q", "n")} / (q.nrm * n.nrm), 6) AS rel
+       |  FROM v q JOIN v n ON q.vec_id = 0 AND n.vec_id <> 0),
+       |cand AS (SELECT doc_id, rel FROM scored
+       |         QUALIFY row_number() OVER (ORDER BY rel DESC, doc_id) <= $kArm),
+       |pairs AS (SELECT a.vec_id AS ida, b.vec_id AS idb,
+       |    round(${dot("a", "b")} / (a.nrm * b.nrm), 6) AS sim
+       |  FROM v a JOIN v b ON a.vec_id <> b.vec_id
+       |  WHERE a.vec_id IN (SELECT doc_id FROM cand) AND b.vec_id IN (SELECT doc_id FROM cand)),
+       |r AS (
+       |  (SELECT 1 AS step, [d.doc_id] AS picked, d.doc_id, round($lam * d.rel, 6) AS mmr
+       |   FROM cand d ORDER BY mmr DESC, d.doc_id LIMIT 1)
+       |  UNION ALL
+       |  SELECT r.step + 1, list_append(r.picked, nxt.doc_id), nxt.doc_id, nxt.mmr
+       |  FROM r, LATERAL (
+       |    SELECT c.doc_id,
+       |      round($lam * c.rel - $lamC * coalesce((SELECT max(p.sim) FROM pairs p
+       |          WHERE p.ida = c.doc_id AND list_contains(r.picked, p.idb)), 0.0), 6) AS mmr
+       |    FROM cand c WHERE NOT list_contains(r.picked, c.doc_id)
+       |    ORDER BY mmr DESC, c.doc_id LIMIT 1) nxt
+       |  WHERE r.step < $k)
+       |SELECT step AS rank, doc_id, mmr FROM r""".stripMargin
+  }
 }

@@ -572,4 +572,43 @@ object Relational {
       .select(col("l_returnflag"), round(col("med"), 6).as("median_qty"),
         round(col("mad"), 6).as("mad_qty"), col("mode_status"), col("n_rows"))
   }
+
+  /** Calendar resample with gap fill — the pandas `resample`/`asfreq`
+    * staple (the reference suite is a pandas-API benchmark; regularizing
+    * an event stream to a daily grid is the canonical prep for any
+    * time-series feature): per-type daily aggregates land on a complete
+    * date spine, missing days take count 0, the daily sum forward-fills
+    * from the last observed day, and a day-over-day percent change rides
+    * on top.
+    *
+    * Distributed shape: the daily aggregate is a two-phase (type, day)
+    * hash agg over the scan; the spine is types × generated day sequence
+    * (tiny — one aggregate row cross-joined to the distinct types) LEFT
+    * joined to the aggregate (broadcast: the spine is calendar-sized).
+    * The forward-fill and lag windows partition by type over the SPINE
+    * (types × days rows, aggregate-compacted) — never over raw events,
+    * so no window touches corpus-scale data.
+    */
+  def q37Resample(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val daily = ev
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt_day"), round(sum("value"), 4).as("sum_v"))
+    val bounds = ev.agg(to_date(min("ts")).as("d0"), to_date(max("ts")).as("d1"))
+    val spine = ev.select("event_type").distinct()
+      .crossJoin(bounds)
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    spine.join(daily, Seq("event_type", "day"), "left")
+      .withColumn("cnt", coalesce(col("cnt_day"), lit(0L)))
+      .withColumn("sum_v_ff", round(coalesce(col("sum_v"),
+        last("sum_v", ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, -1))), 4))
+      .withColumn("prev", lag("cnt", 1).over(w))
+      .withColumn("pct_change",
+        when(col("prev").isNull || col("prev") === 0, lit(null))
+          .otherwise(round((col("cnt") - col("prev")) / col("prev").cast("double"), 6)))
+      .select("event_type", "day", "cnt", "sum_v_ff", "pct_change")
+  }
 }

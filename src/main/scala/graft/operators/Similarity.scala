@@ -721,4 +721,71 @@ object Similarity {
     dist.withColumn("rank", row_number().over(w).cast("int"))
       .filter(col("rank") <= k)
   }
+
+  /** MMR trade-off weights (Carbonell & Goldstein, SIGIR'98): score =
+    * MmrLambda·relevance − MmrLambdaC·max-similarity-to-selected. Held as
+    * named constants so the SQL oracle interpolates the IDENTICAL double
+    * literals (1 − 0.7 in binary is 0.30000000000000004, not 0.3 — the
+    * complement must be its own constant, never derived).
+    */
+  val MmrLambda = 0.7
+  val MmrLambdaC = 0.3
+
+  /** Maximal-marginal-relevance re-ranking — the diversity pass a
+    * retrieval/curation pipeline runs over an ANN arm's candidates so the
+    * final k results aren't k copies of the same neighborhood: greedily
+    * pick argmax λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s).
+    *
+    * Distributed shape: the candidate arm is the single-scan broadcast
+    * cosine pass of [[bruteForceTopK]] topped by the bounded `graft_topk`
+    * aggregate (no global sort); pairwise candidate similarities are one
+    * kArm²-row join over the kArm-filtered scan. Only the greedy selection
+    * itself — inherently sequential, O(k·kArm) over index-metadata-sized
+    * input — runs on the driver, the same boundary as [[annIvf]]'s probe
+    * ranking. All scores are computed from the ROUNDED rel/sim doubles
+    * with HALF_UP rounding, so the recursive-CTE SQL oracle replays the
+    * selection bit-for-bit. At scale kArm stays O(100) per query whatever
+    * the corpus size; the arm upstream swaps for the IVF/LSH probe.
+    */
+  def mmrRerank(s: SparkSession, dir: String, kArm: Int = 20,
+                k: Int = 10): DataFrame = {
+    val e = corpusVectors(s, dir)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("nrm").as("qn"))
+    val scored = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .select(lit(0L).as("query_id"), col("vec_id").as("neighbor_id"),
+        round(call_function("graft_dot", col("v"), col("qv")) /
+          (col("nrm") * col("qn")), 6).as("cosine"))
+    val cand = topKPerQuery(s, scored, kArm)
+      .select(col("neighbor_id").as("doc_id"), col("cosine").as("rel"))
+    val candRows = cand.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val ids = candRows.map(_._1)
+    val cs = e.filter(col("vec_id").isin(ids: _*))
+    val sims = cs.select(col("vec_id").as("ida"), col("v").as("va"), col("nrm").as("na"))
+      .join(cs.select(col("vec_id").as("idb"), col("v").as("vb"), col("nrm").as("nb")),
+        col("ida") =!= col("idb"))
+      .select(col("ida"), col("idb"),
+        round(call_function("graft_dot", col("va"), col("vb")) /
+          (col("na") * col("nb")), 6).as("sim"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // greedy selection on the rounded doubles (HALF_UP = Spark/DuckDB round)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double)]
+    val remaining = scala.collection.mutable.LinkedHashMap(candRows: _*)
+    var step = 1
+    while (step <= k && remaining.nonEmpty) {
+      val best = remaining.map { case (id, rel) =>
+        val maxSim =
+          if (picked.isEmpty) 0.0
+          else picked.map(p => sims((id, p._2))).max
+        (id, r6(MmrLambda * rel - MmrLambdaC * maxSim))
+      }.minBy { case (id, mmr) => (-mmr, id) }
+      picked += ((step, best._1, best._2))
+      remaining.remove(best._1)
+      step += 1
+    }
+    import s.implicits._
+    picked.toSeq.toDF("rank", "doc_id", "mmr")
+  }
 }

@@ -80,6 +80,39 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(math.abs(got.getDouble(2) - mad) < 1e-6, s"mad ${got.getDouble(2)} vs $mad")
   }
 
+  test("resample: complete daily spine, counts reconcile, gaps fill") {
+    val rows = Relational.q37Resample(spark, sf).collect()
+    val types = Tables.events(spark, sf).select("event_type").distinct().count()
+    assert(rows.length % types == 0, "spine is not a full grid")
+    val perType = rows.groupBy(_.getString(0))
+    assert(perType.size == types)
+    // counts on the spine reconcile with the raw table
+    val total = Tables.events(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum == total)
+    // pct_change row-over-row consistency: cnt(prev) > 0 implies defined
+    perType.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getDate(1).toString)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          if (a.getLong(2) > 0)
+            assert(!b.isNullAt(4), s"missing pct_change after nonzero day")
+        case _ =>
+      }
+    }
+  }
+
+  test("mmr: k unique picks from the arm, led by the top-relevance doc") {
+    val mmr = Similarity.mmrRerank(spark, sf).collect()
+    assert(mmr.length == 10)
+    val ids = mmr.map(_.getLong(1))
+    assert(ids.distinct.length == ids.length, "duplicate picks")
+    assert(mmr.map(_.getInt(0)).toSeq == (1 to 10))
+    // rank 1 is the pure-relevance argmax (maxsim term is zero there)
+    val top = Similarity.bruteForceTopK(spark, sf, numQueries = 1, k = 1)
+      .collect()(0).getLong(1)
+    assert(mmr.find(_.getInt(0) == 1).get.getLong(1) == top)
+  }
+
   test("stream curate equals the batch quality-filter + distinct projection") {
     val streamed = graft.streaming.StreamOps.streamCurate(spark, sf)
       .select("fp", "lang", "n_tokens").collect()
