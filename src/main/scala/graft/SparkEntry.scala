@@ -154,7 +154,8 @@ object SparkEntry {
     "q36_robust_stats" -> (Relational.q36RobustStats _),
     "stream_curate" -> (StreamOps.streamCurate _),
     "q37_resample" -> (Relational.q37Resample _),
-    "search_mmr" -> ((s: SparkSession, d: String) => Similarity.mmrRerank(s, d))
+    "search_mmr" -> ((s: SparkSession, d: String) => Similarity.mmrRerank(s, d)),
+    "q38_histogram" -> ((s: SparkSession, d: String) => Relational.q38Histogram(s, d))
   )
 
   /** DuckDB shingle CTE bodies shared by the near-dup and cluster oracles
@@ -1439,7 +1440,15 @@ object SparkEntry {
         |  CASE WHEN prev IS NULL OR prev = 0 THEN NULL
         |       ELSE round((cnt - prev) / CAST(prev AS DOUBLE), 6) END AS pct_change
         |FROM w""".stripMargin,
-    "search_mmr" -> mmrOracle()
+    "search_mmr" -> mmrOracle(),
+    "q38_histogram" ->
+      """WITH b AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem),
+        |x AS (SELECT l_returnflag,
+        |  LEAST(CAST(floor(((l_extendedprice - lo) * 20.0) / (hi - lo)) AS INTEGER) + 1, 20) AS bucket,
+        |  lo, hi FROM lineitem, b)
+        |SELECT l_returnflag, bucket, count(*) AS cnt,
+        |  round(lo + (bucket - 1) * ((hi - lo) / 20.0), 4) AS bin_lo
+        |FROM x GROUP BY l_returnflag, bucket, lo, hi""".stripMargin
   )
 
   /** The MMR oracle replays the greedy diversity selection as a recursive

@@ -611,4 +611,33 @@ object Relational {
           .otherwise(round((col("cnt") - col("prev")) / col("prev").cast("double"), 6)))
       .select("event_type", "day", "cnt", "sum_v_ff", "pct_change")
   }
+
+  /** Equi-width histogram — the distribution profile a data-quality /
+    * calibration pass computes per segment (and the building block of
+    * approximate quantiles and range-partition planning). Bucket edges
+    * derive from the global min/max; the bucket formula is spelled with
+    * one fixed operator grouping (((x − lo) · nb) / (hi − lo), floored,
+    * hi clamped into the last bucket) so any engine replays the same
+    * doubles — width_bucket() builtins vary across engines in edge
+    * handling, so the portable arithmetic IS the contract.
+    *
+    * Distributed shape: one tiny bounds aggregate broadcast onto the
+    * scan, bucket assignment in the map phase, then a two-phase hash agg
+    * on (flag, bucket) — cardinality flags × nb. Two passes over the
+    * data, no window, no sort: the same shape at any scale.
+    */
+  def q38Histogram(s: SparkSession, dir: String, nb: Int = 20): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val bounds = li.agg(min("l_extendedprice").as("lo"),
+      max("l_extendedprice").as("hi"))
+    li.crossJoin(broadcast(bounds))
+      .select(col("l_returnflag"),
+        least(floor(((col("l_extendedprice") - col("lo")) * nb.toDouble) /
+          (col("hi") - col("lo"))).cast("int") + 1, lit(nb)).as("bucket"),
+        col("lo"), col("hi"))
+      .groupBy("l_returnflag", "bucket")
+      .agg(count(lit(1)).as("cnt"),
+        round(first(col("lo")) + (col("bucket") - 1).cast("double") *
+          ((first(col("hi")) - first(col("lo"))) / nb.toDouble), 4).as("bin_lo"))
+  }
 }

@@ -113,6 +113,18 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(mmr.find(_.getInt(0) == 1).get.getLong(1) == top)
   }
 
+  test("histogram: buckets bounded, counts reconcile with the table") {
+    val rows = Relational.q38Histogram(spark, sf).collect()
+    assert(rows.map(_.getInt(1)).forall(b => b >= 1 && b <= 20))
+    assert(rows.map(_.getLong(2)).sum == Tables.lineitem(spark, sf).count())
+    // bin_lo strictly increases with bucket within a flag
+    rows.groupBy(_.getString(0)).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getInt(1))
+      val los = sorted.map(_.getDouble(3)).toSeq
+      assert(los == los.sorted && los.distinct.length == los.length)
+    }
+  }
+
   test("stream curate equals the batch quality-filter + distinct projection") {
     val streamed = graft.streaming.StreamOps.streamCurate(spark, sf)
       .select("fp", "lang", "n_tokens").collect()
