@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, translate, upper}
 
 import graft.operators.{Dedup, Layout, Multimodal, Relational, Similarity, TextOps}
 import graft.streaming.StreamOps
@@ -155,7 +156,16 @@ object SparkEntry {
     "stream_curate" -> (StreamOps.streamCurate _),
     "q37_resample" -> (Relational.q37Resample _),
     "search_mmr" -> ((s: SparkSession, d: String) => Similarity.mmrRerank(s, d)),
-    "q38_histogram" -> ((s: SparkSession, d: String) => Relational.q38Histogram(s, d))
+    "q38_histogram" -> ((s: SparkSession, d: String) => Relational.q38Histogram(s, d)),
+    // accents planted deterministically (translate over the uppercased
+    // text) so the canonicalization has real work to undo; the oracle
+    // replays the plant + the normalization chain
+    "text_normalize" -> ((s: SparkSession, d: String) =>
+      TextOps.normalizeDocs(graft.Tables.documents(s, d)
+        .withColumn("text", translate(upper(col("text")), "AEO", "ÁÉÖ")))),
+    "text_blocklist" -> ((s: SparkSession, d: String) =>
+      TextOps.blocklistFilter(graft.Tables.documents(s, d))),
+    "q39_incremental_rollup" -> (Relational.q39IncrementalRollup(_, _))
   )
 
   /** DuckDB shingle CTE bodies shared by the near-dup and cluster oracles
@@ -1448,7 +1458,35 @@ object SparkEntry {
         |  lo, hi FROM lineitem, b)
         |SELECT l_returnflag, bucket, count(*) AS cnt,
         |  round(lo + (bucket - 1) * ((hi - lo) / 20.0), 4) AS bin_lo
-        |FROM x GROUP BY l_returnflag, bucket, lo, hi""".stripMargin
+        |FROM x GROUP BY l_returnflag, bucket, lo, hi""".stripMargin,
+    // replants the accents, then replays the canonicalization chain —
+    // agreement holds byte-for-byte on precomposed Latin accents
+    "text_normalize" ->
+      """WITH p AS (SELECT doc_id,
+        |  translate(upper(text), 'AEO', 'ÁÉÖ') AS text FROM documents)
+        |SELECT doc_id,
+        |  trim(regexp_replace(lower(strip_accents(nfc_normalize(text))),
+        |       '\s+', ' ', 'g')) AS text_norm,
+        |  CAST(length(trim(regexp_replace(lower(strip_accents(nfc_normalize(text))),
+        |       '\s+', ' ', 'g'))) AS INTEGER) AS n_chars_norm
+        |FROM p""".stripMargin,
+    "text_blocklist" ->
+      """WITH t AS (SELECT doc_id,
+        |  regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
+        |SELECT doc_id, CAST(len(w) AS INTEGER) AS n_tokens,
+        |  CAST(len(list_filter(w, x -> list_contains(['slow','big','junk'], x)))
+        |    AS INTEGER) AS n_flagged,
+        |  CAST(len(list_filter(w, x -> list_contains(['slow','big','junk'], x))) = 0
+        |    AS INTEGER) AS keep
+        |FROM t""".stripMargin,
+    // oracle = FULL recompute; the Spark side merges base+delta partials,
+    // proving the IVM invariant merge(base, delta) ≡ recompute(all)
+    "q39_incremental_rollup" ->
+      """SELECT o_orderstatus, CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |  round(sum(o_totalprice), 2) AS total_price,
+        |  count(*) AS n_orders,
+        |  round(round(sum(o_totalprice), 2) / count(*), 4) AS avg_price
+        |FROM orders GROUP BY 1, 2""".stripMargin
   )
 
   /** The MMR oracle replays the greedy diversity selection as a recursive

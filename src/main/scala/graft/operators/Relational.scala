@@ -626,6 +626,34 @@ object Relational {
     * on (flag, bucket) — cardinality flags × nb. Two passes over the
     * data, no window, no sort: the same shape at any scale.
     */
+  /** Incremental view maintenance — the rollup-merge shape that keeps a
+    * 100 TB materialized aggregate fresh without recompute: yesterday's
+    * stored PARTIAL aggregate (sum, count per key — mergeable state, not
+    * finalized averages) combines with the new delta slice's partial by
+    * key-wise addition; finalizers (avg) run only on the merged state.
+    * Here both partials derive from date slices of the same table and the
+    * oracle is the full recompute — proving merge(base, delta) ≡
+    * recompute(all), the invariant an IVM pipeline relies on. At scale
+    * the base partial is read from the stored aggregate (keys × state
+    * rows, no fact scan), so cost ∝ delta + key cardinality; sums and
+    * counts merge associatively (map-side combinable), which is exactly
+    * why the stored state holds (sum, count) and never avg.
+    */
+  def q39IncrementalRollup(s: SparkSession, dir: String,
+                           cutoff: String = "1997-01-01"): DataFrame = {
+    val o = Tables.orders(s, dir)
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy(col("o_orderstatus"), year(col("o_orderdate")).as("yr"))
+        .agg(sum("o_totalprice").as("s"), count(lit(1)).as("c"))
+    val cut = lit(cutoff).cast("timestamp")
+    val base = partial(o.filter(col("o_orderdate") < cut))
+    val delta = partial(o.filter(col("o_orderdate") >= cut))
+    base.unionByName(delta)
+      .groupBy("o_orderstatus", "yr")
+      .agg(round(sum("s"), 2).as("total_price"), sum("c").as("n_orders"))
+      .withColumn("avg_price", round(col("total_price") / col("n_orders"), 4))
+  }
+
   def q38Histogram(s: SparkSession, dir: String, nb: Int = 20): DataFrame = {
     val li = Tables.lineitem(s, dir)
     val bounds = li.agg(min("l_extendedprice").as("lo"),

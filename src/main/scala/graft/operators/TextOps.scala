@@ -1138,6 +1138,41 @@ object TextOps {
   def ngramNovelty(s: SparkSession, dir: String, k: Int = 3): DataFrame =
     ngramNoveltyOf(Tables.documents(s, dir), k)
 
+  /** Canonicalize document text for dedup/tokenization: accent fold +
+    * case fold + whitespace collapse (graft.functions.TextFunctions
+    * .normalizeUnicode). One zero-shuffle kernel projection per document;
+    * the canonical text feeds [[fingerprints]]/the near-dup family so
+    * byte-different encodings of the same content dedup together.
+    */
+  def normalizeDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        normalizeUnicode(col("text")).as("text_norm"))
+      .withColumn("n_chars_norm", length(col("text_norm")))
+
+  /** Default blocklist for [[blocklistFilter]] — stands in for the
+    * C4-style badwords list; terms chosen to hit the fixture vocabulary.
+    */
+  val Blocklist: Seq[String] = Seq("slow", "big", "junk")
+
+  /** Token-level blocklist filter — the C4 "bad words" curation step:
+    * count blocklisted tokens per document, keep clean documents. The
+    * blocklist rides in the plan as a literal array (effectively
+    * broadcast), and the flag count is a higher-order `filter` over the
+    * token array — a zero-shuffle codegen projection, linear in corpus
+    * tokens at any scale. For real badwords lists (hundreds of terms)
+    * the same shape holds; past ~10⁴ patterns the per-token probe moves
+    * into a shared-HashSet kernel (O(1) per token) with identical
+    * semantics — the Column form IS the oracle contract either way.
+    */
+  def blocklistFilter(docs: DataFrame,
+                      blocklist: Seq[String] = Blocklist): DataFrame = {
+    val t = tokens(col("text"))
+    val bl = array(blocklist.map(lit): _*)
+    docs.select(col("doc_id"), size(t).as("n_tokens"),
+        size(filter(t, x => array_contains(bl, x))).as("n_flagged"))
+      .withColumn("keep", (col("n_flagged") === 0).cast("int"))
+  }
+
   /** DataFrame-first core of [[ngramNovelty]] over (doc_id, text). */
   def ngramNoveltyOf(docs: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

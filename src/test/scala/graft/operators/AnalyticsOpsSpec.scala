@@ -140,4 +140,48 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("unicode normalize undoes planted accents and case; nulls pass through") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The  Scan\tRuns Fast"), (2L, null.asInstanceOf[String]),
+      (3L, "  Crème  BRÛLÉE  ")).toDF("doc_id", "text")
+    val planted = docs.withColumn("text",
+      translate(upper(col("text")), "AEO", "ÁÉÖ"))
+    val out = TextOps.normalizeDocs(planted).orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "the scan runs fast")
+    assert(out(1).isNullAt(1))
+    assert(out(2).getString(1) == "creme brulee")
+    assert(out(2).getInt(2) == "creme brulee".length)
+  }
+
+  test("blocklist counts flagged tokens and keeps only clean docs") {
+    import spark.implicits._
+    val docs = Seq((1L, "a slow big slow day"), (2L, "all clean here"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = TextOps.blocklistFilter(docs).orderBy("doc_id").collect()
+    assert(out(0).getInt(1) == 5 && out(0).getInt(2) == 3 && out(0).getInt(3) == 0)
+    assert(out(1).getInt(2) == 0 && out(1).getInt(3) == 1)
+    assert(out(2).getInt(1) == 0 && out(2).getInt(3) == 1)
+  }
+
+  test("incremental rollup merge equals the one-shot recompute") {
+    val merged = Relational.q39IncrementalRollup(spark, sf)
+    val o = Tables.orders(spark, sf)
+    val direct = o.groupBy(col("o_orderstatus"),
+        year(col("o_orderdate")).as("yr"))
+      .agg(round(sum("o_totalprice"), 2).as("total_price"),
+        count(lit(1)).as("n_orders"))
+      .withColumn("avg_price", round(col("total_price") / col("n_orders"), 4))
+    val m = merged.collect().map(r => (r.getString(0), r.getInt(1)) ->
+      (r.getDouble(2), r.getLong(3), r.getDouble(4))).toMap
+    val d = direct.collect().map(r => (r.getString(0), r.getInt(1)) ->
+      (r.getDouble(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(m.keySet == d.keySet && m.nonEmpty)
+    m.foreach { case (k, (ts, n, av)) =>
+      val (ts2, n2, av2) = d(k)
+      assert(n == n2, s"$k counts")
+      assert(math.abs(ts - ts2) < 1e-6 && math.abs(av - av2) < 1e-6, s"$k sums")
+    }
+  }
 }
