@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, translate, upper}
 
-import graft.operators.{Dedup, Layout, Multimodal, Relational, Similarity, TextOps}
+import graft.operators.{Dedup, Features, Layout, Multimodal, Relational, Similarity, TextOps}
 import graft.streaming.StreamOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -165,7 +165,10 @@ object SparkEntry {
         .withColumn("text", translate(upper(col("text")), "AEO", "ÁÉÖ")))),
     "text_blocklist" -> ((s: SparkSession, d: String) =>
       TextOps.blocklistFilter(graft.Tables.documents(s, d))),
-    "q39_incremental_rollup" -> (Relational.q39IncrementalRollup(_, _))
+    "q39_incremental_rollup" -> (Relational.q39IncrementalRollup(_, _)),
+    "feat_scale" -> (Features.scaleFeatures _),
+    "feat_target_encode" -> (Features.targetEncodeLoo _),
+    "tok_bpe_pairs" -> ((s: SparkSession, d: String) => Features.bpePairCounts(s, d))
   )
 
   /** DuckDB shingle CTE bodies shared by the near-dup and cluster oracles
@@ -1486,7 +1489,38 @@ object SparkEntry {
         |  round(sum(o_totalprice), 2) AS total_price,
         |  count(*) AS n_orders,
         |  round(round(sum(o_totalprice), 2) / count(*), 4) AS avg_price
-        |FROM orders GROUP BY 1, 2""".stripMargin
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+    "feat_scale" ->
+      """WITH st AS (SELECT avg(l_extendedprice) AS m_p,
+        |  stddev_samp(l_extendedprice) AS s_p,
+        |  min(l_extendedprice) AS lo_p, max(l_extendedprice) AS hi_p,
+        |  avg(l_quantity) AS m_q, stddev_samp(l_quantity) AS s_q FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |  round((l_extendedprice - m_p) / s_p, 6) AS z_price,
+        |  round((l_quantity - m_q) / s_q, 6) AS z_qty,
+        |  round((l_extendedprice - lo_p) / (hi_p - lo_p), 6) AS mm_price
+        |FROM lineitem, st""".stripMargin,
+    "feat_target_encode" ->
+      """WITH st AS (SELECT o_orderpriority, sum(o_totalprice) AS t_sum,
+        |  count(*) AS t_n FROM orders GROUP BY 1)
+        |SELECT o_orderkey, o.o_orderpriority,
+        |  CASE WHEN t_n = 1 THEN NULL
+        |       ELSE round((t_sum - o_totalprice) / CAST(t_n - 1 AS DOUBLE), 4)
+        |  END AS loo_price
+        |FROM orders o JOIN st USING (o_orderpriority)""".stripMargin,
+    "tok_bpe_pairs" ->
+      """WITH words AS (
+        |  SELECT w, count(*) AS freq FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |    FROM documents)
+        |  GROUP BY 1 HAVING length(w) >= 2),
+        |p AS (SELECT pair, sum(freq) AS cnt FROM (
+        |    SELECT freq, unnest(list_transform(range(1, length(w)),
+        |      i -> substring(w, i, 2))) AS pair
+        |    FROM words) GROUP BY 1)
+        |SELECT pair, cnt,
+        |  CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS INTEGER) AS rank
+        |FROM p ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
   )
 
   /** The MMR oracle replays the greedy diversity selection as a recursive

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Feature-engineering operators — the fit-then-transform surface an ML
+  * data pipeline runs before training (scalers, target encoders). The
+  * shared shape: "fit" is a tiny statistics aggregate (keys × moments
+  * rows), "transform" broadcasts those statistics back onto the scan as a
+  * map-phase projection — the fact side NEVER shuffles, so every operator
+  * here is one pass over the data plus a broadcast, at any scale.
+  */
+object Features {
+
+  /** Z-score + min-max feature scaling, fit and transform in one plan
+    * (scikit's StandardScaler/MinMaxScaler over a fact table): one global
+    * moments aggregate (mean, sample stddev, min, max per feature — ONE
+    * row) cross-broadcast onto the scan; each output column is pure
+    * arithmetic on the broadcast row. Rounding to 6 both sides absorbs
+    * summation-order noise in the fitted moments.
+    */
+  def scaleFeatures(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val stats = li.agg(
+      avg("l_extendedprice").as("m_p"), stddev_samp("l_extendedprice").as("s_p"),
+      min("l_extendedprice").as("lo_p"), max("l_extendedprice").as("hi_p"),
+      avg("l_quantity").as("m_q"), stddev_samp("l_quantity").as("s_q"))
+    li.crossJoin(broadcast(stats))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round((col("l_extendedprice") - col("m_p")) / col("s_p"), 6).as("z_price"),
+        round((col("l_quantity") - col("m_q")) / col("s_q"), 6).as("z_qty"),
+        round((col("l_extendedprice") - col("lo_p")) / (col("hi_p") - col("lo_p")), 6)
+          .as("mm_price"))
+  }
+
+  /** Leave-one-out target encoding (the Kaggle/CatBoost-style categorical
+    * encoder that avoids self-leakage): encode key k for row i as
+    * (Σ_k target − target_i) / (n_k − 1); singleton keys get NULL (no
+    * peer evidence). Fit = one (key → sum, count) aggregate, broadcast
+    * back; transform is map-phase arithmetic — the fact table never
+    * shuffles, and the encoder state is key-cardinality-sized however
+    * large the data. Rounded to 4 so both engines replay the doubles.
+    */
+  def targetEncodeLoo(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val stats = o.groupBy("o_orderpriority")
+      .agg(sum("o_totalprice").as("t_sum"), count(lit(1)).as("t_n"))
+    o.join(broadcast(stats), Seq("o_orderpriority"))
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        when(col("t_n") === 1, lit(null).cast("double"))
+          .otherwise(round((col("t_sum") - col("o_totalprice")) /
+            (col("t_n") - 1).cast("double"), 4)).as("loo_price"))
+  }
+
+  /** BPE merge-candidate counting — the distributed core of tokenizer
+    * training (Sennrich et al. 2016: each merge round counts adjacent
+    * symbol-pair frequencies over the corpus and fuses the argmax). The
+    * corpus collapses to a (distinct word → frequency) dictionary FIRST —
+    * the classic BPE trick that makes each round dictionary-sized, not
+    * corpus-sized; adjacent character pairs are then generated per
+    * distinct word and weighted by word frequency. Plan: explode tokens →
+    * two-phase word-count agg (corpus → vocab compaction, the only
+    * corpus-scale shuffle), per-word pair generation over the VOCAB
+    * (higher-order transform; CodegenFallback-interpreted but
+    * dictionary-sized — documented trade, same as the curation family),
+    * two-phase pair agg, bounded top-k. Repeated merge rounds reuse the
+    * cached dictionary and only re-pair affected words.
+    */
+  def bpePairCounts(s: SparkSession, dir: String, topK: Int = 20): DataFrame = {
+    val words = Tables.documents(s, dir)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .filter(length(col("w")) >= 2)
+    val pairs = words
+      .select(col("freq"),
+        explode(expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+      .groupBy("pair").agg(sum("freq").as("cnt"))
+    pairs.orderBy(col("cnt").desc, col("pair")).limit(topK)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("pair"))).cast("int"))
+  }
+}

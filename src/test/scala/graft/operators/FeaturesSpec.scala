@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.Tables
+import graft.functions.TextFunctions
+
+/** Semantic pins for the feature-engineering surface: scaler moments,
+  * leave-one-out identity, and BPE pair-count ground truth.
+  */
+class FeaturesSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("scaled features: z-scores centered, min-max bounded to [0,1]") {
+    val out = Features.scaleFeatures(spark, sf).cache()
+    try {
+      val m = out.agg(avg("z_price"), avg("z_qty"), min("mm_price"),
+        max("mm_price")).collect()(0)
+      assert(math.abs(m.getDouble(0)) < 1e-3 && math.abs(m.getDouble(1)) < 1e-3)
+      assert(m.getDouble(2) == 0.0 && m.getDouble(3) == 1.0)
+      val n = Tables.lineitem(spark, sf).count()
+      assert(out.count() == n)
+    } finally out.unpersist()
+  }
+
+  test("LOO encoding satisfies (sum - y) / (n - 1) against raw aggregates") {
+    val o = Tables.orders(spark, sf)
+    val enc = Features.targetEncodeLoo(spark, sf)
+    val joined = enc.join(o.select("o_orderkey", "o_totalprice"), "o_orderkey")
+    val stats = o.groupBy("o_orderpriority")
+      .agg(sum("o_totalprice").as("t_sum"), count(lit(1)).as("t_n"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val sample = joined.orderBy("o_orderkey").limit(200).collect()
+    assert(sample.nonEmpty)
+    sample.foreach { r =>
+      val (tSum, tN) = stats(r.getString(1))
+      val expected =
+        if (tN == 1) null
+        else BigDecimal((tSum - r.getDouble(3)) / (tN - 1).toDouble)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if (expected == null) assert(r.isNullAt(2))
+      else assert(math.abs(r.getDouble(2) - expected.asInstanceOf[Double]) < 1e-9,
+        s"orderkey ${r.getLong(0)}")
+    }
+  }
+
+  test("BPE pair counts match a hand recount for the top pair") {
+    val top = Features.bpePairCounts(spark, sf).collect()
+    assert(top.length == 20)
+    assert(top.map(_.getInt(2)).toSeq == (1 to 20))
+    val counts = top.map(_.getLong(1)).toSeq
+    assert(counts == counts.sorted.reverse)
+    // recount the top pair straight from the token stream
+    val pair = top(0).getString(0)
+    val recount = Tables.documents(spark, sf)
+      .select(explode(TextFunctions.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("p"))
+      .filter(col("p") === pair).count()
+    assert(recount == top(0).getLong(1), s"pair $pair")
+  }
+}
