@@ -168,7 +168,10 @@ object SparkEntry {
     "q39_incremental_rollup" -> (Relational.q39IncrementalRollup(_, _)),
     "feat_scale" -> (Features.scaleFeatures _),
     "feat_target_encode" -> (Features.targetEncodeLoo _),
-    "tok_bpe_pairs" -> ((s: SparkSession, d: String) => Features.bpePairCounts(s, d))
+    "tok_bpe_pairs" -> ((s: SparkSession, d: String) => Features.bpePairCounts(s, d)),
+    "q40_skew_profile" -> ((s: SparkSession, d: String) => Relational.q40SkewProfile(s, d)),
+    "q41_quantile_bucket" -> (Relational.q41QuantileBucket _),
+    "stream_anomaly" -> ((s: SparkSession, d: String) => StreamOps.streamAnomaly(s, d))
   )
 
   /** DuckDB shingle CTE bodies shared by the near-dup and cluster oracles
@@ -1520,7 +1523,36 @@ object SparkEntry {
         |    FROM words) GROUP BY 1)
         |SELECT pair, cnt,
         |  CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS INTEGER) AS rank
-        |FROM p ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
+        |FROM p ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
+    "q40_skew_profile" ->
+      """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+        |t AS (SELECT sum(cnt) AS total, count(*) AS n_keys FROM c),
+        |top AS (SELECT user_id, cnt FROM c ORDER BY cnt DESC, user_id LIMIT 20)
+        |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, user_id) AS INTEGER) AS rank,
+        |  user_id, cnt, round(cnt / total, 6) AS share,
+        |  round(sum(cnt) OVER (ORDER BY cnt DESC, user_id
+        |    ROWS UNBOUNDED PRECEDING) / total, 6) AS cum_share,
+        |  n_keys
+        |FROM top, t""".stripMargin,
+    "q41_quantile_bucket" ->
+      """WITH q AS (SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
+        |  quantile_cont(l_extendedprice, 0.5) AS q2,
+        |  quantile_cont(l_extendedprice, 0.75) AS q3 FROM lineitem)
+        |SELECT l_returnflag,
+        |  CASE WHEN l_extendedprice <= q1 THEN 1
+        |       WHEN l_extendedprice <= q2 THEN 2
+        |       WHEN l_extendedprice <= q3 THEN 3
+        |       ELSE 4 END AS qbucket,
+        |  count(*) AS cnt
+        |FROM lineitem, q GROUP BY 1, 2""".stripMargin,
+    // stateless stream: emitted rows are per-event functions of the
+    // static fitted model, so the batch replay is exact
+    "stream_anomaly" ->
+      """WITH s AS (SELECT event_type, avg(value) AS mu,
+        |  stddev_samp(value) AS sigma FROM events GROUP BY 1)
+        |SELECT event_id, e.event_type, round((value - mu) / sigma, 4) AS z
+        |FROM events e JOIN s USING (event_type)
+        |WHERE abs((value - mu) / sigma) > 3.0""".stripMargin
   )
 
   /** The MMR oracle replays the greedy diversity selection as a recursive

@@ -626,6 +626,55 @@ object Relational {
     * on (flag, bucket) — cardinality flags × nb. Two passes over the
     * data, no window, no sort: the same shape at any scale.
     */
+  /** Key-skew profiler — the diagnosis a 100 TB join/aggregation runs
+    * BEFORE choosing its strategy (salt? AQE skew split? broadcast?):
+    * per-key counts, the heaviest keys' individual and cumulative share
+    * of all rows, and the total key cardinality. One two-phase count
+    * aggregate over the scan (corpus → key-cardinality compaction), one
+    * scalar totals row broadcast back, and a bounded top-k — the windows
+    * only ever see the top-k rows, never the key table. The output IS
+    * the salting decision: a top-1 share ≫ 1/partitions means that key
+    * needs splitting.
+    */
+  def q40SkewProfile(s: SparkSession, dir: String, topK: Int = 20): DataFrame = {
+    val counts = Tables.events(s, dir).groupBy("user_id")
+      .agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum("cnt").as("total"), count(lit(1)).as("n_keys"))
+    val top = counts.orderBy(col("cnt").desc, col("user_id")).limit(topK)
+    val ord = Window.orderBy(col("cnt").desc, col("user_id"))
+    top.crossJoin(broadcast(tot))
+      .withColumn("rank", row_number().over(ord).cast("int"))
+      .withColumn("share", round(col("cnt") / col("total"), 6))
+      .withColumn("cum_share",
+        round(sum("cnt").over(ord.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)) / col("total"), 6))
+      .select("rank", "user_id", "cnt", "share", "cum_share", "n_keys")
+  }
+
+  /** Equi-depth (quantile) bucketing — the QuantileDiscretizer shape that
+    * complements q38's equi-width histogram: exact quartile boundaries
+    * from one percentile aggregate (the at-scale lever is q20's KLL-style
+    * sketches), broadcast back onto the scan, bucket assignment as a
+    * map-phase CASE chain, then a two-phase (flag, bucket) count. Both
+    * engines interpolate percentiles identically (linear), so the
+    * boundary comparisons see the same doubles.
+    */
+  def q41QuantileBucket(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val qs = li.agg(
+      expr("percentile(l_extendedprice, 0.25D)").as("q1"),
+      expr("percentile(l_extendedprice, 0.5D)").as("q2"),
+      expr("percentile(l_extendedprice, 0.75D)").as("q3"))
+    li.crossJoin(broadcast(qs))
+      .select(col("l_returnflag"),
+        when(col("l_extendedprice") <= col("q1"), 1)
+          .when(col("l_extendedprice") <= col("q2"), 2)
+          .when(col("l_extendedprice") <= col("q3"), 3)
+          .otherwise(4).as("qbucket"))
+      .groupBy("l_returnflag", "qbucket")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** Incremental view maintenance — the rollup-merge shape that keeps a
     * 100 TB materialized aggregate fresh without recompute: yesterday's
     * stored PARTIAL aggregate (sum, count per key — mergeable state, not

@@ -228,6 +228,42 @@ object StreamOps {
     ss.table(name)
   }
 
+  /** Streaming anomaly detection against a fitted static baseline — the
+    * model-apply-on-stream shape of a monitoring pipeline: per-type
+    * (mean, stddev) fit once over the static history, broadcast onto the
+    * stream, each arriving event scored z = (value − μ)/σ in the
+    * micro-batch map phase, |z| > threshold alerts emitted. Entirely
+    * STATELESS — no state store, no watermark, unbounded uptime; the
+    * fitted model is the only driver-side artifact and refreshes by
+    * restarting the query (or a foreachBatch re-read at production
+    * scale). Emitted rows are pure per-event functions, so the batch SQL
+    * oracle gates the stream exactly.
+    */
+  def streamAnomaly(s: SparkSession, dir: String,
+                    threshold: Double = 3.0): DataFrame = {
+    val ss = streamingSession(s)
+    val path = s"$dir/events.parquet"
+    val schema = ss.read.parquet(path).schema
+    val name = s"graft_stream_${counter.incrementAndGet()}"
+    val stats = ss.read.parquet(path).groupBy("event_type")
+      .agg(avg("value").as("mu"), stddev_samp("value").as("sigma"))
+    val stream = ss.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .select("event_id", "event_type", "value")
+      .join(broadcast(stats), Seq("event_type"))
+      .withColumn("z", (col("value") - col("mu")) / col("sigma"))
+      .filter(abs(col("z")) > lit(threshold))
+      .select(col("event_id"), col("event_type"), round(col("z"), 4).as("z"))
+    val q = stream.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    ss.table(name)
+  }
+
   /** Streaming ANN ingest — the streaming twin of `emb_knn_incremental`
     * (online embedding ingestion: vectors arrive on a stream and each
     * immediately receives its top-k neighbors from the static corpus

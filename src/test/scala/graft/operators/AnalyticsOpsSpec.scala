@@ -165,6 +165,47 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out(2).getInt(1) == 0 && out(2).getInt(3) == 1)
   }
 
+  test("skew profile: ranked shares descend, cumulative share runs the sum") {
+    val rows = Relational.q40SkewProfile(spark, sf).orderBy("rank").collect()
+    val nKeysTotal = rows(0).getLong(5)
+    assert(rows.length == math.min(20L, nKeysTotal).toInt)
+    assert(rows.map(_.getInt(0)).toSeq == (1 to rows.length))
+    val cnts = rows.map(_.getLong(2)).toSeq
+    assert(cnts == cnts.sorted.reverse)
+    var run = 0.0
+    rows.foreach { r =>
+      run += r.getDouble(3)
+      assert(math.abs(r.getDouble(4) - run) < 1e-4,
+        s"rank ${r.getInt(0)} cum ${r.getDouble(4)} vs $run")
+    }
+    val total = Tables.events(spark, sf).count()
+    assert(nKeysTotal > 0 && nKeysTotal <= total)
+  }
+
+  test("quantile buckets partition all rows into four near-equal depths") {
+    val out = Relational.q41QuantileBucket(spark, sf).collect()
+    val n = Tables.lineitem(spark, sf).count()
+    assert(out.map(_.getLong(2)).sum == n)
+    val byBucket = out.groupBy(_.getInt(1)).view.mapValues(_.map(_.getLong(2)).sum)
+    assert(byBucket.keySet == Set(1, 2, 3, 4))
+    byBucket.values.foreach(c =>
+      assert(math.abs(c - n / 4.0) < n * 0.02, s"bucket depth $c of $n"))
+  }
+
+  test("stream anomaly equals the batch z-score filter") {
+    val streamed = graft.streaming.StreamOps.streamAnomaly(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val ev = Tables.events(spark, sf)
+    val stats = ev.groupBy("event_type")
+      .agg(avg("value").as("mu"), stddev_samp("value").as("sigma"))
+    val batch = ev.join(broadcast(stats), Seq("event_type"))
+      .withColumn("z", (col("value") - col("mu")) / col("sigma"))
+      .filter(abs(col("z")) > 3.0)
+      .select(col("event_id"), col("event_type"), round(col("z"), 4).as("z"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("incremental rollup merge equals the one-shot recompute") {
     val merged = Relational.q39IncrementalRollup(spark, sf)
     val o = Tables.orders(spark, sf)
