@@ -171,7 +171,9 @@ object SparkEntry {
     "tok_bpe_pairs" -> ((s: SparkSession, d: String) => Features.bpePairCounts(s, d)),
     "q40_skew_profile" -> ((s: SparkSession, d: String) => Relational.q40SkewProfile(s, d)),
     "q41_quantile_bucket" -> (Relational.q41QuantileBucket _),
-    "stream_anomaly" -> ((s: SparkSession, d: String) => StreamOps.streamAnomaly(s, d))
+    "stream_anomaly" -> ((s: SparkSession, d: String) => StreamOps.streamAnomaly(s, d)),
+    "emb_covariance" -> ((s: SparkSession, d: String) => Similarity.covarianceMatrix(s, d)),
+    "search_eval_metrics" -> ((s: SparkSession, d: String) => Similarity.evalMetrics(s, d))
   )
 
   /** DuckDB shingle CTE bodies shared by the near-dup and cluster oracles
@@ -204,6 +206,45 @@ object SparkEntry {
     * bucketed top-k is exactly checkable — no "seeded hash" escape hatch.
     */
   private def annLshOracle: String = annLshOracleWith("q.bucket = n.bucket")
+
+  private def bruteTopKSql: String =
+    s"""$cosineCte,
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |    round(list_sum(list_transform(range(1, len(q.e) + 1), i -> q.e[i] * n.e[i])) / (q.nrm * n.nrm), 6) AS cosine
+       |  FROM v q JOIN v n ON q.vec_id < 10 AND n.vec_id <> q.vec_id)
+       |SELECT query_id, neighbor_id, cosine,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+       |FROM scored
+       |QUALIFY rank <= 5""".stripMargin
+
+  /** Metrics oracle nests the exact-truth and LSH-arm oracles as CTEs;
+    * DCG discount / IDCG prefix-sum literals are the SAME Scala doubles
+    * the operator interpolates, so neither engine computes its own log2.
+    */
+  private def evalMetricsOracle(k: Int = 5): String = {
+    val disc = (1 to k).map(r => 1.0 / (math.log(r + 1) / math.log(2)))
+    val discCase = (1 to k).map(r => s"WHEN $r THEN ${disc(r - 1)}")
+      .mkString("CASE rank ", " ", " END")
+    val idcgCase = (1 to k).map(n => s"WHEN $n THEN ${disc.take(n).sum}")
+      .mkString("CASE n_truth ", " ", " END")
+    s"""WITH truth AS ($bruteTopKSql),
+       |arm AS ($annLshOracle),
+       |tj AS (SELECT a.query_id, a.rank,
+       |         CASE WHEN t.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit
+       |       FROM arm a LEFT JOIN truth t
+       |         ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id),
+       |tc AS (SELECT query_id, count(*) AS n_truth FROM truth GROUP BY 1),
+       |m AS (SELECT query_id, count(*) AS n_arm, sum(hit) AS hits,
+       |        max(CASE WHEN hit = 1 THEN 1.0 / rank ELSE 0.0 END) AS mrr_raw,
+       |        sum(CASE WHEN hit = 1 THEN $discCase ELSE 0.0 END) AS dcg
+       |      FROM tj GROUP BY 1)
+       |SELECT t.query_id, n_truth, coalesce(n_arm, 0) AS n_arm,
+       |  round(coalesce(hits, 0) / n_truth, 6) AS recall,
+       |  round(coalesce(mrr_raw, 0.0), 6) AS mrr,
+       |  round(coalesce(dcg, 0.0) / ($idcgCase), 6) AS ndcg
+       |FROM tc t LEFT JOIN m USING (query_id)""".stripMargin
+  }
 
   /** Multi-probe radius-1 is exactly "bucket Hamming distance ≤ 1" — the
     * query-side probe explode replayed as a join condition.
@@ -834,16 +875,7 @@ object SparkEntry {
          |round(list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm), 6) AS cosine
          |FROM v a JOIN v b ON a.vec_id < b.vec_id
          |WHERE round(list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm), 6) >= 0.45""".stripMargin,
-    "ann_brute_topk" ->
-      s"""$cosineCte,
-         |scored AS (
-         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
-         |    round(list_sum(list_transform(range(1, len(q.e) + 1), i -> q.e[i] * n.e[i])) / (q.nrm * n.nrm), 6) AS cosine
-         |  FROM v q JOIN v n ON q.vec_id < 10 AND n.vec_id <> q.vec_id)
-         |SELECT query_id, neighbor_id, cosine,
-         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
-         |FROM scored
-         |QUALIFY rank <= 5""".stripMargin,
+    "ann_brute_topk" -> bruteTopKSql,
     // MaxSim: per-query-vector maxes are order-independent; the score is
     // a fixed left-to-right 4-term sum of round(·,6) values — both
     // engines replay the identical doubles
@@ -1552,7 +1584,15 @@ object SparkEntry {
         |  stddev_samp(value) AS sigma FROM events GROUP BY 1)
         |SELECT event_id, e.event_type, round((value - mu) / sigma, 4) AS z
         |FROM events e JOIN s USING (event_type)
-        |WHERE abs((value - mu) / sigma) > 3.0""".stripMargin
+        |WHERE abs((value - mu) / sigma) > 3.0""".stripMargin,
+    "emb_covariance" ->
+      """WITH d AS (SELECT unnest(range(0, 8)) AS i),
+        |pairs AS (SELECT CAST(a.i AS INTEGER) AS i, CAST(b.i AS INTEGER) AS j
+        |          FROM d a, d b WHERE b.i >= a.i),
+        |e AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)
+        |SELECT i, j, round(covar_samp(v[i + 1], v[j + 1]), 6) AS cov
+        |FROM pairs, e GROUP BY 1, 2""".stripMargin,
+    "search_eval_metrics" -> evalMetricsOracle()
   )
 
   /** The MMR oracle replays the greedy diversity selection as a recursive

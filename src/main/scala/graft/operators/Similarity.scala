@@ -722,6 +722,72 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Pairwise sample covariance of the leading embedding components —
+    * the fit step of PCA / whitening (the data-dependent complement of
+    * [[dimReduce]]'s fixed JL projection; the eigendecomposition of this
+    * matrix IS the PCA basis and runs driver-side on the dims² result,
+    * the same boundary as annIvf's centroid fit).
+    *
+    * Distributed shape: ONE narrow aggregate computes all upper-triangle
+    * `covar_samp` cells over a single corpus pass — no shuffle beyond
+    * the scalar-aggregate gather, state is dims² co-moments — then a
+    * `stack` unpivot reshapes the one wide row to (i, j, cov) rows.
+    * At 100 TB the pass is embarrassingly map-side (co-moments merge
+    * associatively); dims² state, not corpus state.
+    */
+  def covarianceMatrix(s: SparkSession, dir: String, nDims: Int = 8): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val proj = e.select((0 until nDims).map(i =>
+      element_at(col("embedding"), i + 1).cast("double").as(s"x$i")): _*)
+    val aggs = for { i <- 0 until nDims; j <- i until nDims } yield
+      round(covar_samp(col(s"x$i"), col(s"x$j")), 6).as(s"c_${i}_$j")
+    val wide = proj.agg(aggs.head, aggs.tail: _*)
+    val cells = for { i <- 0 until nDims; j <- i until nDims }
+      yield s"$i, $j, c_${i}_$j"
+    wide.select(expr(
+      s"stack(${cells.length}, ${cells.mkString(", ")}) AS (i, j, cov)"))
+  }
+
+  /** Retrieval-arm evaluation — recall@k, MRR, nDCG@k of the LSH arm
+    * against the exact brute-force truth: the measurement loop every ANN
+    * deployment runs before trading recall for probe cost (the numbers
+    * that justify `adaptivePlaneCount`). Both arms are the existing
+    * bounded single-scan pipelines (family-cached corpus, `graft_topk`);
+    * the metrics add one (query, neighbor) equi-join of two k-row-per-
+    * query sides and a query-keyed aggregate — index-metadata-sized
+    * however large the corpus. DCG discounts and IDCG prefix sums ride
+    * as literals computed ONCE in Scala and interpolated into the SQL
+    * oracle, so both engines compare identical doubles (never their own
+    * log2).
+    */
+  def evalMetrics(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val truth = bruteForceTopK(s, dir, k = k)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    val arm = annLsh(s, dir, k = k).select("query_id", "neighbor_id", "rank")
+    val disc = (1 to k).map(r => 1.0 / (math.log(r + 1) / math.log(2)))
+    val discCol = (2 to k).foldLeft(when(col("rank") === 1, lit(disc(0)))) {
+      (acc, r) => acc.when(col("rank") === r, lit(disc(r - 1)))
+    }
+    val j = arm.join(truth, Seq("query_id", "neighbor_id"), "left")
+    val tc = truth.groupBy("query_id").agg(count(lit(1)).as("n_truth"))
+    val m = j.groupBy("query_id").agg(
+      count(lit(1)).as("n_arm"),
+      sum(coalesce(col("hit"), lit(0))).as("hits"),
+      max(when(col("hit") === 1, lit(1.0) / col("rank")).otherwise(lit(0.0)))
+        .as("mrr_raw"),
+      sum(when(col("hit") === 1, discCol).otherwise(lit(0.0))).as("dcg"))
+    val idcgCol = (2 to k).foldLeft(
+      when(col("n_truth") === 1, lit(disc.take(1).sum))) {
+      (acc, n) => acc.when(col("n_truth") === n, lit(disc.take(n).sum))
+    }
+    tc.join(m, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_truth"),
+        coalesce(col("n_arm"), lit(0L)).as("n_arm"),
+        round(coalesce(col("hits"), lit(0L)) / col("n_truth"), 6).as("recall"),
+        round(coalesce(col("mrr_raw"), lit(0.0)), 6).as("mrr"),
+        round(coalesce(col("dcg"), lit(0.0)) / idcgCol, 6).as("ndcg"))
+  }
+
   /** MMR trade-off weights (Carbonell & Goldstein, SIGIR'98): score =
     * MmrLambda·relevance − MmrLambdaC·max-similarity-to-selected. Held as
     * named constants so the SQL oracle interpolates the IDENTICAL double

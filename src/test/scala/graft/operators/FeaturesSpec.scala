@@ -45,6 +45,40 @@ class FeaturesSpec extends AnyFunSuite {
     }
   }
 
+  test("covariance matrix: diagonal equals variance, upper triangle only") {
+    val out = Similarity.covarianceMatrix(spark, sf).collect()
+    assert(out.length == 36)
+    out.foreach(r => assert(r.getInt(0) <= r.getInt(1)))
+    val diag = out.filter(r => r.getInt(0) == r.getInt(1))
+      .map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    val vars = Tables.embeddings(spark, sf)
+      .select((0 until 8).map(i =>
+        round(var_samp(element_at(col("embedding"), i + 1).cast("double")), 6)
+          .as(s"v$i")): _*).collect()(0)
+    (0 until 8).foreach(i =>
+      assert(math.abs(diag(i) - vars.getDouble(i)) < 1e-9, s"dim $i"))
+    diag.values.foreach(v => assert(v >= 0.0))
+  }
+
+  test("eval metrics: recall recomputed from the arms, all scores bounded") {
+    val out = Similarity.evalMetrics(spark, sf).collect()
+    assert(out.length == 10)
+    val truth = Similarity.bruteForceTopK(spark, sf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val arm = Similarity.annLsh(spark, sf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    out.foreach { r =>
+      val q = r.getLong(0)
+      val (rec, mrr, ndcg) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(rec >= 0 && rec <= 1 && mrr >= 0 && mrr <= 1 &&
+        ndcg >= 0 && ndcg <= 1.0 + 1e-9, s"query $q bounds")
+      val expected = arm.getOrElse(q, Set.empty).intersect(truth(q)).size.toDouble /
+        truth(q).size
+      assert(math.abs(rec - expected) < 1e-6, s"query $q recall")
+      if (rec == 0.0) assert(mrr == 0.0 && ndcg == 0.0)
+    }
+  }
+
   test("BPE pair counts match a hand recount for the top pair") {
     val top = Features.bpePairCounts(spark, sf).collect()
     assert(top.length == 20)
