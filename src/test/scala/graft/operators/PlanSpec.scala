@@ -285,4 +285,48 @@ class PlanSpec extends AnyFunSuite {
     assert(!readSchema.contains("l_quantity"),
       s"unused columns not pruned: $readSchema")
   }
+
+  test("feature scaling: fit broadcast back, the fact side never shuffles") {
+    val p = planOf(Features.scaleFeatures(spark, sf))
+    // the only exchanges are the scalar moments gather (SinglePartition)
+    assert(!p.contains("Exchange hashpartitioning"), p.take(3000))
+    assert(p.contains("BroadcastExchange"), p.take(3000))
+  }
+
+  test("LOO target encoding joins the fact side by broadcast only") {
+    val p = planOf(Features.targetEncodeLoo(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    // one exchange: the key-cardinality fit aggregate
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p.take(3000))
+  }
+
+  test("BPE pairs: dictionary compaction then pair agg — two exchanges, no join") {
+    val p = planOf(Features.bpePairCounts(spark, sf))
+    assert(!p.contains("Join"), p.take(3000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2, p.take(3000))
+  }
+
+  test("covariance matrix aggregates in one pass with no hash shuffle") {
+    val p = planOf(Similarity.covarianceMatrix(spark, sf))
+    assert(!p.contains("Exchange hashpartitioning"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
+  test("normalize and blocklist are zero-shuffle kernel projections") {
+    // the test fixture loader round-robins the tiny corpus; the operators
+    // themselves must add no hash shuffle, join, or broadcast
+    val docs = graft.Tables.documents(spark, sf)
+    Seq(TextOps.normalizeDocs(docs), TextOps.blocklistFilter(docs)).foreach { df =>
+      val p = planOf(df)
+      assert(!p.contains("Exchange hashpartitioning") &&
+        !p.contains("BroadcastExchange") && !p.contains("Join"), p.take(3000))
+    }
+  }
+
+  test("quantile bucketing: boundary fit broadcast, one bucket-count exchange") {
+    val p = planOf(Relational.q41QuantileBucket(spark, sf))
+    assert(p.contains("BroadcastExchange"), p.take(3000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p.take(3000))
+  }
 }
