@@ -173,7 +173,10 @@ object SparkEntry {
     "q41_quantile_bucket" -> (Relational.q41QuantileBucket _),
     "stream_anomaly" -> ((s: SparkSession, d: String) => StreamOps.streamAnomaly(s, d)),
     "emb_covariance" -> ((s: SparkSession, d: String) => Similarity.covarianceMatrix(s, d)),
-    "search_eval_metrics" -> ((s: SparkSession, d: String) => Similarity.evalMetrics(s, d))
+    "search_eval_metrics" -> ((s: SparkSession, d: String) => Similarity.evalMetrics(s, d)),
+    "q42_retention_cohort" -> (Relational.q42RetentionCohort _),
+    "q43_cooccurrence" -> (Relational.q43Cooccurrence _),
+    "dedup_eval_metrics" -> (Dedup.dedupEvalMetrics _)
   )
 
   /** DuckDB shingle CTE bodies shared by the near-dup and cluster oracles
@@ -1592,7 +1595,47 @@ object SparkEntry {
         |e AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)
         |SELECT i, j, round(covar_samp(v[i + 1], v[j + 1]), 6) AS cov
         |FROM pairs, e GROUP BY 1, 2""".stripMargin,
-    "search_eval_metrics" -> evalMetricsOracle()
+    "search_eval_metrics" -> evalMetricsOracle(),
+    "q42_retention_cohort" ->
+      """WITH fm AS (SELECT user_id, min(date_trunc('week', ts)) AS cohort
+        |            FROM events GROUP BY 1),
+        |cs AS (SELECT cohort, count(*) AS cohort_size FROM fm GROUP BY 1),
+        |act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week
+        |        FROM events),
+        |r AS (SELECT f.cohort,
+        |        CAST(datediff('day', f.cohort, a.act_week) / 7 AS INTEGER) AS week_offset,
+        |        count(DISTINCT a.user_id) AS n_active
+        |      FROM act a JOIN fm f USING (user_id) GROUP BY 1, 2)
+        |SELECT r.cohort, week_offset, n_active,
+        |  round(n_active / cohort_size, 6) AS retention
+        |FROM r JOIN cs USING (cohort)""".stripMargin,
+    "q43_cooccurrence" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |ct AS (SELECT event_type, count(*) AS c FROM ut GROUP BY 1),
+        |co AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |         count(*) AS n_users
+        |       FROM ut a JOIN ut b
+        |         ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |       GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_users,
+        |  round(n_users / (ca.c + cb.c - n_users), 6) AS jaccard
+        |FROM co JOIN ct ca ON type_a = ca.event_type
+        |        JOIN ct cb ON type_b = cb.event_type""".stripMargin,
+    // nests the exact-Jaccard truth and portable-simhash arm oracles
+    "dedup_eval_metrics" ->
+      s"""WITH truth AS ($shingleCte),
+         |arm AS ($simhashOracle),
+         |j AS (SELECT CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END AS in_t,
+         |        CASE WHEN a.id_a IS NOT NULL THEN 1 ELSE 0 END AS in_a
+         |      FROM truth t FULL JOIN arm a
+         |        ON t.id_a = a.id_a AND t.id_b = a.id_b)
+         |SELECT CAST(sum(in_t) AS BIGINT) AS n_truth,
+         |  CAST(sum(in_a) AS BIGINT) AS n_arm,
+         |  CAST(sum(in_t * in_a) AS BIGINT) AS n_hit,
+         |  round(sum(in_t * in_a) / sum(in_a), 6) AS prec,
+         |  round(sum(in_t * in_a) / sum(in_t), 6) AS rec,
+         |  round(2.0 * sum(in_t * in_a) / (sum(in_a) + sum(in_t)), 6) AS f1
+         |FROM j""".stripMargin
   )
 
   /** The MMR oracle replays the greedy diversity selection as a recursive

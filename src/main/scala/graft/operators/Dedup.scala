@@ -923,4 +923,32 @@ object Dedup {
         col("m.keep_id").as("keep_id"), col("m.cosine").as("cosine"))
     CacheLifecycle.materialize(result)
   }
+
+  /** Dedup-arm evaluation — precision / recall / F1 of the SimHash arm
+    * against the exact n-gram-Jaccard truth: the measurement every
+    * near-dup deployment runs before trusting a cheaper signature family
+    * (the dedup analog of `search_eval_metrics`). The arm is the
+    * PORTABLE simhash twin so BOTH pipelines are SQL-replayable and the
+    * metrics oracle nests their existing oracles verbatim. One
+    * full-outer join of two pair-set-sized sides (already
+    * candidate-bounded upstream) + one scalar aggregate; corpus scans
+    * are family-shared.
+    */
+  def dedupEvalMetrics(s: SparkSession, dir: String): DataFrame = {
+    val truth = ngramJaccard(s, dir).select("id_a", "id_b")
+      .withColumn("in_t", lit(1))
+    val arm = simhashPairsPortable(s, dir).select("id_a", "id_b")
+      .withColumn("in_a", lit(1))
+    truth.join(arm, Seq("id_a", "id_b"), "full_outer")
+      .agg(
+        sum(coalesce(col("in_t"), lit(0))).as("n_truth"),
+        sum(coalesce(col("in_a"), lit(0))).as("n_arm"),
+        sum(coalesce(col("in_t"), lit(0)) * coalesce(col("in_a"), lit(0)))
+          .as("n_hit"))
+      .select(col("n_truth"), col("n_arm"), col("n_hit"),
+        round(col("n_hit") / col("n_arm"), 6).as("prec"),
+        round(col("n_hit") / col("n_truth"), 6).as("rec"),
+        round(lit(2.0) * col("n_hit") / (col("n_arm") + col("n_truth")), 6)
+          .as("f1"))
+  }
 }

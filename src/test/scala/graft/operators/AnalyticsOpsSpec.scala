@@ -206,6 +206,45 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("retention cohorts: offset 0 is full retention, cells bounded by cohort") {
+    val rows = Relational.q42RetentionCohort(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (off, ret) = (r.getInt(1), r.getDouble(3))
+      assert(off >= 0 && ret > 0 && ret <= 1.0, s"offset $off retention $ret")
+      if (off == 0) assert(ret == 1.0, "every user is active in their own first week")
+    }
+  }
+
+  test("co-occurrence jaccard agrees with a driver-side set recount") {
+    val rows = Relational.q43Cooccurrence(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val baskets = Tables.events(spark, sf)
+      .select("user_id", "event_type").distinct().collect()
+      .groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(0)).toSet).toMap
+    rows.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val (sa, sb) = (baskets(a), baskets(b))
+      val inter = sa.intersect(sb).size
+      assert(r.getLong(2) == inter, s"$a x $b count")
+      val expected = BigDecimal(inter.toDouble / (sa.size + sb.size - inter))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(3) - expected) < 1e-9, s"$a x $b jaccard")
+    }
+  }
+
+  test("dedup eval metrics reconcile with the two pair sets") {
+    val m = Dedup.dedupEvalMetrics(spark, sf).collect()(0)
+    val truth = Dedup.ngramJaccard(spark, sf).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val arm = Dedup.simhashPairsPortable(spark, sf).select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(m.getLong(0) == truth.size && m.getLong(1) == arm.size)
+    assert(m.getLong(2) == truth.intersect(arm).size)
+    val (p, rec) = (m.getDouble(3), m.getDouble(4))
+    assert(p >= 0 && p <= 1 && rec >= 0 && rec <= 1)
+  }
+
   test("incremental rollup merge equals the one-shot recompute") {
     val merged = Relational.q39IncrementalRollup(spark, sf)
     val o = Tables.orders(spark, sf)

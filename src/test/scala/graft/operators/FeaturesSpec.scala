@@ -79,6 +79,24 @@ class FeaturesSpec extends AnyFunSuite {
     }
   }
 
+  test("histogram-refinement quantiles equal the exact percentile aggregate") {
+    val li = Tables.lineitem(spark, sf)
+    val qs = Seq(0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0)
+    val fast = graft.functions.StatFunctions.exactQuantiles(
+      li, "l_extendedprice", qs)
+    val exact = li.agg(expr(
+      s"percentile(l_extendedprice, array(${qs.mkString("D,")}D))"))
+      .collect()(0).getAs[scala.collection.Seq[Double]](0)
+    qs.indices.foreach(i =>
+      assert(fast(i) == exact(i), s"q=${qs(i)}: ${fast(i)} vs ${exact(i)}"))
+    // heavy-duplicate column: refinement hits a zero-width bucket
+    import spark.implicits._
+    val dupes = (Seq.fill(5000)(7.0) ++ Seq(1.0, 2.0, 3.0)).toDF("v")
+    val fd = graft.functions.StatFunctions.exactQuantiles(
+      dupes, "v", Seq(0.5, 0.99), nBuckets = 4, maxCollect = 100)
+    assert(fd.toSeq == Seq(7.0, 7.0))
+  }
+
   test("BPE pair counts match a hand recount for the top pair") {
     val top = Features.bpePairCounts(spark, sf).collect()
     assert(top.length == 20)

@@ -324,9 +324,11 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("quantile bucketing: boundary fit broadcast, one bucket-count exchange") {
+  test("quantile bucketing: boundaries as literals, one bucket-count exchange") {
     val p = planOf(Relational.q41QuantileBucket(spark, sf))
-    assert(p.contains("BroadcastExchange"), p.take(3000))
+    // quartiles resolved by the histogram-refinement kernel land as plan
+    // literals — no join, no broadcast, no percentile aggregate state
+    assert(!p.contains("Join") && !p.contains("percentile"), p.take(3000))
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p.take(3000))
   }
 }
