@@ -176,7 +176,13 @@ object SparkEntry {
     "search_eval_metrics" -> ((s: SparkSession, d: String) => Similarity.evalMetrics(s, d)),
     "q42_retention_cohort" -> (Relational.q42RetentionCohort _),
     "q43_cooccurrence" -> (Relational.q43Cooccurrence _),
-    "dedup_eval_metrics" -> (Dedup.dedupEvalMetrics _)
+    "dedup_eval_metrics" -> (Dedup.dedupEvalMetrics _),
+    "q44_rolling_distinct" -> ((s: SparkSession, d: String) =>
+      Relational.q44RollingDistinct(s, d)),
+    "lake_time_travel" -> ((s: SparkSession, d: String) =>
+      graft.operators.Lake.timeTravel(s, d)),
+    "lake_schema_evolution" -> ((s: SparkSession, d: String) =>
+      graft.operators.Lake.schemaEvolution(s, d))
   )
 
   /** DuckDB shingle CTE bodies shared by the near-dup and cluster oracles
@@ -1635,7 +1641,38 @@ object SparkEntry {
          |  round(sum(in_t * in_a) / sum(in_a), 6) AS prec,
          |  round(sum(in_t * in_a) / sum(in_t), 6) AS rec,
          |  round(2.0 * sum(in_t * in_a) / (sum(in_a) + sum(in_t)), 6) AS f1
-         |FROM j""".stripMargin
+         |FROM j""".stripMargin,
+    "q44_rolling_distinct" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |b AS (SELECT CAST(max(ts) AS DATE) AS dmax FROM events),
+        |c AS (SELECT DISTINCT user_id,
+        |        CAST(unnest(generate_series(day::TIMESTAMP,
+        |          (day + INTERVAL 6 DAY)::TIMESTAMP, INTERVAL 1 DAY)) AS DATE) AS w_end
+        |      FROM ud)
+        |SELECT w_end, count(*) AS active_users
+        |FROM c, b WHERE w_end <= dmax GROUP BY 1""".stripMargin,
+    // replays the two commits' set logic; the operator itself goes
+    // end-to-end through manifests + parquet on disk
+    "lake_time_travel" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+        |v2 AS (SELECT doc_id, text FROM v1 WHERE doc_id % 3 <> 0
+        |       UNION ALL
+        |       SELECT doc_id, upper(text) FROM documents WHERE doc_id % 3 = 0),
+        |m AS (SELECT 1 AS version, count(*) AS n_docs,
+        |        count(*) FILTER (WHERE text = upper(text) AND text <> lower(text)) AS n_rewritten
+        |      FROM v1
+        |      UNION ALL
+        |      SELECT 2, count(*),
+        |        count(*) FILTER (WHERE text = upper(text) AND text <> lower(text))
+        |      FROM v2)
+        |SELECT CAST(version AS INTEGER) AS version, n_docs, n_rewritten FROM m""".stripMargin,
+    "lake_schema_evolution" ->
+      """WITH m AS (
+        |  SELECT doc_id, n_chars, NULL AS lang FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, n_chars, lang FROM documents WHERE doc_id % 2 <> 0)
+        |SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM m GROUP BY 1""".stripMargin
   )
 
   /** The MMR oracle replays the greedy diversity selection as a recursive

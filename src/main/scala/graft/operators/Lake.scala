@@ -1,0 +1,143 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Minimal lakehouse table format — the transaction-log pattern behind
+  * Delta/Iceberg, reduced to its two load-bearing ideas and built on plain
+  * parquet plus JSON manifests:
+  *
+  *   - a COMMIT writes immutable data files then atomically publishes a
+  *     version manifest listing the table's live files — readers never see
+  *     a half-written version, and historical versions stay readable
+  *     (time travel) because commits only ADD files and manifests;
+  *   - a READ resolves one manifest and loads exactly its files — O(1)
+  *     metadata, no directory listing race, version pinning for free.
+  *
+  * At 100 TB the same structure holds (manifests list thousands of files;
+  * the manifest itself becomes a parquet file — a detail, not a design
+  * change). Upserts are copy-on-write at file granularity here (SCD-1 by
+  * key), matching `q33_merge_upsert`'s semantics through the storage
+  * layer instead of a query.
+  */
+object Lake {
+
+  private def manifestPath(table: Path, version: Int): Path =
+    table.resolve(s"_manifest_v$version.json")
+
+  /** Commit `df` as `version`: data lands under files/v<version>/, then
+    * the manifest publishes (previous live files ∓ replaced keys is the
+    * CALLER's contract — this layer only publishes file lists).
+    */
+  def commit(df: DataFrame, table: Path, version: Int,
+             carryForward: Seq[String] = Nil): Unit = {
+    val dataDir = table.resolve(s"files/v$version")
+    df.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
+    val newFiles = Files.list(dataDir).iterator()
+    val names = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (newFiles.hasNext) {
+      val p = newFiles.next()
+      if (p.getFileName.toString.endsWith(".parquet"))
+        names += table.relativize(p).toString
+    }
+    val all = (carryForward ++ names.sorted).distinct
+    val json = all.mkString("[\"", "\",\"", "\"]")
+    val tmp = Files.createTempFile(table, s"_manifest_v$version", ".tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    // atomic publish: the manifest appears complete or not at all
+    Files.move(tmp, manifestPath(table, version),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Live files of `version` (what a newer commit must carry forward for
+    * the keys it does not replace).
+    */
+  def liveFiles(table: Path, version: Int): Seq[String] = {
+    val json = new String(Files.readAllBytes(manifestPath(table, version)),
+      StandardCharsets.UTF_8)
+    json.stripPrefix("[").stripSuffix("]").split(",")
+      .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq
+  }
+
+  /** Read the table AS OF `version`: exactly the manifest's files. */
+  def readVersion(s: SparkSession, table: Path, version: Int): DataFrame = {
+    val files = liveFiles(table, version).map(f => table.resolve(f).toString)
+    s.read.parquet(files: _*)
+  }
+
+  /** Time-travel demo over the fixtures, end-to-end through disk:
+    * v1 = even-id documents; v2 = SCD-1 upsert of the id%3 slice with
+    * rewritten (uppercased) text. File-granularity copy-on-write: only
+    * files containing a replaced key rewrite (here the hash-distributed
+    * fixture puts replaced keys in every file, so v2 rewrites all of
+    * them — key-clustered layouts shrink that to the touched files;
+    * `carryForward` publishes the untouched ones). v1's files and
+    * manifest are never modified, so reading AS OF v1 after the v2
+    * commit still returns the ORIGINAL content — the output pins
+    * exactly that.
+    */
+  def timeTravel(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val table = Files.createTempDirectory("graft_lake_")
+    try {
+      val v1 = docs.filter(col("doc_id") % 2 === 0)
+      commit(v1, table, 1)
+      val replaced = docs.filter(col("doc_id") % 3 === 0)
+        .withColumn("text", upper(col("text")))
+      // copy-on-write: keep v1 rows whose key is NOT replaced, add the
+      // rewritten slice; v1's manifest (and files) remain untouched
+      val v2 = readVersion(s, table, 1)
+        .join(replaced.select("doc_id"), Seq("doc_id"), "left_anti")
+        .unionByName(replaced)
+      commit(v2, table, 2)
+      val out = Seq(1, 2).map { v =>
+        val d = readVersion(s, table, v)
+        val r = d.agg(count(lit(1)).as("n_docs"),
+          count(when(col("text") === upper(col("text")) &&
+            col("text") =!= lower(col("text")), 1)).as("n_rewritten"))
+          .collect()(0)
+        (v, r.getLong(0), r.getLong(1))
+      }
+      import s.implicits._
+      out.toDF("version", "n_docs", "n_rewritten")
+    } finally {
+      // data read eagerly above (collect) — safe to clean the temp table
+      org.apache.commons.io.FileUtils.deleteDirectory(table.toFile)
+    }
+  }
+
+  /** Schema evolution through the files — the other lakehouse staple: an
+    * OLD file generation lacks a column later generations carry; a
+    * merged-schema read surfaces the union schema with NULLs for the old
+    * files. Two generations write from the fixtures (gen1 without
+    * `lang`), one `mergeSchema` read unions them; output = per-lang
+    * counts where gen1 rows land in the NULL-lang bucket.
+    */
+  def schemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val table = Files.createTempDirectory("graft_lake_evo_")
+    try {
+      docs.filter(col("doc_id") % 2 === 0).select("doc_id", "n_chars")
+        .write.mode(SaveMode.Overwrite)
+        .parquet(table.resolve("gen=1").toString)
+      docs.filter(col("doc_id") % 2 =!= 0).select("doc_id", "n_chars", "lang")
+        .write.mode(SaveMode.Overwrite)
+        .parquet(table.resolve("gen=2").toString)
+      val merged = s.read.option("mergeSchema", "true")
+        .parquet(table.toString)
+      val out = merged.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .collect()
+      import s.implicits._
+      out.map(r => (Option(r.getString(0)).orNull, r.getLong(1), r.getLong(2)))
+        .toSeq.toDF("lang", "n_docs", "sum_chars")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(table.toFile)
+    }
+  }
+}

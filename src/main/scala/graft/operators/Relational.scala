@@ -676,6 +676,31 @@ object Relational {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Rolling 7-day distinct actives (the WAU curve) — distinct-count
+    * over a sliding window, which no windowed aggregate computes exactly
+    * (distinct does not decompose over frames). Distributed shape: the
+    * contribute-to-window-ends trick — distinct (user, day) pairs each
+    * EXPLODE to the `window` window-ends they fall inside, one more
+    * distinct collapses multi-day users per end, one count per end. Two
+    * hash shuffles and a ×window map-side fan-out of the already
+    * day-compacted pairs — never a per-window re-scan, no window
+    * function at all. The at-scale approximate alternative is one HLL
+    * sketch per day merged over the frame (q20's sketch family).
+    */
+  def q44RollingDistinct(s: SparkSession, dir: String,
+                         window: Int = 7): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val ud = ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val bounds = ev.agg(to_date(max("ts")).as("dmax"))
+    ud.select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), window - 1)))
+          .as("w_end"))
+      .distinct()
+      .crossJoin(broadcast(bounds))
+      .filter(col("w_end") <= col("dmax"))
+      .groupBy("w_end").agg(count(lit(1)).as("active_users"))
+  }
+
   /** Cohort retention — the standard product-analytics matrix (cohort =
     * first-activity month, cell = distinct users active k months later,
     * retention = cell / cohort size). Distributed shape: first-activity

@@ -1,0 +1,63 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Transaction-log table semantics: version isolation, atomic publish
+  * artifacts, carry-forward file reuse, and merged-schema reads.
+  */
+class LakeSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("time travel: v1 reads its original rows after the v2 upsert") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft_lake_spec_")
+    try {
+      val v1 = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("k", "v")
+      Lake.commit(v1, table, 1)
+      val v2 = Lake.readVersion(spark, table, 1)
+        .filter(col("k") =!= 2).unionByName(Seq((2L, "BETA2")).toDF("k", "v"))
+      Lake.commit(v2, table, 2)
+      val r1 = Lake.readVersion(spark, table, 1).orderBy("k").collect()
+      assert(r1.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+        Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")))
+      val r2 = Lake.readVersion(spark, table, 2).orderBy("k").collect()
+      assert(r2.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+        Seq((1L, "alpha"), (2L, "BETA2"), (3L, "gamma")))
+      // no torn manifests left behind by the atomic publish
+      val stray = Files.list(table).iterator()
+      while (stray.hasNext) {
+        val n = stray.next().getFileName.toString
+        assert(!n.endsWith(".tmp"), s"unpublished manifest $n")
+      }
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(table.toFile)
+  }
+
+  test("carry-forward publishes old files without rewriting them") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft_lake_cf_")
+    try {
+      Lake.commit(Seq((1L, "a")).toDF("k", "v"), table, 1)
+      val v1Files = Lake.liveFiles(table, 1)
+      // append-only commit: new slice + untouched v1 files carried forward
+      Lake.commit(Seq((2L, "b")).toDF("k", "v"), table, 2,
+        carryForward = v1Files)
+      assert(v1Files.toSet.subsetOf(Lake.liveFiles(table, 2).toSet))
+      val r2 = Lake.readVersion(spark, table, 2).orderBy("k").collect()
+      assert(r2.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(table.toFile)
+  }
+
+  test("fixture demos: rewritten counts and null-lang bucket line up") {
+    val tt = Lake.timeTravel(spark, sf).orderBy("version").collect()
+    assert(tt.length == 2)
+    assert(tt(0).getLong(2) == 0, "v1 must hold no rewritten text")
+    assert(tt(1).getLong(2) > 0, "v2 upsert must rewrite some rows")
+    val evo = Lake.schemaEvolution(spark, sf).collect()
+    val nullBucket = evo.filter(_.isNullAt(0))
+    assert(nullBucket.length == 1 && nullBucket(0).getLong(1) > 0,
+      "gen1 rows must surface as NULL lang")
+  }
+}
