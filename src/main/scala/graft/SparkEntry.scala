@@ -182,7 +182,9 @@ object SparkEntry {
     "lake_time_travel" -> ((s: SparkSession, d: String) =>
       graft.operators.Lake.timeTravel(s, d)),
     "lake_schema_evolution" -> ((s: SparkSession, d: String) =>
-      graft.operators.Lake.schemaEvolution(s, d))
+      graft.operators.Lake.schemaEvolution(s, d)),
+    "stream_lake_upsert" -> (StreamOps.streamLakeUpsert _),
+    "q45_decile_lift" -> (Relational.q45DecileLift _)
   )
 
   /** DuckDB shingle CTE bodies shared by the near-dup and cluster oracles
@@ -1672,7 +1674,32 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT doc_id, n_chars, lang FROM documents WHERE doc_id % 2 <> 0)
         |SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
-        |FROM m GROUP BY 1""".stripMargin
+        |FROM m GROUP BY 1""".stripMargin,
+    // storage-materialized upsert converges to the same batch compaction
+    // as the in-memory streaming view
+    "stream_lake_upsert" ->
+      """SELECT user_id, event_type, last_ts, last_event_id, last_value, n_versions FROM (
+        |  SELECT user_id, event_type, ts AS last_ts, event_id AS last_event_id,
+        |         value AS last_value,
+        |         count(*) OVER (PARTITION BY user_id, event_type) AS n_versions,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+    "q45_decile_lift" ->
+      """WITH st AS (SELECT o_orderpriority, sum(o_totalprice) AS t_sum,
+        |  count(*) AS t_n FROM orders GROUP BY 1),
+        |enc AS (SELECT o_orderkey, o_totalprice,
+        |  CASE WHEN t_n = 1 THEN NULL
+        |       ELSE round((t_sum - o_totalprice) / CAST(t_n - 1 AS DOUBLE), 4)
+        |  END AS loo_price
+        |  FROM orders o JOIN st USING (o_orderpriority)),
+        |ov AS (SELECT avg(o_totalprice) AS overall_avg FROM enc),
+        |d AS (SELECT ntile(10) OVER (ORDER BY loo_price DESC NULLS LAST,
+        |        o_orderkey) AS decile, o_totalprice FROM enc)
+        |SELECT decile, count(*) AS n,
+        |  round(avg(o_totalprice), 2) AS avg_actual,
+        |  round(round(avg(o_totalprice), 2) / overall_avg, 6) AS lift
+        |FROM d, ov GROUP BY decile, overall_avg""".stripMargin
   )
 
   /** The MMR oracle replays the greedy diversity selection as a recursive

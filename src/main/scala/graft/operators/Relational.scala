@@ -676,6 +676,33 @@ object Relational {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Decile lift table — the model-evaluation staple for a scoring model
+    * (here the LOO target encoder doubles as the "model"): rank rows by
+    * prediction, cut into deciles, compare each decile's actual mean to
+    * the population mean. The ntile needs a TOTAL order — at fixture
+    * scale a single sort; at 100 TB the same query runs on a
+    * range-partitioned sort (Spark's global orderBy already plans one)
+    * or swaps the exact ntile for quantile-boundary bucketing via the
+    * `exactQuantiles` kernel. Ties break on the key so both engines cut
+    * identical deciles; DESC NULLS LAST is spelled on both sides
+    * (engines disagree on DESC null placement by default).
+    */
+  def q45DecileLift(s: SparkSession, dir: String): DataFrame = {
+    val enc = Features.targetEncodeLoo(s, dir)
+    val o = Tables.orders(s, dir).select("o_orderkey", "o_totalprice")
+    val scored = enc.join(o, "o_orderkey")
+    val overall = scored.agg(avg("o_totalprice").as("overall_avg"))
+    scored
+      .withColumn("decile", ntile(10).over(
+        Window.orderBy(col("loo_price").desc_nulls_last, col("o_orderkey"))))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n"),
+        round(avg("o_totalprice"), 2).as("avg_actual"))
+      .crossJoin(broadcast(overall))
+      .select(col("decile"), col("n"), col("avg_actual"),
+        round(col("avg_actual") / col("overall_avg"), 6).as("lift"))
+  }
+
   /** Rolling 7-day distinct actives (the WAU curve) — distinct-count
     * over a sliding window, which no windowed aggregate computes exactly
     * (distinct does not decompose over frames). Distributed shape: the

@@ -543,6 +543,66 @@ object StreamOps {
     * each micro-batch map-side. Draining the finite fixture ends at
     * exactly the batch result, so the SAME DuckDB oracle gates it.
     */
+  /** Streaming upsert MATERIALIZED TO STORAGE — `foreachBatch` + the
+    * manifest-table layer (operators.Lake): each micro-batch SCD-1-merges
+    * into the table and commits a NEW VERSION, so the view lives on disk
+    * with full time-travel history instead of in executor state. The
+    * merge state is (key → last row, n_versions) — both merge
+    * associatively (max_by by the (ts, event_id) total order; counts
+    * add), so any micro-batch split of the changelog converges to the
+    * batch compaction, which is exactly what the shared oracle checks.
+    * Versus `streamMergeUpsert`'s complete-mode memory sink: restart
+    * recovery = read the last committed version (no state store), and
+    * downstream batch readers see consistent snapshots. At scale the
+    * per-batch rewrite cost is the live-key table, the same
+    * copy-on-write bound as q33 — partitioning the table by key range
+    * confines each batch's rewrite to touched partitions.
+    */
+  def streamLakeUpsert(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Lake
+    val ss = streamingSession(s)
+    val path = s"$dir/events.parquet"
+    val schema = ss.read.parquet(path).schema
+    val table = java.nio.file.Files.createTempDirectory("graft_stream_lake_")
+    val version = new java.util.concurrent.atomic.AtomicInteger(0)
+    def compact(changelog: DataFrame): DataFrame = changelog
+      .groupBy("user_id", "event_type")
+      .agg(
+        max_by(struct(col("last_ts"), col("last_event_id"), col("last_value")),
+          struct(col("last_ts"), col("last_event_id"))).as("last"),
+        sum("n_versions").as("n_versions"))
+      .select(col("user_id"), col("event_type"),
+        col("last.last_ts").as("last_ts"),
+        col("last.last_event_id").as("last_event_id"),
+        col("last.last_value").as("last_value"), col("n_versions"))
+    try {
+      val stream = ss.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .transform(graft.Tables.normalizeTs)
+        .select(col("user_id"), col("event_type"), col("ts").as("last_ts"),
+          col("event_id").as("last_event_id"), col("value").as("last_value"),
+          lit(1L).as("n_versions"))
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val v = version.incrementAndGet()
+          val merged =
+            if (v == 1) compact(batch)
+            else compact(Lake.readVersion(batch.sparkSession, table, v - 1)
+              .unionByName(batch))
+          Lake.commit(merged, table, v)
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      val out = Lake.readVersion(ss, table, version.get()).collect()
+      ss.createDataFrame(
+        java.util.Arrays.asList(out: _*),
+        Lake.readVersion(ss, table, version.get()).schema)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(table.toFile)
+    }
+  }
+
   def streamMergeUpsert(s: SparkSession, dir: String): DataFrame = {
     val ss = streamingSession(s)
     val path = s"$dir/events.parquet"

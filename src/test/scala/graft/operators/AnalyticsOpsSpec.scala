@@ -245,6 +245,26 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(p >= 0 && p <= 1 && rec >= 0 && rec <= 1)
   }
 
+  test("lake-materialized streaming upsert equals the in-memory CDC view") {
+    val viaLake = graft.streaming.StreamOps.streamLakeUpsert(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3),
+        r.getDouble(4), r.getLong(5))).toSet
+    val viaState = graft.streaming.StreamOps.streamMergeUpsert(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3),
+        r.getDouble(4), r.getLong(5))).toSet
+    assert(viaLake == viaState && viaLake.nonEmpty)
+  }
+
+  test("decile lift: ten near-equal cuts reconciling to the row count") {
+    val rows = Relational.q45DecileLift(spark, sf).orderBy("decile").collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 10))
+    val n = Tables.orders(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == n)
+    rows.foreach(r => assert(math.abs(r.getLong(1) - n / 10.0) <= 1.0,
+      s"decile ${r.getInt(0)} size ${r.getLong(1)}"))
+    rows.foreach(r => assert(r.getDouble(3) > 0))
+  }
+
   test("incremental rollup merge equals the one-shot recompute") {
     val merged = Relational.q39IncrementalRollup(spark, sf)
     val o = Tables.orders(spark, sf)
