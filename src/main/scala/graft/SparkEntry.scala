@@ -184,7 +184,11 @@ object SparkEntry {
     "lake_schema_evolution" -> ((s: SparkSession, d: String) =>
       graft.operators.Lake.schemaEvolution(s, d)),
     "stream_lake_upsert" -> (StreamOps.streamLakeUpsert _),
-    "q45_decile_lift" -> (Relational.q45DecileLift _)
+    "q45_decile_lift" -> (Relational.q45DecileLift _),
+    "q46_chi_square" -> ((s: SparkSession, d: String) =>
+      graft.operators.Drift.chiSquare(s, d)),
+    "doc_drift_psi" -> ((s: SparkSession, d: String) =>
+      graft.operators.Drift.psi(s, d))
   )
 
   /** DuckDB shingle CTE bodies shared by the near-dup and cluster oracles
@@ -1699,7 +1703,41 @@ object SparkEntry {
         |SELECT decile, count(*) AS n,
         |  round(avg(o_totalprice), 2) AS avg_actual,
         |  round(round(avg(o_totalprice), 2) / overall_avg, 6) AS lift
-        |FROM d, ov GROUP BY decile, overall_avg""".stripMargin
+        |FROM d, ov GROUP BY decile, overall_avg""".stripMargin,
+    // DuckDB dayofweek is 0-based Sunday, Spark's is 1-based — shifted
+    "q46_chi_square" ->
+      """WITH cells AS (SELECT event_type,
+        |    CAST(dayofweek(ts) + 1 AS INTEGER) AS dow, count(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, sum(o) AS row_n FROM cells GROUP BY 1),
+        |ct AS (SELECT dow, sum(o) AS col_n FROM cells GROUP BY 1),
+        |g AS (SELECT sum(o) AS n FROM cells),
+        |we AS (SELECT event_type, dow, o,
+        |         CAST(row_n AS DOUBLE) * col_n / n AS e
+        |       FROM cells JOIN rt USING (event_type) JOIN ct USING (dow), g),
+        |wc AS (SELECT event_type, dow, o, e,
+        |         (o - e) * (o - e) / e AS contrib FROM we),
+        |tt AS (SELECT round(sum(contrib), 4) AS chi2 FROM wc)
+        |SELECT event_type, dow, o, round(e, 4) AS e,
+        |  round(contrib, 6) AS contrib, chi2
+        |FROM wc, tt""".stripMargin,
+    "doc_drift_psi" ->
+      """WITH d AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS x FROM documents),
+        |b AS (SELECT min(x) AS lo, max(x) AS hi FROM d),
+        |bk AS (SELECT CAST(doc_id % 2 = 0 AS INTEGER) AS is_ref,
+        |  LEAST(CAST(floor((x - lo) * 10 / (hi - lo)) AS INTEGER) + 1, 10) AS bucket
+        |  FROM d, b),
+        |cnt AS (SELECT bucket, CAST(sum(is_ref) AS BIGINT) AS n_ref,
+        |  CAST(sum(1 - is_ref) AS BIGINT) AS n_cur FROM bk GROUP BY 1),
+        |t AS (SELECT sum(n_ref) AS t_ref, sum(n_cur) AS t_cur FROM cnt),
+        |p AS (SELECT bucket, n_ref, n_cur,
+        |  greatest(n_ref / t_ref, 1e-6) AS p_ref,
+        |  greatest(n_cur / t_cur, 1e-6) AS p_cur FROM cnt, t),
+        |c AS (SELECT bucket, n_ref, n_cur,
+        |  (p_cur - p_ref) * ln(p_cur / p_ref) AS contrib FROM p),
+        |tt AS (SELECT round(sum(contrib), 6) AS psi FROM c)
+        |SELECT bucket, n_ref, n_cur, round(contrib, 6) AS contrib, psi
+        |FROM c, tt""".stripMargin
   )
 
   /** The MMR oracle replays the greedy diversity selection as a recursive

@@ -265,6 +265,28 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getDouble(3) > 0))
   }
 
+  test("chi-square cells reconcile: totals, nonnegative contribs, summed stat") {
+    val rows = Drift.chiSquare(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val n = Tables.events(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum == n)
+    rows.foreach(r => assert(r.getDouble(4) >= 0.0))
+    val chi2 = rows(0).getDouble(5)
+    assert(rows.forall(_.getDouble(5) == chi2))
+    val summed = rows.map(_.getDouble(4)).sum
+    assert(math.abs(summed - chi2) < 1e-2, s"$summed vs $chi2")
+  }
+
+  test("psi buckets cover both snapshots and the stat sums the contribs") {
+    val rows = Drift.psi(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sf).count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum == docs)
+    val psi = rows(0).getDouble(4)
+    assert(psi >= 0.0, "PSI is a sum of (p-q)ln(p/q) terms, each >= 0")
+    assert(math.abs(rows.map(_.getDouble(3)).sum - psi) < 1e-4)
+  }
+
   test("incremental rollup merge equals the one-shot recompute") {
     val merged = Relational.q39IncrementalRollup(spark, sf)
     val o = Tables.orders(spark, sf)
