@@ -188,7 +188,9 @@ object SparkEntry {
     "q46_chi_square" -> ((s: SparkSession, d: String) =>
       graft.operators.Drift.chiSquare(s, d)),
     "doc_drift_psi" -> ((s: SparkSession, d: String) =>
-      graft.operators.Drift.psi(s, d))
+      graft.operators.Drift.psi(s, d)),
+    "stream_late_audit" -> ((s: SparkSession, d: String) =>
+      StreamOps.streamLateAudit(s, d))
   )
 
   /** DuckDB shingle CTE bodies shared by the near-dup and cluster oracles
@@ -1737,7 +1739,23 @@ object SparkEntry {
         |  (p_cur - p_ref) * ln(p_cur / p_ref) AS contrib FROM p),
         |tt AS (SELECT round(sum(contrib), 6) AS psi FROM c)
         |SELECT bucket, n_ref, n_cur, round(contrib, 6) AS contrib, psi
-        |FROM c, tt""".stripMargin
+        |FROM c, tt""".stripMargin,
+    // replay of the pinned three-batch arrival: even slice on time,
+    // odd slice late-filtered at W1 = max(even ts) - 15d (drop iff the
+    // 6h window closed before W1), heartbeat pushes the final watermark
+    // past every real window so append mode emits them all
+    "stream_late_audit" ->
+      """WITH w1 AS (SELECT max(ts) - INTERVAL 15 DAY AS wm
+        |            FROM events WHERE event_id % 2 = 0),
+        |acc AS (
+        |  SELECT ts, event_type, value FROM events WHERE event_id % 2 = 0
+        |  UNION ALL
+        |  SELECT e.ts, e.event_type, e.value FROM events e, w1
+        |  WHERE event_id % 2 = 1
+        |    AND CAST(to_timestamp((floor(epoch(ts) / 21600) + 1) * 21600) AS TIMESTAMP) > wm)
+        |SELECT CAST(to_timestamp(floor(epoch(ts) / 21600) * 21600) AS TIMESTAMP) AS win_start,
+        |  event_type, count(*) AS cnt, round(sum(value), 2) AS sum_v
+        |FROM acc GROUP BY 1, 2""".stripMargin
   )
 
   /** The MMR oracle replays the greedy diversity selection as a recursive

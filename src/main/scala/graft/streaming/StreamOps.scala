@@ -543,6 +543,111 @@ object StreamOps {
     * each micro-batch map-side. Draining the finite fixture ends at
     * exactly the batch result, so the SAME DuckDB oracle gates it.
     */
+  /** Watermark late-data semantics, end-to-end and DETERMINISTIC — the
+    * part of event-time processing that only shows under multi-batch
+    * arrival: the fixture is staged into three files consumed in a
+    * pinned order (`maxFilesPerTrigger=1`, explicit mtimes):
+    *
+    *   1. the on-time slice (even event_ids) — its max event time sets
+    *      the watermark W₁ = max(ts) − delay after batch 1;
+    *   2. the straggler slice (odd event_ids) — rows whose window closed
+    *      before W₁ are DROPPED by the watermark, rows in still-open
+    *      windows are accepted late;
+    *   3. a single heartbeat row far in the future — pushes the final
+    *      watermark past every real window so append mode EMITS them
+    *      (the heartbeat's own window stays open and never emits).
+    *
+    * Because the file order is pinned, the drop set is a pure function
+    * of the data and the batch SQL oracle replays it exactly — the spec
+    * additionally cross-checks `numRowsDroppedByWatermark` from query
+    * progress against the oracle's drop count. Windowed counts come out
+    * in append mode (finalized-only), the production emission contract.
+    */
+  def streamLateAudit(s: SparkSession, dir: String,
+                      delay: String = "15 days",
+                      windowLen: String = "6 hours"): DataFrame = {
+    val ss = streamingSession(s)
+    val ev = ss.read.parquet(s"$dir/events.parquet")
+      .transform(graft.Tables.normalizeTs)
+    val stage = java.nio.file.Files.createTempDirectory("graft_late_")
+    val watch = stage.resolve("watch")
+    java.nio.file.Files.createDirectory(watch)
+    try {
+      val heartbeatTs = ev.agg(max("ts")).collect()(0).getTimestamp(0)
+        .toInstant.plus(java.time.Duration.ofDays(20))
+      def stageFile(df: DataFrame, n: Int): Unit = {
+        val tmp = stage.resolve(s"tmp$n")
+        df.coalesce(1).write.parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp).iterator()
+        var src: java.nio.file.Path = null
+        while (part.hasNext) {
+          val p = part.next()
+          if (p.getFileName.toString.endsWith(".parquet")) src = p
+        }
+        val dst = watch.resolve(f"batch$n%04d.parquet")
+        java.nio.file.Files.move(src, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1000000L + n * 10000L))
+      }
+      // ORDER MATTERS, and one batch more subtly than the docs suggest:
+      // Spark's LATE-EVENT filter for batch N uses the watermark computed
+      // from data through batch N−2 (one batch behind the EVICTION
+      // watermark — measured here via the progress trace, not assumed).
+      // So the heartbeat slots BETWEEN the on-time and straggler slices:
+      // batch 3's late filter then runs at W₁ = max(on-time ts) − delay.
+      stageFile(ev.filter(col("event_id") % 2 === 0), 1)
+      // heartbeat keeps the exact file schema: one row, far-future ts
+      stageFile(ev.limit(1)
+        .withColumn("ts", lit(java.sql.Timestamp.from(heartbeatTs)))
+        .withColumn("event_id", lit(-1L))
+        .withColumn("event_type", lit("heartbeat"))
+        .withColumn("value", lit(0.0)), 2)
+      stageFile(ev.filter(col("event_id") % 2 =!= 0), 3)
+      val name = s"graft_stream_${counter.incrementAndGet()}"
+      val schema = ss.read.parquet(watch.toString).schema
+      val stream = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(watch.toString)
+        .withWatermark("ts", delay)
+        .groupBy(window(col("ts"), windowLen), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_v"))
+      val q = stream.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally {
+        lastDroppedByWatermark = q.recentProgress
+          .map(p => Option(p.stateOperators).map(_.map(
+            _.numRowsDroppedByWatermark).sum).getOrElse(0L)).sum
+        lastProgressSummary = q.recentProgress.map(p =>
+          s"[rows=${p.numInputRows} wm=${p.eventTime.get("watermark")}]")
+          .mkString(" ")
+        q.stop()
+      }
+      val result = ss.table(name).select(
+        col("window.start").as("win_start"), col("event_type"),
+        col("cnt"), col("sum_v"))
+      val out = result.collect()
+      ss.createDataFrame(java.util.Arrays.asList(out: _*), result.schema)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
+    }
+  }
+
+  /** Watermark-drop count observed by the most recent [[streamLateAudit]]
+    * run (query-progress metric; the spec reconciles it with the oracle's
+    * replayed drop set).
+    */
+  @volatile var lastDroppedByWatermark: Long = -1L
+
+  /** Per-batch (rows, watermark) trace of the most recent
+    * [[streamLateAudit]] run — debugging/observability aid.
+    */
+  @volatile var lastProgressSummary: String = ""
+
   /** Streaming upsert MATERIALIZED TO STORAGE — `foreachBatch` + the
     * manifest-table layer (operators.Lake): each micro-batch SCD-1-merges
     * into the table and commits a NEW VERSION, so the view lives on disk

@@ -195,4 +195,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.size - streamed.size <= users)
     assert(streamed.nonEmpty)
   }
+
+  test("late audit replays exactly: drops by window, emits by watermark") {
+    import org.apache.spark.sql.functions._
+    val streamed = StreamOps.streamLateAudit(spark, sf)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val ev = graft.Tables.events(spark, sf)
+    val winLenSec = 6 * 3600L
+    val winEnd = to_timestamp(
+      (floor(unix_timestamp(col("ts")) / winLenSec) + 1) * winLenSec)
+    // W1 = watermark after the on-time batch, ms-truncated as Spark keeps it
+    val maxEvenMs = ev.filter(col("event_id") % 2 === 0)
+      .agg(max(col("ts"))).collect()(0).getTimestamp(0).getTime
+    val w1 = new java.sql.Timestamp(
+      maxEvenMs - 15L * 24 * 3600 * 1000)
+    val accepted = ev.filter(col("event_id") % 2 === 0)
+      .unionByName(ev.filter(col("event_id") % 2 =!= 0)
+        .filter(winEnd > lit(w1)))
+    val expected = accepted
+      .groupBy(to_timestamp(floor(unix_timestamp(col("ts")) / winLenSec) *
+        winLenSec).as("win_start"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_v"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(streamed === expected,
+      s"\nonly-streamed=${(streamed -- expected).toSeq.sortBy(_._1.getTime).take(5)}" +
+        s"\nonly-expected=${(expected -- streamed).toSeq.sortBy(_._1.getTime).take(5)}" +
+        s"\nsizes ${streamed.size} vs ${expected.size}")
+    // the engine's drop counter sits AFTER the in-batch partial
+    // aggregation, so it counts dropped (window, type) partials — a
+    // positive number bounded by the replayed dropped-EVENT count
+    val droppedExpected = ev.filter(col("event_id") % 2 =!= 0)
+      .filter(winEnd <= lit(w1)).count()
+    assert(droppedExpected > 0, "fixture must produce genuine late data")
+    assert(StreamOps.lastDroppedByWatermark > 0 &&
+      StreamOps.lastDroppedByWatermark <= droppedExpected,
+      s"engine ${StreamOps.lastDroppedByWatermark} vs events $droppedExpected")
+  }
 }
