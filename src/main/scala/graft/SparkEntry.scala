@@ -190,7 +190,13 @@ object SparkEntry {
     "doc_drift_psi" -> ((s: SparkSession, d: String) =>
       graft.operators.Drift.psi(s, d)),
     "stream_late_audit" -> ((s: SparkSession, d: String) =>
-      StreamOps.streamLateAudit(s, d))
+      StreamOps.streamLateAudit(s, d)),
+    "ann_index_persist" -> ((s: SparkSession, d: String) =>
+      Similarity.annIndexPersist(s, d)),
+    // rows-only by design: no SQL oracle replays an eigensolver;
+    // FeaturesSpec pins the linear-algebra invariants
+    "emb_pca_project" -> ((s: SparkSession, d: String) =>
+      Similarity.pcaProject(s, d))
   )
 
   /** DuckDB shingle CTE bodies shared by the near-dup and cluster oracles
@@ -1755,7 +1761,10 @@ object SparkEntry {
         |    AND CAST(to_timestamp((floor(epoch(ts) / 21600) + 1) * 21600) AS TIMESTAMP) > wm)
         |SELECT CAST(to_timestamp(floor(epoch(ts) / 21600) * 21600) AS TIMESTAMP) AS win_start,
         |  event_type, count(*) AS cnt, round(sum(value), 2) AS sum_v
-        |FROM acc GROUP BY 1, 2""".stripMargin
+        |FROM acc GROUP BY 1, 2""".stripMargin,
+    // the persisted index round-trips bit-exactly, so the in-memory
+    // LSH oracle gates the serve-from-storage path too
+    "ann_index_persist" -> annLshOracle
   )
 
   /** The MMR oracle replays the greedy diversity selection as a recursive

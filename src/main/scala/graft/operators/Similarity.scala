@@ -748,6 +748,138 @@ object Similarity {
       s"stack(${cells.length}, ${cells.mkString(", ")}) AS (i, j, cov)"))
   }
 
+  /** Index-persistence serve path — the deployment split every ANN
+    * system has (build the index ONCE, serve queries from the stored
+    * artifact): the LSH sign-bucket index (vectors + norms + bucket ids)
+    * commits to a manifest table ([[graft.operators.Lake]]), a fresh
+    * read of that version serves the same broadcast bucket-probe join as
+    * [[annLsh]]. Floats, norms, and buckets round-trip parquet exactly,
+    * so results are bit-equal to the in-memory pipeline and the SAME SQL
+    * oracle gates both. At scale the index table is bucket-partitioned
+    * so a probe reads only its bucket's files — the manifest gives the
+    * pruning for free.
+    */
+  def annIndexPersist(s: SparkSession, dir: String, numQueries: Int = 10,
+                      k: Int = 5, numPlanes: Int = 4,
+                      dim: Int = Dim): DataFrame = {
+    val indexed = corpusVectors(s, dir)
+      .withColumn("bucket", lshBucket(numPlanes, dim)(col("v")))
+    val table = java.nio.file.Files.createTempDirectory("graft_ann_index_")
+    try {
+      graft.operators.Lake.commit(indexed, table, 1)
+      val idx = graft.operators.Lake.readVersion(s, table, 1)
+      val q = idx.filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("bucket"))
+      val scored = idx.join(broadcast(q), Seq("bucket"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(call_function("graft_dot", col("v"), col("qv")) /
+            (col("nrm") * col("qn")), 6).as("cosine"))
+      val res = topKPerQuery(s, scored, k)
+      val out = res.collect()
+      s.createDataFrame(java.util.Arrays.asList(out: _*), res.schema)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(table.toFile)
+    }
+  }
+
+  /** PCA projection — the transform completing [[covarianceMatrix]]'s
+    * fit: eigendecomposition of the dims² covariance runs driver-side
+    * (cyclic Jacobi, deterministic sweep order and sign convention — the
+    * same index-metadata boundary as annIvf's centroid fit), then the
+    * projection onto the top-k components is one zero-shuffle codegen
+    * map with the basis as plan literals. Engine-internal by nature (no
+    * SQL oracle replays an eigensolver), so the entry is rows-only;
+    * FeaturesSpec pins the linear-algebra invariants instead: projected
+    * covariance ≈ diag(top eigenvalues), components orthonormal,
+    * variance ordering.
+    */
+  def pcaProject(s: SparkSession, dir: String, nDims: Int = 8,
+                 k: Int = 2): DataFrame = {
+    val cells = covarianceMatrix(s, dir, nDims).collect()
+    val m = Array.ofDim[Double](nDims, nDims)
+    cells.foreach { r =>
+      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      m(i)(j) = c; m(j)(i) = c
+    }
+    val (eigVals, eigVecs) = jacobiEigen(m)
+    val order = eigVals.indices.sortBy(i => (-eigVals(i), i)).take(k)
+    val basis = order.map { idx =>
+      val v = eigVecs.map(_(idx))
+      // sign convention: the largest-magnitude component is positive
+      val pivot = v.indices.maxBy(i => (math.abs(v(i)), -i))
+      if (v(pivot) < 0) v.map(-_) else v
+    }
+    val e = Tables.embeddings(s, dir)
+    val means = e.select((0 until nDims).map(i =>
+      avg(element_at(col("embedding"), i + 1).cast("double")).as(s"m$i")): _*)
+      .collect()(0)
+    val mu = (0 until nDims).map(means.getDouble).toArray
+    val pcs = basis.zipWithIndex.map { case (v, j) =>
+      (0 until nDims).map(i =>
+        (element_at(col("embedding"), i + 1).cast("double") - mu(i)) * v(i))
+        .reduce(_ + _).as(s"pc${j + 1}")
+    }
+    e.select(col("vec_id") +: pcs.map(c => round(c, 6)): _*)
+      .toDF(("vec_id" +: (1 to k).map(j => s"pc$j")): _*)
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a small symmetric matrix —
+    * deterministic sweep order (row-major upper triangle), fixed
+    * iteration cap; returns (eigenvalues, column-eigenvector matrix).
+    * Driver-side on dims×dims input only.
+    */
+  private[operators] def jacobiEigen(a0: Array[Array[Double]])
+  : (Array[Double], Array[Array[Double]]) = {
+    val n = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    while (sweep < 64 && {
+      var off = 0.0
+      var i = 0
+      while (i < n) { var j = i + 1; while (j < n) { off += a(i)(j) * a(i)(j); j += 1 }; i += 1 }
+      off > 1e-22
+    }) {
+      var p = 0
+      while (p < n - 1) {
+        var q = p + 1
+        while (q < n) {
+          if (math.abs(a(p)(q)) > 1e-18) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+            // theta = 0 still rotates (signum would zero the angle out)
+            val t = (if (theta >= 0) 1.0 else -1.0) /
+              (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val sn = t * c
+            var i = 0
+            while (i < n) {
+              val aip = a(i)(p); val aiq = a(i)(q)
+              a(i)(p) = c * aip - sn * aiq
+              a(i)(q) = sn * aip + c * aiq
+              i += 1
+            }
+            i = 0
+            while (i < n) {
+              val api = a(p)(i); val aqi = a(q)(i)
+              a(p)(i) = c * api - sn * aqi
+              a(q)(i) = sn * api + c * aqi
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - sn * viq
+              v(i)(q) = sn * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    ((0 until n).map(i => a(i)(i)).toArray, v)
+  }
+
   /** Retrieval-arm evaluation — recall@k, MRR, nDCG@k of the LSH arm
     * against the exact brute-force truth: the measurement loop every ANN
     * deployment runs before trading recall for probe cost (the numbers

@@ -97,6 +97,44 @@ class FeaturesSpec extends AnyFunSuite {
     assert(fd.toSeq == Seq(7.0, 7.0))
   }
 
+  test("PCA projection: projected covariance is diag(top eigenvalues)") {
+    val out = Similarity.pcaProject(spark, sf).cache()
+    try {
+      val n = Tables.embeddings(spark, sf).count()
+      assert(out.count() == n)
+      val stats = out.agg(
+        var_samp("pc1"), var_samp("pc2"), covar_samp("pc1", "pc2"),
+        avg("pc1"), avg("pc2")).collect()(0)
+      val (v1, v2, c12) = (stats.getDouble(0), stats.getDouble(1),
+        stats.getDouble(2))
+      // centered projection: means ~ 0
+      assert(math.abs(stats.getDouble(3)) < 1e-4 &&
+        math.abs(stats.getDouble(4)) < 1e-4)
+      // top component captures at least as much variance; cross-cov ~ 0
+      assert(v1 >= v2 - 1e-9, s"$v1 < $v2")
+      assert(math.abs(c12) < 1e-3, s"pc1/pc2 not decorrelated: $c12")
+      // eigenvalues of the 8-dim covariance reproduce the variances
+      val cells = Similarity.covarianceMatrix(spark, sf).collect()
+      val m = Array.ofDim[Double](8, 8)
+      cells.foreach { r =>
+        m(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+        m(r.getInt(1))(r.getInt(0)) = r.getDouble(2)
+      }
+      val (vals, _) = Similarity.jacobiEigen(m)
+      val top = vals.sorted.reverse.take(2)
+      assert(math.abs(v1 - top(0)) < 1e-2, s"$v1 vs ${top(0)}")
+      assert(math.abs(v2 - top(1)) < 1e-2, s"$v2 vs ${top(1)}")
+    } finally out.unpersist()
+  }
+
+  test("persisted ANN index serves exactly the in-memory LSH results") {
+    val served = Similarity.annIndexPersist(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val mem = Similarity.annLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(served == mem && served.nonEmpty)
+  }
+
   test("BPE pair counts match a hand recount for the top pair") {
     val top = Features.bpePairCounts(spark, sf).collect()
     assert(top.length == 20)
