@@ -196,7 +196,9 @@ object SparkEntry {
     // rows-only by design: no SQL oracle replays an eigensolver;
     // FeaturesSpec pins the linear-algebra invariants
     "emb_pca_project" -> ((s: SparkSession, d: String) =>
-      Similarity.pcaProject(s, d))
+      Similarity.pcaProject(s, d)),
+    "q47_transition_matrix" -> (Relational.q47TransitionMatrix _),
+    "q48_string_agg" -> (Relational.q48StringAgg _)
   )
 
   /** DuckDB shingle CTE bodies shared by the near-dup and cluster oracles
@@ -1764,7 +1766,22 @@ object SparkEntry {
         |FROM acc GROUP BY 1, 2""".stripMargin,
     // the persisted index round-trips bit-exactly, so the in-memory
     // LSH oracle gates the serve-from-storage path too
-    "ann_index_persist" -> annLshOracle
+    "ann_index_persist" -> annLshOracle,
+    "q47_transition_matrix" ->
+      """WITH t AS (SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, count(*) AS n FROM t
+        |      WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |ft AS (SELECT from_type, sum(n) AS row_n FROM c GROUP BY 1)
+        |SELECT from_type, to_type, n, round(n / row_n, 6) AS p
+        |FROM c JOIN ft USING (from_type)""".stripMargin,
+    "q48_string_agg" ->
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |  count(*) AS n_nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1""".stripMargin
   )
 
   /** The MMR oracle replays the greedy diversity selection as a recursive

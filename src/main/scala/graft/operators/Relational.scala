@@ -676,6 +676,47 @@ object Relational {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Next-event transition matrix (first-order Markov over user
+    * journeys) — the path-analysis primitive behind funnel discovery and
+    * session modeling: per-user event sequences yield (from → to)
+    * transition counts and row-normalized probabilities. One window
+    * partitioned BY USER (sequences are per-user, so the sort is local
+    * to each user's events — never a global sort), transitions counted
+    * by a two-phase hash agg, per-from totals derived from the tiny
+    * transition matrix itself and broadcast back. Ties in event time
+    * break on event_id so both engines see identical sequences.
+    */
+  def q47TransitionMatrix(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val trans = ev
+      .withColumn("to_type", lead("event_type", 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val fromTot = trans.groupBy("from_type").agg(sum("n").as("row_n"))
+    trans.join(broadcast(fromTot), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n") / col("row_n"), 6).as("p"))
+  }
+
+  /** Ordered string aggregation (LISTAGG) — the reporting staple:
+    * member names per group, deterministically ordered inside the
+    * aggregate. Spark spells it collect_list → sort_array → array_join
+    * (one hash agg; the per-group sort runs on group-sized arrays, never
+    * a shuffle), the oracle as string_agg(... ORDER BY ...). Group
+    * cardinality bounds memory — for unbounded groups the production
+    * variants cap or top-k the membership first.
+    */
+  def q48StringAgg(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(array_join(sort_array(collect_list(col("n_name"))), ",")
+        .as("nations"), count(lit(1)).as("n_nations"))
+  }
+
   /** Decile lift table — the model-evaluation staple for a scoring model
     * (here the LOO target encoder doubles as the "model"): rank rows by
     * prediction, cut into deciles, compare each decile's actual mean to

@@ -287,6 +287,31 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(math.abs(rows.map(_.getDouble(3)).sum - psi) < 1e-4)
   }
 
+  test("transition matrix rows are proper distributions over observed pairs") {
+    val rows = Relational.q47TransitionMatrix(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byFrom = rows.groupBy(_.getString(0))
+    byFrom.foreach { case (from, rs) =>
+      val pSum = rs.map(_.getDouble(3)).sum
+      assert(math.abs(pSum - 1.0) < 1e-4, s"$from rows sum to $pSum")
+    }
+    val totalTransitions = rows.map(_.getLong(2)).sum
+    val ev = Tables.events(spark, sf)
+    val users = ev.select("user_id").distinct().count()
+    assert(totalTransitions == ev.count() - users,
+      "each user contributes (events - 1) transitions")
+  }
+
+  test("string agg yields sorted, comma-joined members per group") {
+    val rows = Relational.q48StringAgg(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val members = r.getString(1).split(",").toSeq
+      assert(members == members.sorted, s"${r.getString(0)} unsorted")
+      assert(members.size == r.getLong(2))
+    }
+  }
+
   test("incremental rollup merge equals the one-shot recompute") {
     val merged = Relational.q39IncrementalRollup(spark, sf)
     val o = Tables.orders(spark, sf)
