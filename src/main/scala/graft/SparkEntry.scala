@@ -198,7 +198,9 @@ object SparkEntry {
     "emb_pca_project" -> ((s: SparkSession, d: String) =>
       Similarity.pcaProject(s, d)),
     "q47_transition_matrix" -> (Relational.q47TransitionMatrix _),
-    "q48_string_agg" -> (Relational.q48StringAgg _)
+    "q48_string_agg" -> (Relational.q48StringAgg _),
+    "ann_filtered" -> ((s: SparkSession, d: String) => Similarity.annFiltered(s, d)),
+    "q49_time_to_convert" -> (Relational.q49TimeToConvert _)
   )
 
   /** DuckDB shingle CTE bodies shared by the near-dup and cluster oracles
@@ -1781,7 +1783,31 @@ object SparkEntry {
       """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
         |  count(*) AS n_nations
         |FROM nation JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+    "ann_filtered" ->
+      """WITH v AS (SELECT vec_id, label,
+        |  list_transform(embedding, x -> x::DOUBLE) AS e,
+        |  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |    round(list_sum(list_transform(range(1, len(q.e) + 1), i -> q.e[i] * n.e[i])) / (q.nrm * n.nrm), 6) AS cosine
+        |  FROM v q JOIN v n ON q.vec_id < 10 AND n.vec_id <> q.vec_id AND n.label = 3)
+        |SELECT query_id, neighbor_id, cosine,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+        |FROM scored
+        |QUALIFY rank <= 5""".stripMargin,
+    "q49_time_to_convert" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_click, min(t_view) AS t_view2
+        |      FROM events e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND e.ts >= t_view GROUP BY 1),
+        |d AS (SELECT epoch_us(t_click) - epoch_us(t_view2) AS micros FROM c)
+        |SELECT count(*) AS n_converted,
+        |  round(quantile_cont(micros / 1e6, 0.5), 3) AS p50_sec,
+        |  round(quantile_cont(micros / 1e6, 0.9), 3) AS p90_sec
+        |FROM d""".stripMargin
   )
 
   /** The MMR oracle replays the greedy diversity selection as a recursive

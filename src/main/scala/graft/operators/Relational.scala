@@ -676,6 +676,33 @@ object Relational {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Funnel time-to-convert — latency between funnel stages (first view
+    * → first click after it), summarized as conversion count + exact
+    * median/p90 of the per-user duration. The duration table is
+    * USER-cardinality (two chained conditional-min aggregates, q34's
+    * shape — stage filters at the scan, no window over raw events), so
+    * the exact percentile aggregate runs over key-sized input where its
+    * value-map state is harmless — the documented contrast with
+    * q41's high-cardinality case, which needs the histogram-refinement
+    * kernel.
+    */
+  def q49TimeToConvert(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t_view"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .join(views, Seq("user_id"))
+      .filter(col("ts") >= col("t_view"))
+      .groupBy("user_id").agg(min("ts").as("t_click"),
+        first("t_view").as("t_view2"))
+    clicks
+      .select((unix_micros(col("t_click")) - unix_micros(col("t_view2")))
+        .as("micros"))
+      .agg(count(lit(1)).as("n_converted"),
+        round(expr("percentile(micros / 1e6, 0.5D)"), 3).as("p50_sec"),
+        round(expr("percentile(micros / 1e6, 0.9D)"), 3).as("p90_sec"))
+  }
+
   /** Next-event transition matrix (first-order Markov over user
     * journeys) — the path-analysis primitive behind funnel discovery and
     * session modeling: per-user event sequences yield (from → to)

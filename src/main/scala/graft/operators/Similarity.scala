@@ -748,6 +748,34 @@ object Similarity {
       s"stack(${cells.length}, ${cells.mkString(", ")}) AS (i, j, cov)"))
   }
 
+  /** Filtered vector search — ANN under a metadata predicate (the
+    * "filtered search" problem every vector store faces): return top-k
+    * neighbors among corpus vectors whose label matches. Strategy here
+    * is PRE-FILTER + exact scan: the label predicate pushes down to the
+    * parquet scan (selective predicates shrink the candidate set before
+    * any distance math), then the familiar broadcast-query single pass +
+    * bounded `graft_topk`. The documented scale trade: selective
+    * predicates → pre-filter (this plan); unselective → probe the
+    * LSH/IVF index and post-filter, accepting recall loss on filtered-
+    * out bucket mass. Oracle replays the filtered brute force exactly.
+    */
+  def annFiltered(s: SparkSession, dir: String, numQueries: Int = 10,
+                  k: Int = 5, label: Int = 3): DataFrame = {
+    DotProduct.register(s)
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").as("v"), col("label"))
+      .withColumn("nrm", sqrt(call_function("graft_dot", col("v"), col("v"))))
+    val q = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val scored = e.filter(col("label") === label)
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(call_function("graft_dot", col("v"), col("qv")) /
+          (col("nrm") * col("qn")), 6).as("cosine"))
+    topKPerQuery(s, scored, k)
+  }
+
   /** Index-persistence serve path — the deployment split every ANN
     * system has (build the index ONCE, serve queries from the stored
     * artifact): the LSH sign-bucket index (vectors + norms + bucket ids)
