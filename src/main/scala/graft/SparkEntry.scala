@@ -200,7 +200,9 @@ object SparkEntry {
     "q47_transition_matrix" -> (Relational.q47TransitionMatrix _),
     "q48_string_agg" -> (Relational.q48StringAgg _),
     "ann_filtered" -> ((s: SparkSession, d: String) => Similarity.annFiltered(s, d)),
-    "q49_time_to_convert" -> (Relational.q49TimeToConvert _)
+    "q49_time_to_convert" -> (Relational.q49TimeToConvert _),
+    "q50_streak_islands" -> (Relational.q50StreakIslands _),
+    "emb_drift_centroid" -> (Similarity.embDriftCentroid _)
   )
 
   /** DuckDB shingle CTE bodies shared by the near-dup and cluster oracles
@@ -1807,7 +1809,39 @@ object SparkEntry {
         |SELECT count(*) AS n_converted,
         |  round(quantile_cont(micros / 1e6, 0.5), 3) AS p50_sec,
         |  round(quantile_cont(micros / 1e6, 0.9), 3) AS p90_sec
-        |FROM d""".stripMargin
+        |FROM d""".stripMargin,
+    "q50_streak_islands" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |i AS (SELECT user_id, day,
+        |        day - CAST(row_number() OVER (PARTITION BY user_id
+        |                                      ORDER BY day) AS INTEGER) AS grp
+        |      FROM ud),
+        |g AS (SELECT user_id, grp, count(*) AS len, min(day) AS streak_start
+        |      FROM i GROUP BY 1, 2)
+        |SELECT user_id, max(len) AS longest_streak, count(*) AS n_streaks,
+        |  min(streak_start) AS first_day
+        |FROM g GROUP BY 1""".stripMargin,
+    "emb_drift_centroid" ->
+      """WITH ex AS (SELECT vec_id, label,
+        |    CAST(vec_id % 2 = 0 AS INTEGER) AS is_ref,
+        |    generate_subscripts(embedding, 1) - 1 AS dim_idx,
+        |    unnest(list_transform(embedding, x -> x::DOUBLE)) AS x
+        |  FROM embeddings),
+        |m AS (SELECT label, dim_idx, is_ref, avg(x) AS m
+        |      FROM ex GROUP BY 1, 2, 3),
+        |w AS (SELECT label, dim_idx,
+        |        max(CASE WHEN is_ref = 1 THEN m END) AS m_ref,
+        |        max(CASE WHEN is_ref = 0 THEN m END) AS m_cur
+        |      FROM m GROUP BY 1, 2),
+        |s AS (SELECT label,
+        |        round(sqrt(sum((m_ref - m_cur) * (m_ref - m_cur))), 6) AS centroid_shift
+        |      FROM w GROUP BY 1),
+        |c AS (SELECT label,
+        |        count(*) FILTER (WHERE vec_id % 2 = 0) AS n_ref,
+        |        count(*) FILTER (WHERE vec_id % 2 <> 0) AS n_cur
+        |      FROM embeddings GROUP BY 1)
+        |SELECT label, centroid_shift, n_ref, n_cur
+        |FROM s JOIN c USING (label)""".stripMargin
   )
 
   /** The MMR oracle replays the greedy diversity selection as a recursive

@@ -676,6 +676,27 @@ object Relational {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Longest activity streak per user — gaps-and-islands over active
+    * days (retention's sibling metric): distinct (user, day), island id
+    * = day − row_number·1day (constant within a consecutive run), max
+    * island length per user. Both windows partition BY USER over
+    * day-compacted rows — local sorts of per-user day lists, never a
+    * global sort; the corpus-scale work is the one distinct.
+    */
+  def q50StreakIslands(s: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val islands = ud
+      .withColumn("grp", date_sub(col("day"), row_number().over(w)))
+      .groupBy("user_id", "grp").agg(count(lit(1)).as("len"),
+        min("day").as("streak_start"))
+    islands.groupBy("user_id")
+      .agg(max("len").as("longest_streak"),
+        count(lit(1)).as("n_streaks"),
+        min("streak_start").as("first_day"))
+  }
+
   /** Funnel time-to-convert — latency between funnel stages (first view
     * → first click after it), summarized as conversion count + exact
     * median/p90 of the per-user duration. The duration table is

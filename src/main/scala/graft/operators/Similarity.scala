@@ -748,6 +748,33 @@ object Similarity {
       s"stack(${cells.length}, ${cells.mkString(", ")}) AS (i, j, cov)"))
   }
 
+  /** Embedding centroid drift — the vector-space sibling of
+    * `doc_drift_psi`: per-label centroid shift (L2) between two corpus
+    * snapshots (even vs odd vec_ids standing in for yesterday/today),
+    * the gate that catches a broken embedding-model rollout before it
+    * poisons an index. One (label, dim, side) mean aggregate over the
+    * exploded components (labels × dims × 2 rows — tiny, map-side
+    * mergeable), conditional pivot, one L2 fold per label.
+    */
+  def embDriftCentroid(s: SparkSession, dir: String): DataFrame = {
+    val ex = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(transform(col("embedding"), x => x.cast("double")))
+          .as(Seq("dim_idx", "x")))
+      .withColumn("is_ref", (col("vec_id") % 2 === 0).cast("int"))
+    val m = ex.groupBy("label", "dim_idx", "is_ref").agg(avg("x").as("m"))
+    val wide = m.groupBy("label", "dim_idx").agg(
+      max(when(col("is_ref") === 1, col("m"))).as("m_ref"),
+      max(when(col("is_ref") === 0, col("m"))).as("m_cur"))
+    val counts = Tables.embeddings(s, dir).groupBy("label").agg(
+      count(when(col("vec_id") % 2 === 0, 1)).as("n_ref"),
+      count(when(col("vec_id") % 2 =!= 0, 1)).as("n_cur"))
+    wide.groupBy("label")
+      .agg(round(sqrt(sum((col("m_ref") - col("m_cur")) *
+        (col("m_ref") - col("m_cur")))), 6).as("centroid_shift"))
+      .join(broadcast(counts), Seq("label"))
+  }
+
   /** Filtered vector search — ANN under a metadata predicate (the
     * "filtered search" problem every vector store faces): return top-k
     * neighbors among corpus vectors whose label matches. Strategy here

@@ -312,6 +312,50 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("streak islands: longest streak bounded by active days, recount spot check") {
+    val rows = Relational.q50StreakIslands(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val activeDays = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getDate(1).toLocalDate).toSet).toMap
+    rows.foreach { r =>
+      val days = activeDays(r.getLong(0))
+      assert(r.getLong(1) <= days.size)
+      // recount longest consecutive run driver-side
+      val sorted = days.toSeq.sorted
+      var (best, cur) = (1L, 1L)
+      sorted.sliding(2).foreach {
+        case Seq(a, b) =>
+          cur = if (b.toEpochDay - a.toEpochDay == 1) cur + 1 else 1
+          best = math.max(best, cur)
+        case _ =>
+      }
+      assert(r.getLong(1) == best, s"user ${r.getLong(0)}: ${r.getLong(1)} vs $best")
+    }
+  }
+
+  test("centroid drift reconciles with a driver-side mean recompute") {
+    val rows = Similarity.embDriftCentroid(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(1) >= 0))
+    val vecs = Tables.embeddings(spark, sf).collect()
+      .map(r => (r.getInt(2), r.getLong(0),
+        r.getAs[scala.collection.Seq[Float]](1).map(_.toDouble)))
+    val byLabel = vecs.groupBy(_._1)
+    rows.foreach { r =>
+      val label = r.getInt(0)
+      val (ref, cur) = byLabel(label).partition(_._2 % 2 == 0)
+      assert(r.getLong(2) == ref.size && r.getLong(3) == cur.size)
+      val dim = ref.head._3.length
+      val shift = math.sqrt((0 until dim).map { i =>
+        val d = ref.map(_._3(i)).sum / ref.size - cur.map(_._3(i)).sum / cur.size
+        d * d
+      }.sum)
+      assert(math.abs(r.getDouble(1) - shift) < 1e-4, s"label $label")
+    }
+  }
+
   test("incremental rollup merge equals the one-shot recompute") {
     val merged = Relational.q39IncrementalRollup(spark, sf)
     val o = Tables.orders(spark, sf)
