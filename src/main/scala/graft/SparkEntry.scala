@@ -202,7 +202,10 @@ object SparkEntry {
     "ann_filtered" -> ((s: SparkSession, d: String) => Similarity.annFiltered(s, d)),
     "q49_time_to_convert" -> (Relational.q49TimeToConvert _),
     "q50_streak_islands" -> (Relational.q50StreakIslands _),
-    "emb_drift_centroid" -> (Similarity.embDriftCentroid _)
+    "emb_drift_centroid" -> (Similarity.embDriftCentroid _),
+    "feat_hash_vectors" -> ((s: SparkSession, d: String) =>
+      Features.hashFeatures(s, d)),
+    "q51_scd2_history" -> (Relational.q51Scd2History _)
   )
 
   /** DuckDB shingle CTE bodies shared by the near-dup and cluster oracles
@@ -1841,7 +1844,27 @@ object SparkEntry {
         |        count(*) FILTER (WHERE vec_id % 2 <> 0) AS n_cur
         |      FROM embeddings GROUP BY 1)
         |SELECT label, centroid_shift, n_ref, n_cur
-        |FROM s JOIN c USING (label)""".stripMargin
+        |FROM s JOIN c USING (label)""".stripMargin,
+    "feat_hash_vectors" -> {
+      val slots = (0 until 16).map(i =>
+        s"count(*) FILTER (WHERE slot = $i) AS f$i").mkString(",\n  ")
+      s"""WITH t AS (SELECT doc_id,
+         |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |h AS (SELECT doc_id, ${md5PrefixSql("tok")} % 16 AS slot FROM t)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  $slots
+         |FROM h GROUP BY 1""".stripMargin
+    },
+    "q51_scd2_history" ->
+      """SELECT user_id, event_type, event_id, ts AS valid_from, value,
+        |  lead(ts) OVER (PARTITION BY user_id, event_type
+        |                 ORDER BY ts, event_id) AS valid_to,
+        |  CAST(row_number() OVER (PARTITION BY user_id, event_type
+        |                          ORDER BY ts, event_id) AS INTEGER) AS version,
+        |  CAST(lead(ts) OVER (PARTITION BY user_id, event_type
+        |                      ORDER BY ts, event_id) IS NULL AS INTEGER) AS is_current
+        |FROM events""".stripMargin
   )
 
   /** The MMR oracle replays the greedy diversity selection as a recursive

@@ -54,6 +54,31 @@ object Features {
             (col("t_n") - 1).cast("double"), 4)).as("loo_price"))
   }
 
+  /** Feature hashing (the "hashing trick", Weinberger et al. 2009) —
+    * text to fixed-width term-frequency vectors with NO vocabulary: each
+    * token hashes straight to one of `dim` slots. This is the
+    * large-scale story itself — no vocab fit pass, no dictionary
+    * broadcast, no OOV handling; the transform is stateless and
+    * identical on every executor forever. One explode + one two-phase
+    * (doc) aggregate with `dim` conditional counts. The slot hash is the
+    * engine-portable md5 prefix so the oracle replays slots exactly
+    * (same prod/oracle split as the simhash family — xxhash64 is the
+    * cluster default).
+    */
+  def hashFeatures(s: SparkSession, dir: String, dim: Int = 16): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val slotted = docs
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+      .withColumn("slot",
+        pmod(graft.functions.TextFunctions.portableTokenHash(col("tok")),
+          lit(dim.toLong)))
+    slotted.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        (0 until dim).map(i =>
+          count(when(col("slot") === i, 1)).as(s"f$i")): _*)
+  }
+
   /** BPE merge-candidate counting — the distributed core of tokenizer
     * training (Sennrich et al. 2016: each merge round counts adjacent
     * symbol-pair frequencies over the corpus and fuses the argmax). The

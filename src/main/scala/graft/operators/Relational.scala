@@ -676,6 +676,26 @@ object Relational {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** SCD-2 history table — the warehouse staple that turns a changelog
+    * into validity intervals: per (key) ordered versions with
+    * valid_from/valid_to (the next version's timestamp) and a
+    * current-row flag. One window partitioned by key over key-local
+    * sequences (never a global sort); (ts, event_id) tie-break pins
+    * identical version numbering in both engines. At scale this is the
+    * merge-on-read view over the raw changelog; Lake's manifest versions
+    * give the same history at file granularity.
+    */
+  def q51Scd2History(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts"), col("event_id"))
+    ev.select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts").as("valid_from"), col("value"))
+      .withColumn("valid_to", lead("valid_from", 1).over(w))
+      .withColumn("version", row_number().over(w).cast("int"))
+      .withColumn("is_current", col("valid_to").isNull.cast("int"))
+  }
+
   /** Longest activity streak per user — gaps-and-islands over active
     * days (retention's sibling metric): distinct (user, day), island id
     * = day − row_number·1day (constant within a consecutive run), max
