@@ -688,7 +688,7 @@ object Relational {
   def q51Scd2History(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
     val w = Window.partitionBy("user_id", "event_type")
-      .orderBy(col("ts"), col("event_id"))
+      .orderBy(col("valid_from"), col("event_id"))
     ev.select(col("user_id"), col("event_type"), col("event_id"),
         col("ts").as("valid_from"), col("value"))
       .withColumn("valid_to", lead("valid_from", 1).over(w))

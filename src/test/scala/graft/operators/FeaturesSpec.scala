@@ -135,6 +135,30 @@ class FeaturesSpec extends AnyFunSuite {
     assert(served == mem && served.nonEmpty)
   }
 
+  test("hashed feature vectors: slots sum to token count per doc") {
+    val rows = Features.hashFeatures(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val slotSum = (2 until 18).map(r.getLong).sum
+      assert(slotSum == r.getLong(1), s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("SCD-2 history: versions sequence, exactly one current per key") {
+    val rows = Relational.q51Scd2History(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byKey = rows.groupBy(r => (r.getLong(0), r.getString(1)))
+    byKey.foreach { case (k, rs) =>
+      val sorted = rs.sortBy(_.getInt(6))
+      assert(sorted.map(_.getInt(6)).toSeq == (1 to rs.length), s"$k versions")
+      assert(rs.count(_.getInt(7) == 1) == 1, s"$k current rows")
+      sorted.init.zip(sorted.tail).foreach { case (a, b) =>
+        assert(a.getTimestamp(5) == b.getTimestamp(3),
+          s"$k interval chain broken")
+      }
+    }
+  }
+
   test("BPE pair counts match a hand recount for the top pair") {
     val top = Features.bpePairCounts(spark, sf).collect()
     assert(top.length == 20)
