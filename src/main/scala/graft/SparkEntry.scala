@@ -205,7 +205,22 @@ object SparkEntry {
     "emb_drift_centroid" -> (Similarity.embDriftCentroid _),
     "feat_hash_vectors" -> ((s: SparkSession, d: String) =>
       Features.hashFeatures(s, d)),
-    "q51_scd2_history" -> (Relational.q51Scd2History _)
+    "q51_scd2_history" -> (Relational.q51Scd2History _),
+    "q52_interval_merge" -> (Relational.q52IntervalMerge _),
+    "graph_pagerank" -> ((s: SparkSession, d: String) =>
+      graft.operators.Graph.pagerank(s, d)),
+    "graph_triangles" -> ((s: SparkSession, d: String) =>
+      graft.operators.Graph.triangles(s, d)),
+    "gov_k_anonymity" -> ((s: SparkSession, d: String) =>
+      graft.operators.Governance.kAnonymity(s, d)),
+    "dedup_survivor_policy" -> ((s: SparkSession, d: String) =>
+      Dedup.survivorPolicy(s, d)),
+    "lake_compaction_plan" -> ((s: SparkSession, d: String) =>
+      graft.operators.Lake.compactionPlan(s, d)),
+    "layout_file_skipping" -> ((s: SparkSession, d: String) =>
+      Layout.fileSkipping(s, d)),
+    "stream_session_native" -> ((s: SparkSession, d: String) =>
+      StreamOps.streamSessionWindow(s, d))
   )
 
   /** DuckDB shingle CTE bodies shared by the near-dup and cluster oracles
@@ -593,6 +608,55 @@ object SparkEntry {
   /** DuckDB replay of [[graft.operators.Layout.zvalue]] over the low 8 bits
     * of two integer columns: bit i of x at position 2i, bit i of y at 2i+1.
     */
+  /** Gap-based sessionization as SQL islands — gates both the batch
+    * `session_window` (q17) and its append-mode streaming twin
+    * (stream_session_native): same gap, same (ts, event_id) tie order.
+    */
+  private val sessionizeSql: String =
+    """WITH o AS (SELECT user_id, ts, value,
+      |  CASE WHEN lag(ts) OVER win IS NULL
+      |       OR ts - lag(ts) OVER win >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+      |  FROM events WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (SELECT user_id, ts, value, sum(new_s) OVER
+      |  (PARTITION BY user_id ORDER BY ts, value ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+      |SELECT user_id, min(ts) AS session_start, max(ts) AS last_ts,
+      |  count(*) AS n_events, round(sum(value), 2) AS sum_v
+      |FROM s GROUP BY user_id, sid""".stripMargin
+
+  /** Order→part co-purchase edge CTEs shared by the graph oracles:
+    * distinct canonical pairs (src < dst) exactly as Graph.coPairs
+    * derives them.
+    */
+  private val coPairCtes: String =
+    """li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |p AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+      |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |       AND a.l_partkey < b.l_partkey
+      |      GROUP BY 1, 2)""".stripMargin
+
+  /** Fixed-iteration PageRank as chained CTEs — one CTE layer per
+    * iteration, the identical teleport/damping literals and double
+    * divisions the Spark plan embeds (Graph.pagerank's Scaladoc spells
+    * out the one-ulp literal discipline).
+    */
+  private def pagerankOracle(iters: Int = 3): String = {
+    val layers = (1 to iters).map { i =>
+      s"""r$i AS (SELECT e.dst AS node,
+         |  0.15 / (SELECT n FROM nn) + 0.85 * sum(r.rank / d2.deg) AS rank
+         |  FROM e JOIN r${i - 1} r ON e.src = r.node
+         |  JOIN d d2 ON e.src = d2.node GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $coPairCtes,
+       |e AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
+       |d AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM d),
+       |r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM d),
+       |$layers
+       |SELECT d.node AS part, round(r$iters.rank * (SELECT n FROM nn), 6) AS pagerank,
+       |  d.deg AS deg
+       |FROM r$iters JOIN d ON r$iters.node = d.node""".stripMargin
+  }
+
   private def zvalSql(x: String, y: String): String =
     (0 until 8).map(i =>
       s"((($x % 256) >> $i) & 1) * ${1L << (2 * i)} + " +
@@ -1423,16 +1487,11 @@ object SparkEntry {
     "stream_heavy_hitters" ->
       """SELECT date_trunc('hour', ts) AS win_start, user_id, count(*) AS cnt
         |FROM events GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
-    "q17_sessionize" ->
-      """WITH o AS (SELECT user_id, ts, value,
-        |  CASE WHEN lag(ts) OVER win IS NULL
-        |       OR ts - lag(ts) OVER win >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
-        |  FROM events WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |s AS (SELECT user_id, ts, value, sum(new_s) OVER
-        |  (PARTITION BY user_id ORDER BY ts, value ROWS UNBOUNDED PRECEDING) AS sid FROM o)
-        |SELECT user_id, min(ts) AS session_start, max(ts) AS last_ts,
-        |  count(*) AS n_events, round(sum(value), 2) AS sum_v
-        |FROM s GROUP BY user_id, sid""".stripMargin,
+    "q17_sessionize" -> sessionizeSql,
+    // the staged heartbeat advances the watermark past every real
+    // session, so append mode emits the complete batch session set →
+    // the batch islands oracle gates the native streaming twin too
+    "stream_session_native" -> sessionizeSql,
     // seed-point cell assignment (annIvfOracle's technique) joined to the
     // documents' term explosion; count ranking is pure-integer so the
     // per-cell top-k replays exactly
@@ -1864,7 +1923,80 @@ object SparkEntry {
         |                          ORDER BY ts, event_id) AS INTEGER) AS version,
         |  CAST(lead(ts) OVER (PARTITION BY user_id, event_type
         |                      ORDER BY ts, event_id) IS NULL AS INTEGER) AS is_current
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+    // exact-long interval arithmetic (epoch micros, floor(value) minutes)
+    // so island boundaries are integer comparisons in both engines
+    "q52_interval_merge" ->
+      """WITH iv AS (SELECT user_id, event_id, epoch_us(ts) AS s_us,
+        |  epoch_us(ts) + CAST(floor(value) AS BIGINT) * 60000000 AS e_us FROM events),
+        |o AS (SELECT *, max(e_us) OVER (PARTITION BY user_id ORDER BY s_us, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max FROM iv),
+        |f AS (SELECT *, CASE WHEN prev_max IS NULL OR s_us > prev_max
+        |  THEN 1 ELSE 0 END AS new_i FROM o),
+        |g AS (SELECT *, sum(new_i) OVER (PARTITION BY user_id ORDER BY s_us, event_id
+        |  ROWS UNBOUNDED PRECEDING) AS island FROM f)
+        |SELECT user_id, make_timestamp(min(s_us)) AS merged_start,
+        |  make_timestamp(max(e_us)) AS merged_end, count(*) AS n_events
+        |FROM g GROUP BY user_id, island""".stripMargin,
+    "graph_pagerank" -> pagerankOracle(),
+    // degree-oriented wedge closing: same orientation rule (lower (deg,
+    // id) endpoint first; src < dst breaks degree ties), pure-integer
+    "graph_triangles" ->
+      s"""WITH $coPairCtes,
+         |d AS (SELECT node, count(*) AS deg FROM
+         |  (SELECT src AS node FROM p UNION ALL SELECT dst FROM p) GROUP BY 1),
+         |o AS (SELECT CASE WHEN da.deg <= db.deg THEN p.src ELSE p.dst END AS lo,
+         |             CASE WHEN da.deg <= db.deg THEN p.dst ELSE p.src END AS hi
+         |      FROM p JOIN d da ON p.src = da.node JOIN d db ON p.dst = db.node),
+         |w AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+         |      FROM o e1 JOIN o e2 ON e1.hi = e2.lo),
+         |t AS (SELECT a, b, c FROM w JOIN o e3 ON w.a = e3.lo AND w.c = e3.hi),
+         |corn AS (SELECT node, count(*) AS tri FROM
+         |  (SELECT a AS node FROM t UNION ALL SELECT b FROM t
+         |   UNION ALL SELECT c FROM t) GROUP BY 1)
+         |SELECT d.node AS part, coalesce(corn.tri, 0) AS triangles, d.deg AS deg
+         |FROM d LEFT JOIN corn ON d.node = corn.node""".stripMargin,
+    "gov_k_anonymity" ->
+      """SELECT c_mktsegment, c_nationkey,
+        |  CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS acct_band,
+        |  count(*) AS group_size, count(*) < 5 AS suppress,
+        |  round(1.0 / count(*), 6) AS reid_risk
+        |FROM customer GROUP BY 1, 2, 3""".stripMargin,
+    // closure CTEs as dedup_purge_list; quality = text_quality's
+    // distinct-token ratio (identical 6-decimal rounding both engines)
+    "dedup_survivor_policy" ->
+      s"""WITH RECURSIVE $shingleCtes,
+         |e AS (SELECT id_a AS a, id_b AS b FROM jac UNION SELECT id_b, id_a FROM jac),
+         |reach(v, l) AS (
+         |  SELECT DISTINCT a, a FROM e
+         |  UNION
+         |  SELECT e.a, r.l FROM e JOIN reach r ON e.b = r.v),
+         |lbl AS (SELECT v, min(l) AS cluster_id FROM reach GROUP BY 1),
+         |q AS (SELECT doc_id,
+         |  round(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) /
+         |        len(regexp_split_to_array(trim(text), '\\s+')), 6) AS quality
+         |  FROM documents)
+         |SELECT l.v AS doc_id, l.cluster_id, q.quality,
+         |  row_number() OVER (PARTITION BY l.cluster_id
+         |                     ORDER BY q.quality DESC, l.v) = 1 AS survivor
+         |FROM lbl l JOIN q ON q.doc_id = l.v""".stripMargin,
+    "lake_compaction_plan" ->
+      """WITH f AS (SELECT CAST(ts AS DATE) AS day, CAST(hour(ts) AS INTEGER) AS hr,
+        |  count(*) AS n_rows, count(*) * 64 AS bytes FROM events GROUP BY 1, 2),
+        |c AS (SELECT *, coalesce(sum(bytes) OVER (PARTITION BY day ORDER BY hr
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM f)
+        |SELECT day, hr, n_rows, CAST(bytes AS BIGINT) AS bytes,
+        |  CAST(cum_before // 4096 AS INTEGER) AS target_file FROM c""".stripMargin,
+    "layout_file_skipping" ->
+      s"""WITH z AS (SELECT CAST(l_partkey % 256 AS INTEGER) AS x,
+         |  CAST(l_suppkey % 256 AS INTEGER) AS y,
+         |  CAST(${zvalSql("l_partkey", "l_suppkey")} AS BIGINT) AS zval FROM lineitem),
+         |s AS (SELECT zval // 1024 AS file, count(*) AS n_rows,
+         |  min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max
+         |  FROM z GROUP BY 1)
+         |SELECT file, n_rows, x_min, x_max, y_min, y_max,
+         |  (x_min > 31 OR x_max < 16 OR y_min > 31 OR y_max < 16) AS can_skip
+         |FROM s""".stripMargin
   )
 
   /** The MMR oracle replays the greedy diversity selection as a recursive

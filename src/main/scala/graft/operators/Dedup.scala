@@ -680,6 +680,36 @@ object Dedup {
       .select(col("doc_id"), col("cluster_id").as("keep_id"),
         (col("doc_id") =!= col("cluster_id")).as("purge"))
 
+  /** Quality-ranked survivor selection — [[purge]]'s production sibling.
+    * Min-id survivorship is deterministic but arbitrary; a curation
+    * pipeline keeps the BEST copy of each near-dup cluster (the highest-
+    * quality crawl of a page, the least-truncated mirror of a document).
+    * Policy here: max distinct-token ratio (text_quality's signal, same
+    * 6-decimal rounding so both engines rank identical doubles),
+    * tie-break min doc_id.
+    *
+    * Cost shape: cluster membership is output-sized (near-dup docs only),
+    * so the quality join touches the corpus ONCE for a narrow projection
+    * and the ranking window partitions by cluster — per-cluster local
+    * sorts over groups of a few members. Swapping the policy column
+    * (fetch recency, source priority, length) changes nothing structural.
+    */
+  def survivorPolicy(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = graft.functions.TextFunctions.tokens(col("text"))
+    val quality = Tables.documents(s, dir).select(
+      col("doc_id"),
+      round(size(array_distinct(t)) / size(t).cast("double"), 6).as("quality"))
+    val members = clusterMembers(s, dir)
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("quality").desc, col("doc_id"))
+    val out = members.join(quality, Seq("doc_id"))
+      .withColumn("rnk", row_number().over(w))
+      .select(col("doc_id"), col("cluster_id"), col("quality"),
+        (col("rnk") === 1).as("survivor"))
+    CacheLifecycle.materialize(out)
+  }
+
   /** Distributed CC via min-label propagation: every vertex starts as its
     * own label, each round adopts the minimum label among itself and its
     * neighbors; converges in ≤ diameter rounds. The per-round

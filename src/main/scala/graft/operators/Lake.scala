@@ -140,4 +140,37 @@ object Lake {
       org.apache.commons.io.FileUtils.deleteDirectory(table.toFile)
     }
   }
+
+  /** Compaction planner — the small-file maintenance pass every
+    * streaming-ingested lakehouse table needs: given the file inventory
+    * (here a pseudo-inventory derived deterministically from events —
+    * one "file" per ingest hour, sized by row count), bin-pack
+    * consecutive files of each day-partition into target-sized output
+    * groups by running-sum bucketing: target_file = ⌊(bytes written
+    * before this file within its partition) / targetBytes⌋.
+    *
+    * Consecutive (hour-ordered) packing is deliberate — it preserves the
+    * ingest-time clustering that makes time-range predicates prune, where
+    * size-sorted first-fit-decreasing would destroy it for a ~few-%
+    * packing gain. The window partitions BY DAY (local sorts of per-day
+    * hour lists); planning cost is inventory-sized — metadata work,
+    * independent of data volume, exactly how a real OPTIMIZE job
+    * schedules its rewrite groups.
+    */
+  def compactionPlan(s: SparkSession, dir: String,
+                     targetBytes: Long = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val files = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"), hour(col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("bytes", col("n_rows") * 64L)
+    val w = Window.partitionBy("day").orderBy("hr")
+    files
+      .withColumn("cum_before", coalesce(
+        sum("bytes").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("target_file",
+        expr(s"cum_before div ${targetBytes}L").cast("int"))
+      .select("day", "hr", "n_rows", "bytes", "target_file")
+  }
 }

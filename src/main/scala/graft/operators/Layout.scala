@@ -71,4 +71,38 @@ object Layout {
       .select(col("file"), col("rows"),
         ((col("x_max") - col("x_min") + 1) *
           (col("y_max") - col("y_min") + 1)).as("bbox_area"))
+
+  /** Data-skipping effectiveness, fully declaratively: assign every
+    * lineitem row to the z-ordered pseudo-file it would land in (file =
+    * z-value range of width 2¹⁶/64 — the equi-width declarative proxy
+    * for `zorderWrite`'s range partitioning), collect each file's
+    * per-column min/max footer stats, and evaluate which files a
+    * two-sided rectangle predicate (x,y ∈ [16,31]²) can prune without
+    * opening: skip ⟺ the stats rectangle misses the query rectangle.
+    *
+    * This is the planner's side of the z-order story ([[zorderLineitem]]
+    * is the writer's): because z-interleaving keeps both coordinates'
+    * spans small within a z-range, an aligned 16×16 query rectangle
+    * intersects only the handful of files covering its z-runs — the scan
+    * count the `can_skip` column makes checkable. One shuffle (the
+    * per-file stats aggregate), stats-table-sized output; at 100 TB the
+    * real decision runs on footer metadata only, never the data.
+    */
+  def fileSkipping(s: SparkSession, dir: String,
+                   numFiles: Int = 64): DataFrame = {
+    val width = (1 << 16) / numFiles
+    val stats = Tables.lineitem(s, dir)
+      .select(pmod(col("l_partkey"), lit(256)).cast("int").as("x"),
+        pmod(col("l_suppkey"), lit(256)).cast("int").as("y"))
+      .withColumn("zval", zvalue(col("x"), col("y")))
+      .withColumn("file", expr(s"zval div ${width}"))
+      .groupBy("file")
+      .agg(count(lit(1)).as("n_rows"),
+        min("x").as("x_min"), max("x").as("x_max"),
+        min("y").as("y_min"), max("y").as("y_max"))
+    stats.select(col("file"), col("n_rows"),
+      col("x_min"), col("x_max"), col("y_min"), col("y_max"),
+      (col("x_min") > 31 || col("x_max") < 16 ||
+        col("y_min") > 31 || col("y_max") < 16).as("can_skip"))
+  }
 }

@@ -932,4 +932,42 @@ object Relational {
         round(first(col("lo")) + (col("bucket") - 1).cast("double") *
           ((first(col("hi")) - first(col("lo"))) / nb.toDouble), 4).as("bin_lo"))
   }
+
+  /** Overlapping-interval coalescing (the "merge intervals" staple behind
+    * availability windows, on-call coverage, and contiguous-usage
+    * billing): each event opens an interval [ts, ts + ⌊value⌋ minutes];
+    * intervals that overlap or touch a running interval of the same user
+    * merge into one row with the event count.
+    *
+    * The classic prefix-max formulation: per user ordered by start, an
+    * interval starts a new island iff its start exceeds the max end over
+    * all PRECEDING intervals (an exclusive-window cummax — lag(end)
+    * alone is wrong when an earlier interval outspans its successor),
+    * island id = running sum of the flag. Both windows partition BY USER
+    * — local sorts of per-user interval lists, never a global sort.
+    * Arithmetic runs in epoch microseconds (exact longs, identical in
+    * both engines); ⌊value⌋ sidesteps the engines' different
+    * double→bigint cast rounding; (start, event_id) ordering pins ties.
+    */
+  def q52IntervalMerge(s: SparkSession, dir: String): DataFrame = {
+    val iv = Tables.events(s, dir).select(
+      col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("s_us"),
+      (unix_micros(col("ts")) +
+        floor(col("value")).cast("long") * lit(60000000L)).as("e_us"))
+    val w = Window.partitionBy("user_id").orderBy(col("s_us"), col("event_id"))
+    iv
+      .withColumn("prev_max",
+        max("e_us").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_i",
+        when(col("prev_max").isNull || col("s_us") > col("prev_max"), 1)
+          .otherwise(0))
+      .withColumn("island",
+        sum("new_i").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "island")
+      .agg(timestamp_micros(min("s_us")).as("merged_start"),
+        timestamp_micros(max("e_us")).as("merged_end"),
+        count(lit(1)).as("n_events"))
+      .select("user_id", "merged_start", "merged_end", "n_events")
+  }
 }

@@ -735,4 +735,88 @@ object StreamOps {
     finally q.stop()
     ss.table(name)
   }
+
+  /** Native `session_window` sessionization in APPEND mode — the
+    * finalized-only emission contract a production sessionizer runs
+    * under (the flatMapGroupsWithState variant in [[Sessionize]] shows
+    * the custom-state route; this one shows Spark's built-in merging
+    * session windows + watermark eviction doing the same job with zero
+    * user state code).
+    *
+    * Append mode only emits a session once the watermark passes its end,
+    * so a drained finite source would swallow every still-open tail
+    * session. The fixture is therefore staged ([[streamLateAudit]]'s
+    * technique) as three pinned-order files: all events, then two
+    * far-future heartbeats (user_id −1). Batch 2's heartbeat advances
+    * the watermark past every real session; batch 3 exists because the
+    * EVICTION watermark for batch N is computed from data through batch
+    * N−1 — the second heartbeat forces the final eviction pass that
+    * flushes everything the first one finalized. Heartbeat sessions
+    * themselves never finalize and are filtered by user_id ≥ 0. Output
+    * equals the batch `session_window` result, so q17's oracle gates it
+    * row-for-row.
+    */
+  def streamSessionWindow(s: SparkSession, dir: String,
+                          gap: String = "30 minutes",
+                          delay: String = "10 minutes"): DataFrame = {
+    val ss = streamingSession(s)
+    val ev = ss.read.parquet(s"$dir/events.parquet")
+      .transform(graft.Tables.normalizeTs)
+    val stage = java.nio.file.Files.createTempDirectory("graft_sess_")
+    val watch = stage.resolve("watch")
+    java.nio.file.Files.createDirectory(watch)
+    try {
+      val maxTs = ev.agg(max("ts")).collect()(0).getTimestamp(0).toInstant
+      def stageFile(df: DataFrame, n: Int): Unit = {
+        val tmp = stage.resolve(s"tmp$n")
+        df.coalesce(1).write.parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp).iterator()
+        var src: java.nio.file.Path = null
+        while (part.hasNext) {
+          val p = part.next()
+          if (p.getFileName.toString.endsWith(".parquet")) src = p
+        }
+        val dst = watch.resolve(f"batch$n%04d.parquet")
+        java.nio.file.Files.move(src, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1000000L + n * 10000L))
+      }
+      def heartbeat(n: Int, plusDays: Long): DataFrame = ev.limit(1)
+        .withColumn("ts", lit(java.sql.Timestamp.from(
+          maxTs.plus(java.time.Duration.ofDays(plusDays)))))
+        .withColumn("event_id", lit(-n.toLong))
+        .withColumn("user_id", lit(-1L))
+        .withColumn("event_type", lit("heartbeat"))
+        .withColumn("value", lit(0.0))
+      stageFile(ev, 1)
+      stageFile(heartbeat(2, 10), 2)
+      stageFile(heartbeat(3, 20), 3)
+      val name = s"graft_stream_${counter.incrementAndGet()}"
+      val schema = ss.read.parquet(watch.toString).schema
+      val stream = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(watch.toString)
+        .withWatermark("ts", delay)
+        .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("sum_v"),
+          max("ts").as("last_ts"))
+      val q = stream.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      val result = ss.table(name)
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("last_ts"), col("n_events"), col("sum_v"))
+      val out = result.collect()
+      ss.createDataFrame(java.util.Arrays.asList(out: _*), result.schema)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
+    }
+  }
 }
