@@ -220,7 +220,15 @@ object SparkEntry {
     "layout_file_skipping" -> ((s: SparkSession, d: String) =>
       Layout.fileSkipping(s, d)),
     "stream_session_native" -> ((s: SparkSession, d: String) =>
-      StreamOps.streamSessionWindow(s, d))
+      StreamOps.streamSessionWindow(s, d)),
+    "q53_interpolate" -> (Relational.q53Interpolate _),
+    "q54_skew_join_salted" -> ((s: SparkSession, d: String) =>
+      Relational.q54SkewJoinSalted(s, d)),
+    "gov_l_diversity" -> ((s: SparkSession, d: String) =>
+      graft.operators.Governance.lDiversity(s, d)),
+    "feat_lag_windows" -> (Features.lagFeatures _),
+    "stream_distinct_users" -> ((s: SparkSession, d: String) =>
+      StreamOps.streamDistinctUsers(s, d))
   )
 
   /** DuckDB shingle CTE bodies shared by the near-dup and cluster oracles
@@ -1996,7 +2004,56 @@ object SparkEntry {
          |  FROM z GROUP BY 1)
          |SELECT file, n_rows, x_min, x_max, y_min, y_max,
          |  (x_min > 31 OR x_max < 16 OR y_min > 31 OR y_max < 16) AS can_skip
-         |FROM s""".stripMargin
+         |FROM s""".stripMargin,
+    // union-marker interpolation: same (ts, is_grid, event_id) bracket
+    // order, epoch-micros longs, double only in the final ratio
+    "q53_interpolate" ->
+      """WITH obs AS (SELECT user_id, ts, event_id, value, 0 AS is_grid FROM events),
+        |g AS (SELECT user_id,
+        |  unnest(generate_series(date_trunc('day', mn), mx, INTERVAL 1 DAY)) AS ts,
+        |  -1 AS event_id, NULL::DOUBLE AS value, 1 AS is_grid
+        |  FROM (SELECT user_id, min(ts) AS mn, max(ts) AS mx FROM events GROUP BY 1)),
+        |u AS (SELECT * FROM obs UNION ALL SELECT * FROM g),
+        |e AS (SELECT *, epoch_us(ts) AS us,
+        |  last_value(value IGNORE NULLS) OVER wp AS vp,
+        |  last_value(CASE WHEN value IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS) OVER wp AS tp,
+        |  first_value(value IGNORE NULLS) OVER wn AS vn,
+        |  first_value(CASE WHEN value IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS) OVER wn AS tn
+        |  FROM u WINDOW
+        |  wp AS (PARTITION BY user_id ORDER BY ts, is_grid, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wn AS (PARTITION BY user_id ORDER BY ts, is_grid, event_id
+        |         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, ts AS grid_ts,
+        |  round(CASE WHEN tn = tp THEN vp
+        |    ELSE vp + (vn - vp) * (CAST(us - tp AS DOUBLE) / CAST(tn - tp AS DOUBLE))
+        |    END, 6) AS ivalue
+        |FROM e WHERE is_grid = 1 AND vp IS NOT NULL AND vn IS NOT NULL""".stripMargin,
+    // the oracle is the UNSALTED join: salting must be output-invisible
+    "q54_skew_join_salted" ->
+      """WITH d AS (SELECT user_id, avg(value) AS user_mean FROM events GROUP BY 1)
+        |SELECT event_type, count(*) AS n,
+        |  round(avg(value - user_mean), 6) AS avg_dev,
+        |  round(max(abs(value - user_mean)), 6) AS max_dev
+        |FROM events e JOIN d USING (user_id)
+        |GROUP BY 1""".stripMargin,
+    "gov_l_diversity" ->
+      """SELECT c_nationkey, CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS acct_band,
+        |  count(*) AS group_size, count(DISTINCT c_mktsegment) AS l_distinct,
+        |  count(DISTINCT c_mktsegment) >= 3 AS diverse
+        |FROM customer GROUP BY 1, 2""".stripMargin,
+    "feat_lag_windows" ->
+      """SELECT user_id, event_id,
+        |  lag(value, 1) OVER w AS lag1, lag(value, 2) OVER w AS lag2,
+        |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS ma3
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+    // dedup→aggregate chained stateful pipeline drains to the exact
+    // batch distinct count (heartbeats flush the final windows)
+    "stream_distinct_users" ->
+      """SELECT date_trunc('hour', ts) AS win_start,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1""".stripMargin
   )
 
   /** The MMR oracle replays the greedy diversity selection as a recursive

@@ -35,6 +35,28 @@ object Features {
           .as("mm_price"))
   }
 
+  /** Per-key lag / rolling features — the window block of every
+    * forecasting feature pipeline: for each user's event sequence
+    * ordered by (ts, event_id), the previous two values and a trailing
+    * 3-row moving average (partial windows average the rows available —
+    * identical semantics in both engines). All three features ride ONE
+    * per-user window — one shuffle on user_id, local per-key sorts,
+    * never a global sort; feature arithmetic stays in the codegen
+    * projection.
+    */
+  def lagFeatures(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("lag1", lag("value", 1).over(w))
+      .withColumn("lag2", lag("value", 2).over(w))
+      .withColumn("ma3", round(avg("value").over(
+        w.rowsBetween(-2, 0)), 6))
+      .select(col("user_id"), col("event_id"), col("lag1"), col("lag2"),
+        col("ma3"))
+  }
+
   /** Leave-one-out target encoding (the Kaggle/CatBoost-style categorical
     * encoder that avoids self-leakage): encode key k for row i as
     * (Σ_k target − target_i) / (n_k − 1); singleton keys get NULL (no

@@ -35,4 +35,27 @@ object Governance {
         col("group_size"),
         (col("group_size") < k).as("suppress"),
         round(lit(1.0) / col("group_size"), 6).as("reid_risk"))
+
+  /** l-diversity audit (Machanavajjhala et al., TKDD 2007) — the
+    * follow-up question k-anonymity can't answer: a class of 50 rows is
+    * useless cover if they all share one sensitive value. Classes are
+    * the (nation, balance-band) quasi-identifier pairs; the sensitive
+    * attribute is the market segment; a class is l-diverse when it
+    * holds ≥ `l` distinct sensitive values.
+    *
+    * count_distinct inside the class aggregate is the whole operator —
+    * one shuffle; Spark expands it to a two-phase distinct-then-count
+    * (exact, scales with class × distinct-value cardinality, which the
+    * sensitive attribute bounds by definition).
+    */
+  def lDiversity(s: SparkSession, dir: String, l: Long = 3): DataFrame =
+    Tables.customer(s, dir)
+      .select(col("c_nationkey"),
+        floor(col("c_acctbal") / lit(1000.0)).cast("long").as("acct_band"),
+        col("c_mktsegment"))
+      .groupBy("c_nationkey", "acct_band")
+      .agg(count(lit(1)).as("group_size"),
+        countDistinct("c_mktsegment").as("l_distinct"))
+      .select(col("c_nationkey"), col("acct_band"), col("group_size"),
+        col("l_distinct"), (col("l_distinct") >= l).as("diverse"))
 }

@@ -970,4 +970,83 @@ object Relational {
         count(lit(1)).as("n_events"))
       .select("user_id", "merged_start", "merged_end", "n_events")
   }
+
+  /** Linear interpolation of the per-user value series onto a daily
+    * grid — the time-series regularization step feeding forecasting /
+    * feature pipelines (q37's resample does step-fill; this does the
+    * two-sided linear blend).
+    *
+    * Union-marker formulation, one pass, no self-join: grid rows (null
+    * value) union the events, then per user two IGNORE-NULLS edge
+    * windows find the bracketing observations — prev = last non-null
+    * value/ts at or before, next = first at or after. Interior grid
+    * points interpolate vp + (vn−vp)·(g−tp)/(tn−tp) in epoch-micros
+    * long arithmetic (double only for the final ratio); boundary grid
+    * points (no bracket on one side) are dropped, and a tp=tn guard
+    * avoids the ANSI division trap when the grid lands exactly on an
+    * isolated observation. Order (ts, is_grid, event_id) pins which
+    * observation brackets a coincident grid point in both engines.
+    * Windows partition BY USER — local sorts; grid size is
+    * users × days, metadata-scale next to the event table.
+    */
+  def q53Interpolate(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val obs = ev.select(col("user_id"), col("ts"), col("event_id"),
+      col("value"), lit(0).as("is_grid"))
+    val grid = ev.groupBy("user_id")
+      .agg(min("ts").as("mn"), max("ts").as("mx"))
+      .select(col("user_id"),
+        explode(sequence(date_trunc("day", col("mn")), col("mx"),
+          expr("INTERVAL 1 DAY"))).as("ts"))
+      .select(col("user_id"), col("ts"), lit(-1L).as("event_id"),
+        lit(null).cast("double").as("value"), lit(1).as("is_grid"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("is_grid"), col("event_id"))
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = w.rowsBetween(0, Window.unboundedFollowing)
+    obs.unionByName(grid)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("vp", last("value", ignoreNulls = true).over(wPrev))
+      .withColumn("tp", last(when(col("value").isNotNull, col("us")),
+        ignoreNulls = true).over(wPrev))
+      .withColumn("vn", first("value", ignoreNulls = true).over(wNext))
+      .withColumn("tn", first(when(col("value").isNotNull, col("us")),
+        ignoreNulls = true).over(wNext))
+      .filter(col("is_grid") === 1 &&
+        col("vp").isNotNull && col("vn").isNotNull)
+      .select(col("user_id"), col("ts").as("grid_ts"),
+        round(when(col("tn") === col("tp"), col("vp"))
+          .otherwise(col("vp") + (col("vn") - col("vp")) *
+            ((col("us") - col("tp")).cast("double") /
+              (col("tn") - col("tp")).cast("double"))), 6).as("ivalue"))
+  }
+
+  /** Salted skew join — the hot-key mitigation every 100 TB fact⋈dim
+    * enrichment eventually needs, with the RESULT-EQUALITY contract
+    * that makes it safe: per-user stats (the dim, key-cardinality-
+    * sized) are replicated `salts` times, the fact side picks a salt
+    * deterministically (event_id mod salts), and the join runs on
+    * (user_id, salt) — so one hot user's rows spread over `salts`
+    * shuffle partitions instead of one. The plain unsalted join is the
+    * oracle: salting must be invisible in the output (here, per-type
+    * deviation-from-user-mean aggregates). SHUFFLE_HASH hint keeps the
+    * demo honest locally (Catalyst would otherwise broadcast the small
+    * fixture dim — at which point no salt is needed; at real scale the
+    * dim outgrows broadcast and this is the exact shape deployed).
+    */
+  def q54SkewJoinSalted(s: SparkSession, dir: String,
+                        salts: Int = 8): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val dim = ev.groupBy("user_id")
+      .agg(avg("value").as("user_mean"), count(lit(1)).as("user_n"))
+      .crossJoin(broadcast(
+        s.range(salts).select(col("id").cast("int").as("salt"))))
+    val fact = ev.select(col("user_id"), col("event_type"), col("value"),
+      pmod(col("event_id"), lit(salts)).cast("int").as("salt"))
+    fact.join(dim.hint("shuffle_hash"), Seq("user_id", "salt"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("value") - col("user_mean")), 6).as("avg_dev"),
+        round(max(abs(col("value") - col("user_mean"))), 6).as("max_dev"))
+  }
 }

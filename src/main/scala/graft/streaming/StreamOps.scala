@@ -756,41 +756,58 @@ object StreamOps {
     * equals the batch `session_window` result, so q17's oracle gates it
     * row-for-row.
     */
+  /** Stage the events fixture plus two far-future heartbeat rows
+    * (user_id −1, pinned mtimes, one file per micro-batch under
+    * `maxFilesPerTrigger=1`) into `watch` — the shared setup for every
+    * append-mode operator that must flush its final state on a finite
+    * source: the first heartbeat advances the watermark past all real
+    * event time, the second forces the eviction pass that acts on it
+    * (the eviction watermark for batch N comes from data through N−1).
+    */
+  private def stageEventsWithHeartbeats(ss: SparkSession, dir: String,
+                                        stage: java.nio.file.Path,
+                                        watch: java.nio.file.Path,
+                                        nHeartbeats: Int = 2): Unit = {
+    val ev = ss.read.parquet(s"$dir/events.parquet")
+      .transform(graft.Tables.normalizeTs)
+    val maxTs = ev.agg(max("ts")).collect()(0).getTimestamp(0).toInstant
+    def stageFile(df: DataFrame, n: Int): Unit = {
+      val tmp = stage.resolve(s"tmp$n")
+      df.coalesce(1).write.parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).iterator()
+      var src: java.nio.file.Path = null
+      while (part.hasNext) {
+        val p = part.next()
+        if (p.getFileName.toString.endsWith(".parquet")) src = p
+      }
+      val dst = watch.resolve(f"batch$n%04d.parquet")
+      java.nio.file.Files.move(src, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000L + n * 10000L))
+    }
+    def heartbeat(n: Int, plusDays: Long): DataFrame = ev.limit(1)
+      .withColumn("ts", lit(java.sql.Timestamp.from(
+        maxTs.plus(java.time.Duration.ofDays(plusDays)))))
+      .withColumn("event_id", lit(-n.toLong))
+      .withColumn("user_id", lit(-1L))
+      .withColumn("event_type", lit("heartbeat"))
+      .withColumn("value", lit(0.0))
+    stageFile(ev, 1)
+    // each successive heartbeat is one batch whose watermark advance the
+    // NEXT batch acts on; chains of S stateful operators need S+1 of them
+    // for the final eviction to propagate through every operator
+    (1 to nHeartbeats).foreach(i => stageFile(heartbeat(i + 1, 10L * i), i + 1))
+  }
+
   def streamSessionWindow(s: SparkSession, dir: String,
                           gap: String = "30 minutes",
                           delay: String = "10 minutes"): DataFrame = {
     val ss = streamingSession(s)
-    val ev = ss.read.parquet(s"$dir/events.parquet")
-      .transform(graft.Tables.normalizeTs)
     val stage = java.nio.file.Files.createTempDirectory("graft_sess_")
     val watch = stage.resolve("watch")
     java.nio.file.Files.createDirectory(watch)
     try {
-      val maxTs = ev.agg(max("ts")).collect()(0).getTimestamp(0).toInstant
-      def stageFile(df: DataFrame, n: Int): Unit = {
-        val tmp = stage.resolve(s"tmp$n")
-        df.coalesce(1).write.parquet(tmp.toString)
-        val part = java.nio.file.Files.list(tmp).iterator()
-        var src: java.nio.file.Path = null
-        while (part.hasNext) {
-          val p = part.next()
-          if (p.getFileName.toString.endsWith(".parquet")) src = p
-        }
-        val dst = watch.resolve(f"batch$n%04d.parquet")
-        java.nio.file.Files.move(src, dst)
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(1000000L + n * 10000L))
-      }
-      def heartbeat(n: Int, plusDays: Long): DataFrame = ev.limit(1)
-        .withColumn("ts", lit(java.sql.Timestamp.from(
-          maxTs.plus(java.time.Duration.ofDays(plusDays)))))
-        .withColumn("event_id", lit(-n.toLong))
-        .withColumn("user_id", lit(-1L))
-        .withColumn("event_type", lit("heartbeat"))
-        .withColumn("value", lit(0.0))
-      stageFile(ev, 1)
-      stageFile(heartbeat(2, 10), 2)
-      stageFile(heartbeat(3, 20), 3)
+      stageEventsWithHeartbeats(ss, dir, stage, watch)
       val name = s"graft_stream_${counter.incrementAndGet()}"
       val schema = ss.read.parquet(watch.toString).schema
       val stream = ss.readStream.schema(schema)
@@ -813,6 +830,71 @@ object StreamOps {
         .filter(col("user_id") >= 0)
         .select(col("user_id"), col("w.start").as("session_start"),
           col("last_ts"), col("n_events"), col("sum_v"))
+      val out = result.collect()
+      ss.createDataFrame(java.util.Arrays.asList(out: _*), result.schema)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
+    }
+  }
+
+  /** CHAINED stateful operators — windowed DISTINCT-user counts as
+    * dedup → aggregate, the multi-stateful pipeline shape (Spark 3.4+)
+    * that replaces the old two-job workaround for streaming
+    * count-distinct (which no streaming aggregate supports directly):
+    *
+    *  1. `dropDuplicates(window, user)` holds one state row per
+    *     (window, user) until the watermark passes the window — the
+    *     exact state a distinct count needs, evicted on schedule;
+    *  2. the downstream count per window is a second stateful
+    *     aggregate fed by the dedup's APPEND output, so each
+    *     (window, user) contributes exactly once.
+    *
+    * Both operators share the one watermark; heartbeat staging
+    * ([[stageEventsWithHeartbeats]]) flushes the final windows, so the
+    * drained result equals the batch count-distinct and the SQL oracle
+    * gates it exactly. State scales as active (window, user) pairs plus
+    * window-cardinality counters — never history.
+    */
+  def streamDistinctUsers(s: SparkSession, dir: String,
+                          windowLen: String = "1 hour",
+                          delay: String = "10 minutes"): DataFrame = {
+    val ss = streamingSession(s)
+    val stage = java.nio.file.Files.createTempDirectory("graft_distinct_")
+    val watch = stage.resolve("watch")
+    java.nio.file.Files.createDirectory(watch)
+    try {
+      stageEventsWithHeartbeats(ss, dir, stage, watch, nHeartbeats = 3)
+      val name = s"graft_stream_${counter.incrementAndGet()}"
+      val schema = ss.read.parquet(watch.toString).schema
+      val stream = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(watch.toString)
+        // NO user filter inside the stream: Catalyst pushes a
+        // deterministic filter below the EventTimeWatermark node (into
+        // the scan), which silently drops the heartbeats before they can
+        // advance the watermark — the final window then never flushes.
+        // Heartbeats flow through the whole pipeline instead, and their
+        // phantom far-future windows are cut from the drained result by
+        // event time below.
+        .withWatermark("ts", delay)
+        .select(window(col("ts"), windowLen).as("w"), col("user_id"))
+        .dropDuplicates("w", "user_id")
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("n_users"))
+      val q = stream.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      val maxReal = ss.read.parquet(s"$dir/events.parquet")
+        .transform(graft.Tables.normalizeTs)
+        .agg(max("ts")).collect()(0).getTimestamp(0)
+      val result = ss.table(name)
+        .filter(col("w.start") <= lit(maxReal))
+        .select(col("w.start").as("win_start"), col("n_users"))
       val out = result.collect()
       ss.createDataFrame(java.util.Arrays.asList(out: _*), result.schema)
     } finally {
