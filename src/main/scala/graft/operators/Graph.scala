@@ -28,23 +28,51 @@ object Graph {
     */
   private def coPairs(s: SparkSession, dir: String): DataFrame =
     FamilyCache.get(s, dir, "copairs") {
+      // fixture parquet is single-row-group (unsplittable): round-robin
+      // the narrow projection so the distinct/join run at session
+      // parallelism (Tables.documents' pattern; a real cluster input
+      // arrives pre-split and this is a no-op)
       val li = Tables.lineitem(s, dir)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .select(col("l_orderkey"), col("l_partkey"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .distinct()
       li.as("a").join(li.as("b"), Seq("l_orderkey"))
         .filter(col("a.l_partkey") < col("b.l_partkey"))
         .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
         .distinct()
     }
 
+  /** Undirected degree per node — node-cardinality-sized, consumed
+    * repeatedly by both graph operators (adjacency build, rank init,
+    * final projections), so it lives in the family cache: the profiled
+    * first cut recomputed it four times inside pagerank alone (~7 s of
+    * a 22 s query at sf0.1).
+    */
+  private def coDegrees(s: SparkSession, dir: String): DataFrame =
+    FamilyCache.get(s, dir, "codeg") {
+      val pairs = coPairs(s, dir)
+      pairs.select(col("src").as("node"))
+        .union(pairs.select(col("dst").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+    }
+
   /** PageRank over the symmetric co-purchase graph, `iters` fixed
     * iterations of r' = (1−d)/N + d·Σ r(u)/deg(u).
     *
     * The scale-defining choices:
-    *  - the degree is joined onto the adjacency list ONCE and the result
-    *    persisted pre-partitioned on `src` — every iteration's
-    *    contribution join then reuses the same layout instead of
-    *    re-shuffling the (edge-sized) adjacency each round; only the
-    *    (node-sized) rank frame moves;
+    *  - the degree table is family-cached (node-sized, consumed by the
+    *    adjacency build, rank init, N, and the final projection — the
+    *    profiled first cut recomputed it four times), and the adjacency
+    *    (edges ⋈ deg, via broadcast of deg) is persisted once;
+    *  - every iteration joins the EDGE-sized adjacency with the
+    *    NODE-sized rank frame — so the rank frame is `broadcast()` and
+    *    the adjacency never moves or re-sorts (the first cut's
+    *    sort-merge join re-sorted 2.4M adjacency rows per iteration);
+    *    the per-iteration shuffle is only the map-side-combined
+    *    contribution aggregate, node-sized after partials. Past
+    *    broadcastable node counts (≳10⁸ nodes), flip to the
+    *    co-partitioned join: pre-partition adjacency and ranks on the
+    *    same key and the same volume argument holds;
     *  - each iteration `localCheckpoint`s its node-sized rank frame, so
     *    the logical plan stays one-iteration deep (the ccPropagation
     *    lesson: nested iterative plans grow analyzer time without it);
@@ -66,18 +94,16 @@ object Graph {
                damping: Double = 0.85, teleport: Double = 0.15): DataFrame = {
     val pairs = coPairs(s, dir)
     val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
-    val deg = edges.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("deg"))
-    val adj = edges.join(deg, col("src") === col("node"))
+    val deg = coDegrees(s, dir)
+    val adj = edges.join(broadcast(deg), col("src") === col("node"))
       .select(col("src"), col("dst"), col("deg"))
-      .repartition(col("src"))
       .persist()
     try {
       val n = deg.count()
       var ranks = deg.select(col("node"), lit(1.0 / n).as("rank"))
         .localCheckpoint(true)
       for (_ <- 1 to iters) {
-        ranks = adj.join(ranks, col("src") === col("node"))
+        ranks = adj.join(broadcast(ranks), col("src") === col("node"))
           .groupBy(col("dst"))
           .agg((lit(teleport / n) +
             lit(damping) * sum(col("rank") / col("deg"))).as("rank"))
@@ -97,15 +123,25 @@ object Graph {
     * orient every edge from its lower-(deg, id) endpoint to the higher,
     * so each wedge is enumerated at its lowest-degree corner and the
     * join volume is Σ d_min(u)² — bounded even when hub nodes exist,
-    * where the naive orientation pays Σ deg(hub)². Three shuffles total
-    * (wedge join, closing join, corner count); each triangle is found
-    * exactly once and credited to all three corners.
+    * where the naive orientation pays Σ deg(hub)².
+    *
+    * Plan discipline (the first cut was 15× slower than the final):
+    *  - the wedge table is ~40× the edge table (49M wedges from 1.2M
+    *    edges at sf0.1) and must NEVER shuffle or be recomputed: both
+    *    the wedge join and the closing join BROADCAST the (persisted)
+    *    oriented edge set — wedges stream map-side from the edge scan
+    *    straight into the closing probe and the corner aggregation's
+    *    partial phase; the only shuffle in the whole operator is the
+    *    final (node-cardinality) count exchange. At edge sets past
+    *    broadcast size, drop the hints and pre-partition `oriented` by
+    *    lo/hi instead — the wedge volume argument is unchanged;
+    *  - corners come from ONE pass — posexplode of the (a, b, c) array
+    *    — where a 3-way union of projections would re-run the wedge
+    *    pipeline three times (the r2 cache-leak lesson in plan form).
     */
   def triangles(s: SparkSession, dir: String): DataFrame = {
     val pairs = coPairs(s, dir)
-    val deg = pairs.select(col("src").as("node"))
-      .union(pairs.select(col("dst").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val deg = coDegrees(s, dir)
     val withDeg = pairs
       .join(deg.select(col("node").as("src"), col("deg").as("ds")), Seq("src"))
       .join(deg.select(col("node").as("dst"), col("deg").as("dd")), Seq("dst"))
@@ -113,19 +149,19 @@ object Graph {
     val oriented = withDeg.select(
       when(col("ds") <= col("dd"), col("src")).otherwise(col("dst")).as("lo"),
       when(col("ds") <= col("dd"), col("dst")).otherwise(col("src")).as("hi"))
-    val wedges = oriented.as("e1")
-      .join(oriented.as("e2"), col("e1.hi") === col("e2.lo"))
-      .select(col("e1.lo").as("a"), col("e1.hi").as("b"), col("e2.hi").as("c"))
-    val tri = wedges.join(oriented.as("e3"),
-      col("a") === col("e3.lo") && col("c") === col("e3.hi"))
-      .select(col("a"), col("b"), col("c"))
-    val corners = tri.select(col("a").as("node"))
-      .union(tri.select(col("b").as("node")))
-      .union(tri.select(col("c").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("tri"))
-    val out = deg.join(corners, Seq("node"), "left")
-      .select(col("node").as("part"),
-        coalesce(col("tri"), lit(0L)).as("triangles"), col("deg"))
-    CacheLifecycle.materialize(out)
+      .persist()
+    try {
+      val corners = oriented.as("e1")
+        .join(broadcast(oriented.as("e2")), col("e1.hi") === col("e2.lo"))
+        .select(col("e1.lo").as("a"), col("e1.hi").as("b"), col("e2.hi").as("c"))
+        .join(broadcast(oriented.as("e3")),
+          col("a") === col("e3.lo") && col("c") === col("e3.hi"))
+        .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("tri"))
+      val out = deg.join(corners, Seq("node"), "left")
+        .select(col("node").as("part"),
+          coalesce(col("tri"), lit(0L)).as("triangles"), col("deg"))
+      CacheLifecycle.materialize(out)
+    } finally oriented.unpersist(false)
   }
 }
