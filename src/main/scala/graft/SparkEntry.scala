@@ -228,7 +228,12 @@ object SparkEntry {
       graft.operators.Governance.lDiversity(s, d)),
     "feat_lag_windows" -> (Features.lagFeatures _),
     "stream_distinct_users" -> ((s: SparkSession, d: String) =>
-      StreamOps.streamDistinctUsers(s, d))
+      StreamOps.streamDistinctUsers(s, d)),
+    "graph_common_neighbors" -> ((s: SparkSession, d: String) =>
+      graft.operators.Graph.commonNeighbors(s, d)),
+    // custom HLL sketch — deterministic but engine-internal (rows-only
+    // by design; HllSpec pins ≤5% error vs exact, q20 covers HLL++)
+    "sketch_hll_users" -> (Relational.sketchHllUsers _)
   )
 
   /** DuckDB shingle CTE bodies shared by the near-dup and cluster oracles
@@ -2053,7 +2058,27 @@ object SparkEntry {
     "stream_distinct_users" ->
       """SELECT date_trunc('hour', ts) AS win_start,
         |  count(DISTINCT user_id) AS n_users
-        |FROM events GROUP BY 1""".stripMargin
+        |FROM events GROUP BY 1""".stripMargin,
+    // center-enumerated wedges; cn>=2 support floor both sides; ranks
+    // compare the identically-rounded jaccard/cn/id triple
+    "graph_common_neighbors" ->
+      s"""WITH $coPairCtes,
+         |e AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
+         |d AS (SELECT node, count(*) AS deg FROM
+         |  (SELECT src AS node FROM p UNION ALL SELECT dst FROM p) GROUP BY 1),
+         |bc AS (SELECT e.src AS b, e.dst AS n, d.deg AS db
+         |       FROM e JOIN d ON e.src = d.node WHERE e.dst % 4 = 0),
+         |w AS (SELECT x.n AS a, y.n AS c, count(*) AS cn,
+         |        round(sum(1.0 / ln(x.db)), 6) AS aa
+         |      FROM bc x JOIN bc y ON x.b = y.b AND x.n < y.n
+         |      GROUP BY 1, 2 HAVING count(*) >= 2),
+         |j AS (SELECT w.a AS part_a, w.c AS part_b, cn,
+         |        round(cn / CAST(da.deg + dc.deg - cn AS DOUBLE), 6) AS jaccard, aa
+         |      FROM w JOIN d da ON w.a = da.node JOIN d dc ON w.c = dc.node)
+         |SELECT part_a, part_b, cn, jaccard, aa,
+         |  CAST(row_number() OVER (PARTITION BY part_a
+         |    ORDER BY jaccard DESC, cn DESC, part_b) AS INTEGER) AS rank
+         |FROM j QUALIFY rank <= 5""".stripMargin
   )
 
   /** The MMR oracle replays the greedy diversity selection as a recursive

@@ -164,4 +164,56 @@ object Graph {
       CacheLifecycle.materialize(out)
     } finally oriented.unpersist(false)
   }
+
+  /** Link prediction — top-k strongest implicit links per node by
+    * neighborhood overlap: common-neighbor count, Jaccard of neighbor
+    * sets (cn / (d_a + d_c − cn)), and Adamic-Adar (Σ_b 1/ln deg(b) —
+    * rare shared neighbors weigh more; deg(b) ≥ 2 for any common
+    * neighbor, so the log never hits zero).
+    *
+    * Wedges enumerate at their CENTER here (both endpoints needed per
+    * center, so the orientation trick doesn't apply — the volume is
+    * Σ deg(b)²/2 by construction); the `cn ≥ 2` support floor then
+    * drops the single-shared-neighbor noise pairs that dominate the raw
+    * wedge set (~5× fewer rows into the ranking window), which is also
+    * the semantically honest cut for recommendations. Ranking windows
+    * partition per source node — local sorts.
+    *
+    * `candidateMod` scopes scoring to a deterministic WATCHLIST (both
+    * endpoints ≡ 0 mod it) — the production serving shape: a link-
+    * prediction pass scores a candidate batch against the graph, not
+    * the full quadratic cross-product (dedup_incremental's batch-vs-
+    * corpus framing). The default quarter-watchlist cuts wedge volume
+    * 16× (the full-graph mode, candidateMod=1, measured 87 s Spark vs
+    * 236 s DuckDB at sf0.1 — a 2.7× win, but too heavy for a per-round
+    * gate on either engine).
+    */
+  def commonNeighbors(s: SparkSession, dir: String, k: Int = 5,
+                      candidateMod: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = coPairs(s, dir)
+    val deg = coDegrees(s, dir)
+    val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+    val byCenter = edges.join(broadcast(deg), col("src") === col("node"))
+      .filter(col("dst") % candidateMod === 0)
+      .select(col("src").as("b"), col("dst").as("n"), col("deg").as("db"))
+    val cn = byCenter.as("x").join(byCenter.as("y"),
+        col("x.b") === col("y.b") && col("x.n") < col("y.n"))
+      .groupBy(col("x.n").as("a"), col("y.n").as("c"))
+      .agg(count(lit(1)).as("cn"),
+        round(sum(lit(1.0) / log(col("x.db"))), 6).as("aa"))
+      .filter(col("cn") >= 2)
+    val scored = cn
+      .join(broadcast(deg.select(col("node").as("a"), col("deg").as("da"))), Seq("a"))
+      .join(broadcast(deg.select(col("node").as("c"), col("deg").as("dc"))), Seq("c"))
+      .select(col("a").as("part_a"), col("c").as("part_b"), col("cn"),
+        round(col("cn") / (col("da") + col("dc") - col("cn")).cast("double"), 6)
+          .as("jaccard"),
+        col("aa"))
+    val w = Window.partitionBy("part_a")
+      .orderBy(col("jaccard").desc, col("cn").desc, col("part_b"))
+    val out = scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+    CacheLifecycle.materialize(out)
+  }
 }

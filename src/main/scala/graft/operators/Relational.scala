@@ -1021,6 +1021,24 @@ object Relational {
               (col("tn") - col("tp")).cast("double"))), 6).as("ivalue"))
   }
 
+  /** Grouped distinct-user estimates via the custom [[graft.expressions.HllAgg]]
+    * HyperLogLog aggregate — the sketch path for COUNT(DISTINCT) at
+    * 100 TB: exact distinct shuffles every distinct (group, element)
+    * pair, the sketch ships one 4 KiB register array per (partition,
+    * group) and merges by elementwise max. The estimate is deterministic
+    * for a fixed input set, so HllSpec pins it against the exact count
+    * per group (≤5% relative error at p=12); no SQL engine can replay
+    * the registers → rows-only driver check by design, with
+    * `q20_approx_agg` covering the built-in HLL++ variant.
+    */
+  def sketchHllUsers(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.HllAgg.register(s)
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(call_function("graft_hll", col("user_id")).as("n_users_est"),
+        count(lit(1)).as("n_events"))
+  }
+
   /** Salted skew join — the hot-key mitigation every 100 TB fact⋈dim
     * enrichment eventually needs, with the RESULT-EQUALITY contract
     * that makes it safe: per-user stats (the dim, key-cardinality-
