@@ -233,7 +233,13 @@ object SparkEntry {
       graft.operators.Graph.commonNeighbors(s, d)),
     // custom HLL sketch — deterministic but engine-internal (rows-only
     // by design; HllSpec pins ≤5% error vs exact, q20 covers HLL++)
-    "sketch_hll_users" -> (Relational.sketchHllUsers _)
+    "sketch_hll_users" -> (Relational.sketchHllUsers _),
+    "gov_dp_counts" -> ((s: SparkSession, d: String) =>
+      graft.operators.Governance.dpCounts(s, d)),
+    // streaming HLL — engine-internal registers (rows-only by design;
+    // Batch37 spec pins streaming == batch sketch equality)
+    "stream_hll_users" -> ((s: SparkSession, d: String) =>
+      StreamOps.streamHllUsers(s, d))
   )
 
   /** DuckDB shingle CTE bodies shared by the near-dup and cluster oracles
@@ -2078,7 +2084,21 @@ object SparkEntry {
          |SELECT part_a, part_b, cn, jaccard, aa,
          |  CAST(row_number() OVER (PARTITION BY part_a
          |    ORDER BY jaccard DESC, cn DESC, part_b) AS INTEGER) AS rank
-         |FROM j QUALIFY rank <= 5""".stripMargin
+         |FROM j QUALIFY rank <= 5""".stripMargin,
+    // replayable Laplace release: uniform deviate from the md5-prefix
+    // group-key hash, half-offset keeps it strictly inside (-1/2, 1/2)
+    "gov_dp_counts" ->
+      s"""WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
+         |  FROM customer GROUP BY 1, 2),
+         |t AS (SELECT *,
+         |  ${md5PrefixSql("concat_ws('|', c_nationkey, c_mktsegment)")} % 4503599627370496 AS m
+         |  FROM g),
+         |u AS (SELECT *, (CAST(m AS DOUBLE) + 0.5) / 4503599627370496.0 - 0.5 AS uu FROM t)
+         |SELECT c_nationkey, c_mktsegment,
+         |  round(n + (-1.0) * (CASE WHEN uu >= 0 THEN 1.0 ELSE -1.0 END) *
+         |    ln(1.0 - 2.0 * abs(uu)), 6) AS noisy_count,
+         |  1.0 AS epsilon
+         |FROM u""".stripMargin
   )
 
   /** The MMR oracle replays the greedy diversity selection as a recursive

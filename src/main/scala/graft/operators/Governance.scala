@@ -58,4 +58,35 @@ object Governance {
         countDistinct("c_mktsegment").as("l_distinct"))
       .select(col("c_nationkey"), col("acct_band"), col("group_size"),
         col("l_distinct"), (col("l_distinct") >= l).as("diverse"))
+
+  /** Differentially-private release counts — Laplace(1/ε) noise on the
+    * per-group counts (Dwork et al., TCC 2006; sensitivity 1 for a
+    * counting query), with the noise draw made REPLAYABLE: the uniform
+    * deviate comes from the engine-portable md5-prefix hash of the group
+    * key (the dedup family's portable-hash pattern), so the release is
+    * deterministic, auditable, and bit-checkable against the SQL oracle
+    * — the property a governance pipeline wants anyway (the same release
+    * twice must not spend privacy budget twice). The half-offset
+    * ((m+0.5)/2⁵², exact in doubles) keeps the deviate strictly inside
+    * (−½, ½) so the inverse-CDF log never sees 0. True counts are NOT
+    * in the output — only the noisy release and its ε.
+    *
+    * One shuffle to group cardinality; noise is a map-side projection
+    * over the (tiny) aggregate.
+    */
+  def dpCounts(s: SparkSession, dir: String, epsilon: Double = 1.0): DataFrame = {
+    val b = 1.0 / epsilon
+    val tok = graft.functions.TextFunctions.portableTokenHash(
+      concat_ws("|", col("c_nationkey"), col("c_mktsegment")))
+    val m = pmod(tok, lit(1L << 52)).cast("double")
+    val u = (m + lit(0.5)) / lit(4503599627370496.0) - lit(0.5)
+    val sgn = when(u >= 0, lit(1.0)).otherwise(lit(-1.0))
+    val noise = lit(-b) * sgn * log(lit(1.0) - lit(2.0) * abs(u))
+    Tables.customer(s, dir)
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("n"))
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        round(col("n") + noise, 6).as("noisy_count"),
+        lit(epsilon).as("epsilon"))
+  }
 }

@@ -901,4 +901,42 @@ object StreamOps {
       org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
     }
   }
+
+  /** Windowed distinct-user ESTIMATES on the stream via the custom HLL
+    * aggregate ([[graft.expressions.HllAgg]]) — the mergeable-sketch
+    * answer to [[streamDistinctUsers]]'s exact chained pipeline: ONE
+    * stateful operator whose per-window state is a 4 KiB register
+    * array, updated in place each micro-batch (TypedImperativeAggregate
+    * buffers serialize into the state store), instead of one state row
+    * per (window, user). At 100 TB of high-cardinality traffic that is
+    * the difference between state ∝ distinct keys and state ∝ windows.
+    * Complete mode on the drained fixture; the estimate is
+    * deterministic for a fixed input set (max-merge is order- and
+    * partitioning-insensitive), so the spec pins streaming == batch
+    * sketch equality — no SQL oracle can replay the registers
+    * (rows-only driver check, like sketch_hll_users).
+    */
+  def streamHllUsers(s: SparkSession, dir: String,
+                     windowLen: String = "1 hour"): DataFrame = {
+    val ss = streamingSession(s)
+    graft.expressions.HllAgg.register(ss)
+    val path = s"$dir/events.parquet"
+    val schema = ss.read.parquet(path).schema
+    val name = s"graft_stream_${counter.incrementAndGet()}"
+    val stream = ss.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .transform(graft.Tables.normalizeTs)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), windowLen))
+      .agg(call_function("graft_hll", col("user_id")).as("n_users_est"))
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    ss.table(name).select(
+      col("window.start").as("win_start"), col("n_users_est"))
+  }
 }
