@@ -42,6 +42,10 @@ def main():
             t0 = time.monotonic()
             con.execute(oracles[name]).fetchall()
             samples.append(time.monotonic() - t0)
+            # a >60 s oracle (e.g. the graph wedge joins) is past the
+            # point where run-to-run jitter matters; one sample suffices
+            if samples[0] > 60.0:
+                break
         times[name] = round(statistics.median(samples), 3)
         print(f"{name:28s} {times[name]:8.3f} s")
     doc = {"engine": f"duckdb {duckdb.__version__}", "sf_dir": sf_dir,
