@@ -60,6 +60,13 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # GRAFT_CHECK_SKIP=a,b demotes named oracles to rows-only checks (dev
+    # lever for sf1 runs where a DuckDB-side oracle is O(hours) — e.g. the
+    # graph wedge joins; the Spark side still runs and row-checks)
+    import os
+    skip = set(filter(None,
+        os.environ.get("GRAFT_CHECK_SKIP", "").split(",")))
+    oracle = {k: v for k, v in oracle.items() if k not in skip}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
