@@ -24,6 +24,15 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // ObjectHashAggregate (collect_set/collect_list/typed aggregates)
+      // falls back to SORT-based aggregation after 128 distinct keys per
+      // partition by default — pathological for the grouped-array builds
+      // (co-purchase pair-gen, adjacency lists, minhash signatures) whose
+      // per-key state is small but key counts are corpus-sized. Raise the
+      // threshold so the hash path holds; per-key state here is bounded
+      // (schema-bounded order arrays, capped signatures), so memory stays
+      // partial-aggregate-sized.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -106,8 +115,10 @@ object Bench {
     println(json)
     // The driver captures only a tail of stdout, which can truncate the
     // per-query map — always persist the complete record to a repo file too.
+    // Filtered dev runs (SPARK_GRAFT_QUERIES set) must NOT clobber the
+    // full-suite record: they default to a scratch path instead.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/bench_out.json")
+      if (only.isDefined) "/tmp/bench_subset.json" else "/root/repo/bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       json.getBytes("UTF-8"))
     catch {

@@ -28,18 +28,36 @@ object Graph {
     */
   private def coPairs(s: SparkSession, dir: String): DataFrame =
     FamilyCache.get(s, dir, "copairs") {
+      // Pair generation is GROUP-LOCAL (orders hold ≤ 7 lines), so the
+      // self-join formulation is overkill: collapse each order to its
+      // sorted distinct part set (one shuffle — collect_set partials are
+      // map-side) and emit the C(k,2) in-order pairs from the tiny array
+      // with pure codegen'd array ops. Only the final pair `distinct`
+      // shuffles edge-sized data. The r5 profile: the join formulation
+      // paid scan-distinct (3.9 s) + self-join (2.9 s) where this pays
+      // one grouped scan — and at 100 TB the argument is the same, the
+      // per-order array is schema-bounded so the explode never skews.
       // fixture parquet is single-row-group (unsplittable): round-robin
-      // the narrow projection so the distinct/join run at session
-      // parallelism (Tables.documents' pattern; a real cluster input
-      // arrives pre-split and this is a no-op)
-      val li = Tables.lineitem(s, dir)
+      // the narrow projection so the groupBy's PARTIAL aggregation (which
+      // runs on the scan partitioning, before the exchange) isn't a
+      // single task; a real cluster input arrives pre-split and this is
+      // a no-op. The final repartition sets the CACHED layout every
+      // family consumer streams from — session parallelism, not
+      // whatever AQE coalesced the distinct down to.
+      val byOrder = Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_partkey"))
         .repartition(s.sparkContext.defaultParallelism)
+        .groupBy("l_orderkey")
+        .agg(collect_set(col("l_partkey")).as("ps"))
+        .filter(size(col("ps")) >= 2)
+      // two codegen'd explodes beat one interpreted nested-lambda
+      // combination expression (higher-order functions are
+      // CodegenFallback): k² rows per order at k ≤ 7 is bounded fan-out
+      byOrder.select(col("ps"), explode(col("ps")).as("src"))
+        .select(col("src"), explode(col("ps")).as("dst"))
+        .filter(col("src") < col("dst"))
         .distinct()
-      li.as("a").join(li.as("b"), Seq("l_orderkey"))
-        .filter(col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-        .distinct()
+        .repartition(s.sparkContext.defaultParallelism)
     }
 
   /** Undirected degree per node — node-cardinality-sized, consumed
@@ -70,26 +88,15 @@ object Graph {
   /** PageRank over the symmetric co-purchase graph, `iters` fixed
     * iterations of r' = (1−d)/N + d·Σ r(u)/deg(u).
     *
-    * The scale-defining choices:
-    *  - the degree table is family-cached (node-sized, consumed by the
-    *    adjacency build, rank init, N, and the final projection — the
-    *    profiled first cut recomputed it four times), and the adjacency
-    *    (edges ⋈ deg, via broadcast of deg) is persisted once;
-    *  - every iteration joins the EDGE-sized adjacency with the
-    *    NODE-sized rank frame — so the rank frame is `broadcast()` and
-    *    the adjacency never moves or re-sorts (the first cut's
-    *    sort-merge join re-sorted 2.4M adjacency rows per iteration);
-    *    the per-iteration shuffle is only the map-side-combined
-    *    contribution aggregate, node-sized after partials. Past
-    *    broadcastable node counts (≳10⁸ nodes), flip to the
-    *    co-partitioned join: pre-partition adjacency and ranks on the
-    *    same key and the same volume argument holds;
-    *  - each iteration `localCheckpoint`s its node-sized rank frame, so
-    *    the logical plan stays one-iteration deep (the ccPropagation
-    *    lesson: nested iterative plans grow analyzer time without it);
-    *  - N is the single scalar the plan needs, taken with one count
-    *    action and embedded as a literal (the q41 quantile-literal
-    *    pattern), so both engines divide by the identical double.
+    * The scale split: ranks and degrees are NODE-sized while every
+    * iteration's real work is EDGE-sized, so the regime is picked by
+    * node count — [[pagerankDriverRanks]] (rank map rides into the edge
+    * scan; one scan + one node-sized exchange per iteration) up to
+    * [[PagerankDriverNodeCap]], [[pagerankJoinRanks]] (broadcast-join,
+    * fully distributed rank frame) past it. N is the single scalar the
+    * plan needs, taken with one count action and embedded as a literal
+    * (the q41 quantile-literal pattern), so both engines divide by the
+    * identical double.
     *
     * The graph is symmetric, so every node has deg ≥ 1 and receives mass
     * — no dangling-mass correction term is needed. Output rank is scaled
@@ -101,16 +108,83 @@ object Graph {
     * uses — `1.0 - 0.85` and the literal `0.15` differ by one ulp, and
     * the oracle contract here is "identical doubles", not "close".
     */
+  /** Node count up to which the rank vector lives on the DRIVER between
+    * iterations (the IVF-centroid "tiny index metadata" regime): ranks
+    * and degrees are node-sized while every iteration's real work is
+    * edge-sized, so shipping a rank MAP into the edge scan turns each
+    * iteration into one scan + one node-sized aggregate exchange — no
+    * join build, no per-iteration checkpoint. Co-purchase nodes are the
+    * part dimension (20k at sf0.1, 200k at sf1 — kilobytes against a
+    * 100 TB edge fact). Past the cap the broadcast-join path below
+    * carries the same volume argument distributively.
+    */
+  private val PagerankDriverNodeCap = 5000000L
+
   def pagerank(s: SparkSession, dir: String, iters: Int = 3,
                damping: Double = 0.85, teleport: Double = 0.15): DataFrame = {
     val pairs = coPairs(s, dir)
     val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
     val deg = coDegrees(s, dir)
+    val n = deg.count()
+    if (n <= PagerankDriverNodeCap)
+      pagerankDriverRanks(s, edges, deg, n, iters, damping, teleport)
+    else
+      pagerankJoinRanks(edges, deg, n, iters, damping, teleport)
+  }
+
+  /** Small-node-count regime: the rank frame round-trips through the
+    * driver each iteration (node-sized collect), the per-edge
+    * CONTRIBUTION rank(src)/deg(src) is a broadcast map lookup inside
+    * the edge scan, and the only exchange is the node-sized partial-sum
+    * aggregate. Arithmetic is identical to the join path (same per-edge
+    * division, same double sum per dst), so the SQL oracle's values are
+    * unchanged.
+    */
+  private def pagerankDriverRanks(s: SparkSession, edges: DataFrame,
+                                  deg: DataFrame, n: Long, iters: Int,
+                                  damping: Double, teleport: Double): DataFrame = {
+    val degArr = deg.collect().map(r => r.getLong(0) -> r.getLong(1))
+    var rank = scala.collection.mutable.LongMap.empty[Double]
+    degArr.foreach { case (node, _) => rank(node) = 1.0 / n }
+    val degMap = scala.collection.mutable.LongMap(degArr.map {
+      case (node, d) => node -> d.toDouble }: _*)
+    for (_ <- 1 to iters) {
+      val contrib = scala.collection.mutable.LongMap.empty[Double]
+      rank.foreach { case (node, r) => contrib(node) = r / degMap(node) }
+      val bc = s.sparkContext.broadcast(contrib)
+      val lookup = udf { (src: Long) => bc.value(src) }
+      val next = edges.select(col("dst"), lookup(col("src")).as("c"))
+        .groupBy(col("dst"))
+        .agg((lit(teleport / n) + lit(damping) * sum(col("c"))).as("rank"))
+        .collect()
+      rank = scala.collection.mutable.LongMap.empty[Double]
+      next.foreach(r => rank(r.getLong(0)) = r.getDouble(1))
+      bc.destroy()
+    }
+    val finalBc = s.sparkContext.broadcast(rank)
+    val rlook = udf { (node: Long) => finalBc.value(node) }
+    deg.select(col("node").as("part"),
+        round(rlook(col("node")) * lit(n.toDouble), 6).as("pagerank"),
+        col("deg"))
+      .localCheckpoint(true)
+  }
+
+  /** Large-node-count regime: every iteration joins the EDGE-sized
+    * adjacency with the NODE-sized rank frame — the rank frame is
+    * `broadcast()` and the adjacency never moves or re-sorts; the
+    * per-iteration shuffle is only the map-side-combined contribution
+    * aggregate. Past broadcastable node counts (≳10⁸), flip the hint to
+    * a co-partitioned join — the volume argument holds. Each iteration
+    * `localCheckpoint`s its node-sized rank frame so the logical plan
+    * stays one-iteration deep.
+    */
+  private def pagerankJoinRanks(edges: DataFrame, deg: DataFrame, n: Long,
+                                iters: Int, damping: Double,
+                                teleport: Double): DataFrame = {
     val adj = edges.join(broadcast(deg), col("src") === col("node"))
       .select(col("src"), col("dst"), col("deg"))
       .persist()
     try {
-      val n = deg.count()
       var ranks = deg.select(col("node"), lit(1.0 / n).as("rank"))
         .localCheckpoint(true)
       for (_ <- 1 to iters) {
@@ -136,19 +210,23 @@ object Graph {
     * join volume is Σ d_min(u)² — bounded even when hub nodes exist,
     * where the naive orientation pays Σ deg(hub)².
     *
-    * Plan discipline (the first cut was 15× slower than the final):
-    *  - the wedge table is ~40× the edge table (49M wedges from 1.2M
-    *    edges at sf0.1) and must NEVER shuffle or be recomputed: both
-    *    the wedge join and the closing join BROADCAST the (persisted)
-    *    oriented edge set — wedges stream map-side from the edge scan
-    *    straight into the closing probe and the corner aggregation's
-    *    partial phase; the only shuffle in the whole operator is the
-    *    final (node-cardinality) count exchange. At edge sets past
-    *    broadcast size, drop the hints and pre-partition `oriented` by
-    *    lo/hi instead — the wedge volume argument is unchanged;
-    *  - corners come from ONE pass — posexplode of the (a, b, c) array
-    *    — where a 3-way union of projections would re-run the wedge
-    *    pipeline three times (the r2 cache-leak lesson in plan form).
+    * Plan discipline (the r5 profile: the wedge-JOIN formulation paid
+    * 7.4 s at sf0.1 where this pays 3.2 s — wedges never materialize):
+    *  - collapse the oriented edges to OUT-NEIGHBOR ARRAYS (node-sized
+    *    rows, edge-sized payload, one shuffle) and compute each edge's
+    *    closing set as `array_intersect(N⁺(lo), N⁺(hi))` — a triangle
+    *    {x,y,z} with (deg,id)-order x<y<z appears exactly once, at edge
+    *    (x,y) with z in both out-lists. Row volume is 2·E + 3·T instead
+    *    of the wedge count W (49M at sf0.1, W ≫ T): the non-closing
+    *    wedges the join formulation materialized and discarded are never
+    *    created — the intersect walks them inside one codegen'd row;
+    *  - the edge stream re-explodes from the adjacency itself, so ONE
+    *    broadcast (the adjacency, same payload as the edge list) feeds
+    *    the hi-side lookup; at adjacency past broadcast size,
+    *    pre-partition both sides on `hi` — the volume argument holds;
+    *  - per-triangle corner credits (lo, hi, each third) emit from one
+    *    explode of a constructed array — the only other shuffle is the
+    *    node-sized count aggregate.
     */
   def triangles(s: SparkSession, dir: String): DataFrame = {
     val pairs = coPairs(s, dir)
@@ -160,20 +238,32 @@ object Graph {
     val oriented = withDeg.select(
       when(col("ds") <= col("dd"), col("src")).otherwise(col("dst")).as("lo"),
       when(col("ds") <= col("dd"), col("dst")).otherwise(col("src")).as("hi"))
+    val adjOut = oriented.groupBy(col("lo").as("node"))
+      .agg(collect_list(col("hi")).as("nbrs"))
       .persist()
     try {
-      val corners = oriented.as("e1")
-        .join(broadcast(oriented.as("e2")), col("e1.hi") === col("e2.lo"))
-        .select(col("e1.lo").as("a"), col("e1.hi").as("b"), col("e2.hi").as("c"))
-        .join(broadcast(oriented.as("e3")),
-          col("a") === col("e3.lo") && col("c") === col("e3.hi"))
-        .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
-        .groupBy("node").agg(count(lit(1)).as("tri"))
+      // edges re-explode from the lo-side adjacency; hi-side lists come
+      // from the one broadcast. An inner join is correct: an edge whose
+      // hi has no out-list closes no triangle and its (filtered) zero
+      // credits never reach the aggregate.
+      val inter = adjOut
+        .select(col("node").as("lo"), col("nbrs").as("ln"),
+          explode(col("nbrs")).as("hi"))
+        .join(broadcast(adjOut.select(col("node").as("hi"), col("nbrs").as("hn"))),
+          Seq("hi"))
+        .select(col("lo"), col("hi"),
+          array_intersect(col("ln"), col("hn")).as("third"))
+      val corners = inter.select(explode(concat(
+          array(struct(col("lo").as("node"), size(col("third")).cast("long").as("c")),
+                struct(col("hi").as("node"), size(col("third")).cast("long").as("c"))),
+          transform(col("third"), x => struct(x.as("node"), lit(1L).as("c"))))).as("e"))
+        .filter(col("e.c") > 0)
+        .groupBy(col("e.node").as("node")).agg(sum(col("e.c")).as("tri"))
       val out = deg.join(corners, Seq("node"), "left")
         .select(col("node").as("part"),
           coalesce(col("tri"), lit(0L)).as("triangles"), col("deg"))
       CacheLifecycle.materialize(out)
-    } finally oriented.unpersist(false)
+    } finally adjOut.unpersist(false)
   }
 
   /** Link prediction — top-k strongest implicit links per node by
