@@ -6,8 +6,10 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Dev profiler for the co-purchase graph family — per-stage timings for
-  * pagerank/triangles so suite entries attribute to stages. Test-scoped
-  * (`sbt "Test/runMain graft.operators.ProfileGraph"`), not shipped.
+  * the shared pair build and each consumer so suite entries attribute to
+  * stages. Test-scoped (`sbt "Test/runMain graft.operators.ProfileGraph"`),
+  * not shipped. Mirrors the CURRENT Graph.scala formulations; keep in
+  * sync when those change.
   */
 object ProfileGraph {
   def time[T](name: String)(f: => T): T = {
@@ -25,47 +27,97 @@ object ProfileGraph {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000000).selectExpr("sum(id)").collect()
+    val par = spark.sparkContext.defaultParallelism
 
-    val li = time("li distinct") {
+    val scan = time("scan+repartition") {
       val d = Tables.lineitem(spark, dir)
-        .select(col("l_orderkey"), col("l_partkey")).distinct().persist()
+        .select(col("l_orderkey"), col("l_partkey"))
+        .repartition(par).persist()
       d.count(); d
     }
-    val pairs = time("pairs build") {
-      val p = li.as("a").join(li.as("b"), Seq("l_orderkey"))
-        .filter(col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-        .distinct().persist()
-      p.count(); p
+    val byOrder = time("collect_set") {
+      val b = scan.groupBy("l_orderkey")
+        .agg(collect_set(col("l_partkey")).as("ps"))
+        .filter(size(col("ps")) >= 2).persist()
+      println(s"  orders=${b.count()}"); b
+    }
+    val pairs = time("explode+distinct") {
+      val p = byOrder.select(col("ps"), explode(col("ps")).as("src"))
+        .select(col("src"), explode(col("ps")).as("dst"))
+        .filter(col("src") < col("dst"))
+        .distinct()
+        .repartition(par).persist()
+      println(s"  edges=${p.count()}"); p
+    }
+    val deg = time("degrees") {
+      val d = pairs.select(col("src").as("node"))
+        .union(pairs.select(col("dst").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg")).persist()
+      println(s"  nodes=${d.count()}"); d
     }
     val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
-    val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-    val adj = time("adj build") {
-      val a = edges.join(deg, col("src") === col("node"))
-        .select(col("src"), col("dst"), col("deg"))
-        .repartition(col("src")).persist()
+
+    // ---- common neighbors stages
+    val byCenter = edges.join(broadcast(deg), col("src") === col("node"))
+      .filter(col("dst") % 4 === 0)
+      .select(col("src").as("b"), col("dst").as("n"), col("deg").as("db"))
+    val cn = time("cn wedge agg") {
+      val c = byCenter.as("x").join(broadcast(byCenter.as("y")),
+          col("x.b") === col("y.b") && col("x.n") < col("y.n"))
+        .groupBy(col("x.n").as("a"), col("y.n").as("c"))
+        .agg(count(lit(1)).as("cn"),
+          round(sum(lit(1.0) / log(col("x.db"))), 6).as("aa"))
+        .filter(col("cn") >= 2).persist()
+      println(s"  cn-pairs=${c.count()}"); c
+    }
+    time("cn rank window") {
+      import org.apache.spark.sql.expressions.Window
+      val scored = cn
+        .join(broadcast(deg.select(col("node").as("a"), col("deg").as("da"))), Seq("a"))
+        .join(broadcast(deg.select(col("node").as("c"), col("deg").as("dc"))), Seq("c"))
+        .select(col("a").as("part_a"), col("c").as("part_b"), col("cn"),
+          round(col("cn") / (col("da") + col("dc") - col("cn")).cast("double"), 6)
+            .as("jaccard"),
+          col("aa"))
+      val w = Window.partitionBy("part_a")
+        .orderBy(col("jaccard").desc, col("cn").desc, col("part_b"))
+      println(s"  topk=${scored.withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 5).count()}")
+    }
+    cn.unpersist(false)
+
+    // ---- triangles stages
+    val withDeg = pairs
+      .join(deg.select(col("node").as("src"), col("deg").as("ds")), Seq("src"))
+      .join(deg.select(col("node").as("dst"), col("deg").as("dd")), Seq("dst"))
+    val oriented = withDeg.select(
+      when(col("ds") <= col("dd"), col("src")).otherwise(col("dst")).as("lo"),
+      when(col("ds") <= col("dd"), col("dst")).otherwise(col("src")).as("hi"))
+    val adjOut = time("tri adjacency") {
+      val a = oriented.groupBy(col("lo").as("node"))
+        .agg(collect_list(col("hi")).as("nbrs")).persist()
       a.count(); a
     }
-    val n = time("deg count")(deg.count())
-    var ranks = time("r0")(
-      deg.select(col("node"), lit(1.0 / n).as("rank")).localCheckpoint(true))
-    for (i <- 1 to 3) {
-      ranks = time(s"iter $i") {
-        adj.join(ranks, col("src") === col("node"))
-          .groupBy(col("dst"))
-          .agg((lit(0.15 / n) + lit(0.85) * sum(col("rank") / col("deg"))).as("rank"))
-          .select(col("dst").as("node"), col("rank"))
-          .localCheckpoint(true)
-      }
+    time("tri intersect+agg") {
+      val inter = adjOut
+        .select(col("node").as("lo"), col("nbrs").as("ln"),
+          explode(col("nbrs")).as("hi"))
+        .join(broadcast(adjOut.select(col("node").as("hi"), col("nbrs").as("hn"))),
+          Seq("hi"))
+        .select(col("lo"), col("hi"),
+          array_intersect(col("ln"), col("hn")).as("third"))
+      val corners = inter.select(explode(concat(
+          array(struct(col("lo").as("node"), size(col("third")).cast("long").as("c")),
+                struct(col("hi").as("node"), size(col("third")).cast("long").as("c"))),
+          transform(col("third"), x => struct(x.as("node"), lit(1L).as("c"))))).as("e"))
+        .filter(col("e.c") > 0)
+        .groupBy(col("e.node").as("node")).agg(sum(col("e.c")).as("tri"))
+      println(s"  tri-nodes=${corners.count()}")
     }
-    time("final join")(
-      ranks.join(deg, Seq("node"))
-        .select(col("node").as("part"),
-          round(col("rank") * lit(n.toDouble), 6).as("pagerank"), col("deg"))
-        .count())
     spark.stop()
   }
 }
