@@ -224,6 +224,8 @@ object SparkEntry {
     "q53_interpolate" -> (Relational.q53Interpolate _),
     "q54_skew_join_salted" -> ((s: SparkSession, d: String) =>
       Relational.q54SkewJoinSalted(s, d)),
+    "q55_runtime_filter" -> ((s: SparkSession, d: String) =>
+      Relational.q55RuntimeFilter(s, d)),
     "gov_l_diversity" -> ((s: SparkSession, d: String) =>
       graft.operators.Governance.lDiversity(s, d)),
     "feat_lag_windows" -> (Features.lagFeatures _),
@@ -236,6 +238,8 @@ object SparkEntry {
       graft.operators.Graph.buildPairs(s, d)),
     "graph_common_neighbors" -> ((s: SparkSession, d: String) =>
       graft.operators.Graph.commonNeighbors(s, d)),
+    "graph_label_prop" -> ((s: SparkSession, d: String) =>
+      graft.operators.Graph.labelPropagation(s, d)),
     // custom HLL sketch — deterministic but engine-internal (rows-only
     // by design; HllSpec pins ≤5% error vs exact, q20 covers HLL++)
     "sketch_hll_users" -> (Relational.sketchHllUsers _),
@@ -663,6 +667,28 @@ object SparkEntry {
     * divisions the Spark plan embeds (Graph.pagerank's Scaladoc spells
     * out the one-ulp literal discipline).
     */
+  /** Synchronous label propagation as chained CTEs — one layer per
+    * round; the per-node plurality argmax replays Spark's
+    * max(struct(cnt, -label)) via (count DESC, label ASC) ranking.
+    */
+  private def labelPropOracle(iters: Int = 2): String = {
+    val layers = (1 to iters).map { i =>
+      s"""l$i AS (SELECT dst AS node, lbl FROM (
+         |  SELECT e.dst, l.lbl, count(*) AS cnt,
+         |    row_number() OVER (PARTITION BY e.dst
+         |      ORDER BY count(*) DESC, l.lbl) AS rn
+         |  FROM e JOIN l${i - 1} l ON e.src = l.node GROUP BY e.dst, l.lbl)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $coPairCtes,
+       |e AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
+       |d AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+       |l0 AS (SELECT node, node AS lbl FROM d),
+       |$layers
+       |SELECT d.node AS part, l$iters.lbl AS community, d.deg AS deg
+       |FROM l$iters JOIN d ON l$iters.node = d.node""".stripMargin
+  }
+
   private def pagerankOracle(iters: Int = 3): String = {
     val layers = (1 to iters).map { i =>
       s"""r$i AS (SELECT e.dst AS node,
@@ -1963,6 +1989,7 @@ object SparkEntry {
         |  make_timestamp(max(e_us)) AS merged_end, count(*) AS n_events
         |FROM g GROUP BY user_id, island""".stripMargin,
     "graph_pagerank" -> pagerankOracle(),
+    "graph_label_prop" -> labelPropOracle(),
     "graph_build_pairs" ->
       s"""WITH $coPairCtes
          |SELECT node, count(*) AS deg FROM
@@ -2056,6 +2083,14 @@ object SparkEntry {
         |  round(avg(value - user_mean), 6) AS avg_dev,
         |  round(max(abs(value - user_mean)), 6) AS max_dev
         |FROM events e JOIN d USING (user_id)
+        |GROUP BY 1""".stripMargin,
+    // the oracle is the PLAIN join: the runtime bloom is a superset
+    // filter, output-invisible by construction
+    "q55_runtime_filter" ->
+      """SELECT l_partkey, count(*) AS n_lines,
+        |  round(sum(l_extendedprice), 2) AS rev
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY 1""".stripMargin,
     "gov_l_diversity" ->
       """SELECT c_nationkey, CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS acct_band,

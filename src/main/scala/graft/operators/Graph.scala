@@ -121,12 +121,13 @@ object Graph {
   private val PagerankDriverNodeCap = 5000000L
 
   def pagerank(s: SparkSession, dir: String, iters: Int = 3,
-               damping: Double = 0.85, teleport: Double = 0.15): DataFrame = {
+               damping: Double = 0.85, teleport: Double = 0.15,
+               driverCap: Long = PagerankDriverNodeCap): DataFrame = {
     val pairs = coPairs(s, dir)
     val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
     val deg = coDegrees(s, dir)
     val n = deg.count()
-    if (n <= PagerankDriverNodeCap)
+    if (n <= driverCap)
       pagerankDriverRanks(s, edges, deg, n, iters, damping, teleport)
     else
       pagerankJoinRanks(edges, deg, n, iters, damping, teleport)
@@ -320,5 +321,65 @@ object Graph {
     val out = scored.withColumn("rank", row_number().over(w).cast("int"))
       .filter(col("rank") <= k)
     CacheLifecycle.materialize(out, byCenter)
+  }
+
+  /** Label-propagation community detection (Raghavan et al. 2007, the
+    * SYNCHRONOUS bounded-round form): labels init to the node id; each
+    * round every node adopts the PLURALITY label among its neighbors'
+    * previous-round labels, ties broken (count desc, label asc) — the
+    * only form that is deterministic and therefore replayable by the SQL
+    * oracle (async LPA is visit-order-dependent). Fixed `iters` rounds,
+    * one CTE layer each in the oracle.
+    *
+    * Same regime split as [[pagerank]]: label state is NODE-sized while
+    * each round's work is EDGE-sized, so below [[PagerankDriverNodeCap]]
+    * the label map rides into the edge scan (one scan + one
+    * (dst, label)-sized exchange per round); past it the same pipeline
+    * runs with a broadcast-joined label frame. The per-round plurality
+    * argmax is `max(struct(cnt, -label))` — a two-phase aggregate, never
+    * a window sort.
+    */
+  def labelPropagation(s: SparkSession, dir: String, iters: Int = 2,
+                       driverCap: Long = PagerankDriverNodeCap): DataFrame = {
+    val pairs = coPairs(s, dir)
+    val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = coDegrees(s, dir)
+    val n = deg.count()
+    if (n <= driverCap) {
+      var labels = scala.collection.mutable.LongMap.empty[Long]
+      deg.collect().foreach(r => labels(r.getLong(0)) = r.getLong(0))
+      for (_ <- 1 to iters) {
+        val bc = s.sparkContext.broadcast(labels)
+        val lk = udf { (src: Long) => bc.value(src) }
+        val next = edges.select(col("dst"), lk(col("src")).as("lbl"))
+          .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("cnt"))
+          .groupBy(col("dst"))
+          .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("m"))
+          .select(col("dst"), (-col("m.neg")).as("lbl"))
+          .collect()
+        labels = scala.collection.mutable.LongMap.empty[Long]
+        next.foreach(r => labels(r.getLong(0)) = r.getLong(1))
+        bc.destroy()
+      }
+      val fin = s.sparkContext.broadcast(labels)
+      val flk = udf { (node: Long) => fin.value(node) }
+      deg.select(col("node").as("part"), flk(col("node")).as("community"),
+          col("deg"))
+        .localCheckpoint(true)
+    } else {
+      var labels = deg.select(col("node"), col("node").as("lbl"))
+        .localCheckpoint(true)
+      for (_ <- 1 to iters) {
+        labels = edges.join(broadcast(labels), col("src") === col("node"))
+          .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("cnt"))
+          .groupBy(col("dst"))
+          .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("m"))
+          .select(col("dst").as("node"), (-col("m.neg")).as("lbl"))
+          .localCheckpoint(true)
+      }
+      deg.join(labels, Seq("node"))
+        .select(col("node").as("part"), col("lbl").as("community"), col("deg"))
+        .localCheckpoint(true)
+    }
   }
 }

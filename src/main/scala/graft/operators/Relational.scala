@@ -1067,4 +1067,46 @@ object Relational {
         round(avg(col("value") - col("user_mean")), 6).as("avg_dev"),
         round(max(abs(col("value") - col("user_mean"))), 6).as("max_dev"))
   }
+
+  /** Runtime bloom-filter pruning (Spark's InjectRuntimeFilter rule, the
+    * "sideways information passing" 100 TB lever): a selective dim-side
+    * predicate is compiled into a bloom filter at runtime and pushed
+    * into the FACT scan as `bloom_filter_might_contain`, so fact rows
+    * that cannot join are dropped BEFORE the shuffle — the regime where
+    * the filtered dim is past broadcast size but its join-key set fits a
+    * few MB of bloom bits. The fixture sits under the production
+    * thresholds, so the operator scopes the threshold confs to its own
+    * execution (flip → materialize → restore): `autoBroadcastJoinThreshold
+    * = -1` puts the join in the shuffle regime the feature targets, and
+    * the application-side size floor drops to 0. The bloom is a superset
+    * filter — the join still decides — so the result is identical with
+    * or without the injection (the oracle is the plain join), and
+    * PlanSpec pins that the injection actually happened.
+    */
+  def q55RuntimeFilter(s: SparkSession, dir: String): DataFrame = {
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      q55RuntimeFilterPlan(s, dir).localCheckpoint(true)
+    } finally saved.foreach { case (k, v) =>
+      v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+  }
+
+  /** Lazy plan for [[q55RuntimeFilter]] — built (and PlanSpec-inspected)
+    * under whatever runtime-filter confs the caller holds.
+    */
+  private[graft] def q55RuntimeFilterPlan(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_extendedprice"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice")), 2).as("rev"))
+  }
 }

@@ -136,4 +136,32 @@ class GraphGovSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
     assert(streamed.toSeq == batch.toSeq)
   }
+
+  test("pagerank driver-rank and join-rank regimes agree bit-for-bit") {
+    // driverCap=0 forces the distributed broadcast-join path on the same
+    // fixture the driver-map path serves — both regimes must emit the
+    // identical (rounded) ranks, pinning the regime split as a pure
+    // physical choice
+    val viaDriver = Graph.pagerank(spark, sf)
+      .collect().map(_.toString).sorted
+    val viaJoin = Graph.pagerank(spark, sf, driverCap = 0L)
+      .collect().map(_.toString).sorted
+    assert(viaDriver.nonEmpty)
+    assert(viaDriver.toSeq == viaJoin.toSeq)
+  }
+
+  test("label propagation regimes agree and communities coarsen") {
+    val viaDriver = Graph.labelPropagation(spark, sf)
+    val rows = viaDriver.collect()
+    val viaJoin = Graph.labelPropagation(spark, sf, driverCap = 0L)
+      .collect().map(_.toString).sorted
+    assert(rows.map(_.toString).sorted.toSeq == viaJoin.toSeq)
+    // plurality voting must coarsen the initial one-label-per-node state
+    val nNodes = rows.length
+    val nCommunities = rows.map(_.getLong(1)).distinct.length
+    assert(nCommunities < nNodes)
+    // every community label is itself a node id
+    val nodeIds = rows.map(_.getLong(0)).toSet
+    assert(rows.forall(r => nodeIds.contains(r.getLong(1))))
+  }
 }

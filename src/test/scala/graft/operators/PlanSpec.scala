@@ -331,4 +331,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join") && !p.contains("percentile"), p.take(3000))
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p.take(3000))
   }
+
+  test("q55: runtime bloom filter is injected into the fact-side scan") {
+    // under the operator's scoped confs the InjectRuntimeFilter rule must
+    // compile the dim predicate into a bloom probe on the fact side —
+    // visible as bloom_filter_might_contain in the optimized plan
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val df = Relational.q55RuntimeFilterPlan(spark, sf)
+      val p = df.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") && p.contains("bloom_filter_agg"),
+        s"no runtime bloom injected:\n${p.take(3000)}")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
+  test("q55: runtime-filtered result equals the plain join") {
+    val filtered = Relational.q55RuntimeFilter(spark, sf)
+      .orderBy("l_partkey").collect()
+    val plain = Relational.q55RuntimeFilterPlan(spark, sf)
+      .orderBy("l_partkey").collect()
+    assert(filtered.toSeq === plain.toSeq)
+  }
 }
