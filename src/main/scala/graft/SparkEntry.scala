@@ -117,6 +117,13 @@ object SparkEntry {
     "text_fingerprint" -> (TextOps.fingerprints _),
     "pipeline_curate" -> (TextOps.curate _),
     "mm_binary_features" -> ((s: SparkSession, d: String) => Multimodal.pipeline(s, d)),
+    // gate entry = oracle-portable gram hash; the xxhash64 production
+    // configuration benches as mm_dedup_phash_fast (rows-only by design,
+    // MultimodalSpec pins pipeline equivalence)
+    "mm_dedup_phash" -> ((s: SparkSession, d: String) =>
+      Multimodal.phashPairsPortable(s, d)),
+    "mm_dedup_phash_fast" -> ((s: SparkSession, d: String) =>
+      Multimodal.phashPairs(s, d)),
     "mm_frame_sample" -> ((s: SparkSession, d: String) =>
       Multimodal.frameSample(Multimodal.asBinaryPayload(s, d))),
     "stream_tumbling_agg" -> ((s: SparkSession, d: String) => StreamOps.tumblingWindowAgg(s, d)),
@@ -183,6 +190,8 @@ object SparkEntry {
       graft.operators.Lake.timeTravel(s, d)),
     "lake_schema_evolution" -> ((s: SparkSession, d: String) =>
       graft.operators.Lake.schemaEvolution(s, d)),
+    "lake_change_feed" -> ((s: SparkSession, d: String) =>
+      graft.operators.Lake.changeFeed(s, d)),
     "stream_lake_upsert" -> (StreamOps.streamLakeUpsert _),
     "q45_decile_lift" -> (Relational.q45DecileLift _),
     "q46_chi_square" -> ((s: SparkSession, d: String) =>
@@ -381,6 +390,30 @@ object SparkEntry {
        |        CAST(ord(substr(md5(t), i, 1)) -
        |             CASE WHEN substr(md5(t), i, 1) BETWEEN '0' AND '9' THEN 48 ELSE 87 END AS BIGINT)),
        |        (a, x) -> a * 16 + x) AS h FROM tok),
+       |sig AS (SELECT doc_id, $sigTerms AS sig FROM h GROUP BY doc_id),
+       |chunks AS (SELECT doc_id, sig, CAST(i AS INTEGER) AS chunk_idx,
+       |           (sig >> (i * 16)) & 65535 AS chunk
+       |           FROM sig, UNNEST([0, 1, 2, 3]) t(i))
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+       |FROM chunks a JOIN chunks b
+       |ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin
+  }
+
+  /** Multimodal phash oracle — the simhash replay over sliding character
+    * 4-grams (the fixture's payload bytes ARE its ASCII characters):
+    * same md5-prefix hash, same 60-bit vote terms, same chunk-bucket
+    * candidates and hamming ≤ 3 verify.
+    */
+  private val phashOracle: String = {
+    val sigTerms = (0 until 60).map { b =>
+      s"CASE WHEN 2 * count(*) FILTER (WHERE (h >> $b) & 1 = 1) > count(*) THEN ${1L << b} ELSE 0 END"
+    }.mkString("\n + ")
+    s"""WITH g AS (SELECT doc_id, substr(text, CAST(i AS INTEGER), 4) AS t
+       |           FROM documents, UNNEST(range(1, length(text) - 2)) u(i)
+       |           WHERE length(text) >= 4),
+       |h AS (SELECT doc_id, ${md5PrefixSql("t")} AS h FROM g),
        |sig AS (SELECT doc_id, $sigTerms AS sig FROM h GROUP BY doc_id),
        |chunks AS (SELECT doc_id, sig, CAST(i AS INTEGER) AS chunk_idx,
        |           (sig >> (i * 16)) & 65535 AS chunk
@@ -1458,6 +1491,7 @@ object SparkEntry {
         |  CASE WHEN h % 100 < 80 THEN 'train' ELSE 'test' END AS split
         |FROM h""".stripMargin,
     "mm_decode_batched" -> mmDecodeOracle,
+    "mm_dedup_phash" -> phashOracle,
     "mm_binary_features" ->
       """SELECT doc_id, 'text/plain' AS mime, CAST(length(text) AS INTEGER) AS n_bytes,
         |md5(text) AS content_md5, hex(substring(text, 1, 8)) AS head_hex
@@ -1783,6 +1817,24 @@ object SparkEntry {
         |      FROM ud)
         |SELECT w_end, count(*) AS active_users
         |FROM c, b WHERE w_end <= dmax GROUP BY 1""".stripMargin,
+    // replays the two CDC commits' set logic; the operator diffs REAL
+    // manifested parquet versions through readVersion
+    "lake_change_feed" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+        |rep AS (SELECT doc_id, upper(text) AS text FROM documents WHERE doc_id % 3 = 0),
+        |v2 AS (SELECT doc_id, text FROM v1
+        |       WHERE NOT (doc_id % 10 = 4 AND doc_id % 3 <> 0)
+        |         AND doc_id NOT IN (SELECT doc_id FROM rep)
+        |       UNION ALL SELECT doc_id, text FROM rep),
+        |j AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |        a.text AS t1, b.text AS t2
+        |      FROM v1 a FULL JOIN v2 b ON a.doc_id = b.doc_id)
+        |SELECT doc_id, 'insert' AS change_type, t2 AS text FROM j WHERE t1 IS NULL
+        |UNION ALL SELECT doc_id, 'delete', t1 FROM j WHERE t2 IS NULL
+        |UNION ALL SELECT doc_id, 'update_preimage', t1 FROM j
+        |  WHERE t1 IS NOT NULL AND t2 IS NOT NULL AND t1 <> t2
+        |UNION ALL SELECT doc_id, 'update_postimage', t2 FROM j
+        |  WHERE t1 IS NOT NULL AND t2 IS NOT NULL AND t1 <> t2""".stripMargin,
     // replays the two commits' set logic; the operator itself goes
     // end-to-end through manifests + parquet on disk
     "lake_time_travel" ->

@@ -531,6 +531,18 @@ object Dedup {
       .withColumn("h", tokenHash(col("tok")))
     val sigs = tokenHashes.groupBy("doc_id")
       .agg(call_function("graft_simhash", col("h")).as("sig"))
+    simhashBucketVerify(sigs, maxBucket)
+  }
+
+  /** Shared candidate+verify tail of every 64-bit-signature near-dup
+    * pipeline (token simhash, multimodal phash): 4×16-bit chunk
+    * pigeonhole buckets (hamming ≤ 3 pairs must agree on ≥ 1 chunk),
+    * hot-bucket cap, exact hamming ≤ 3 verify. `sigs` must carry
+    * (doc_id, sig). The machinery is modality-agnostic — only the
+    * signature construction differs per family.
+    */
+  private[operators] def simhashBucketVerify(sigs: DataFrame,
+                                             maxBucket: Int): DataFrame = {
     val chunks = sigs.select(col("doc_id"), col("sig"),
       posexplode(array((0 until 4).map(i =>
         shiftrightunsigned(col("sig"), i * 16).bitwiseAND(0xFFFFL)): _*))

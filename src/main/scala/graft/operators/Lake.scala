@@ -141,6 +141,58 @@ object Lake {
     }
   }
 
+  /** Change data feed — the CDC read every downstream incremental
+    * consumer of a lakehouse table needs (Delta CDF / Iceberg
+    * changelog shape): the row-level diff between two committed
+    * versions, classified as insert / delete / update_preimage /
+    * update_postimage (updates emit BOTH images, the changelog contract
+    * that lets a consumer maintain any derived state).
+    *
+    * The versions go through REAL storage: v1 = even-id documents;
+    * v2 = SCD-1 upsert of the id%3 slice (uppercased text) plus a
+    * delete of the (id%10==4, id%3≠0) slice — commit, manifest publish,
+    * then both versions read back via [[readVersion]] and diffed with
+    * ONE full-outer join on the key. Unchanged rows emit nothing, so
+    * the feed is delta-sized, not table-sized; at 100 TB the same diff
+    * prunes to the files the two manifests do NOT share (file-level
+    * carry-forward means untouched files can't contain changes —
+    * metadata pruning before any data read).
+    */
+  def changeFeed(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val table = Files.createTempDirectory("graft_lake_cdc_")
+    try {
+      val v1 = docs.filter(col("doc_id") % 2 === 0)
+      commit(v1, table, 1)
+      val replaced = docs.filter(col("doc_id") % 3 === 0)
+        .withColumn("text", upper(col("text")))
+      val v2 = readVersion(s, table, 1)
+        .filter(!(col("doc_id") % 10 === 4 && col("doc_id") % 3 =!= 0))
+        .join(replaced.select("doc_id"), Seq("doc_id"), "left_anti")
+        .unionByName(replaced)
+      commit(v2, table, 2)
+      val a = readVersion(s, table, 1).select(col("doc_id"), col("text").as("t1"))
+      val b = readVersion(s, table, 2).select(col("doc_id"), col("text").as("t2"))
+      val j = a.join(b, Seq("doc_id"), "full_outer")
+      val feed = j.filter(col("t1").isNull)
+        .select(col("doc_id"), lit("insert").as("change_type"), col("t2").as("text"))
+        .unionByName(j.filter(col("t2").isNull)
+          .select(col("doc_id"), lit("delete").as("change_type"), col("t1").as("text")))
+        .unionByName(j.filter(col("t1").isNotNull && col("t2").isNotNull &&
+            col("t1") =!= col("t2"))
+          .select(col("doc_id"), lit("update_preimage").as("change_type"),
+            col("t1").as("text")))
+        .unionByName(j.filter(col("t1").isNotNull && col("t2").isNotNull &&
+            col("t1") =!= col("t2"))
+          .select(col("doc_id"), lit("update_postimage").as("change_type"),
+            col("t2").as("text")))
+      // materialize before the temp table is deleted
+      CacheLifecycle.materialize(feed)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(table.toFile)
+    }
+  }
+
   /** Compaction planner — the small-file maintenance pass every
     * streaming-ingested lakehouse table needs: given the file inventory
     * (here a pseudo-inventory derived deterministically from events —

@@ -129,4 +129,63 @@ object Multimodal {
       }
       .toDF()
   }
+
+  /** Perceptual-hash near-dup for OPAQUE media payloads — the multimodal
+    * twin of `dedup_simhash`: a 64-bit locality-sensitive signature per
+    * payload (SimHash over sliding byte 4-grams — overlapping windows
+    * give the hash byte-level locality: payloads differing in a few
+    * bytes share most grams, so their signatures sit within small
+    * hamming distance), then the SHARED chunk-bucket candidate + exact
+    * hamming ≤ 3 verify machinery (`Dedup.simhashBucketVerify`).
+    *
+    * A real image pipeline swaps the byte grams for decoded perceptual
+    * features (DCT block signs — pHash proper); everything downstream of
+    * the gram hash is modality-agnostic, which is the point: ONE
+    * candidate/verify engine serves text, image, and audio near-dup.
+    *
+    * `gramHash` is pluggable exactly like the simhash token hash:
+    * xxhash64 is the production default; [[phashPairsPortable]] swaps in
+    * the md5-prefix hash a SQL oracle replays (the fixture's payloads
+    * are ASCII text bytes, so the oracle's character 4-grams ARE the
+    * byte 4-grams).
+    *
+    * Gram volume is n_bytes per payload (one hash per sliding window) —
+    * the same per-byte cost a decoder would pay; the explode is
+    * partition-parallel with no shuffle before the signature aggregate.
+    */
+  def phashPairs(s: SparkSession, dir: String, maxBucket: Int = 100000,
+                 gramHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+                   xxhash64(_)): DataFrame =
+    Dedup.simhashBucketVerify(
+      phashSignatures(asBinaryPayload(s, dir), gramHash), maxBucket)
+
+  /** Signature stage of [[phashPairs]] — (doc_id, sig) from a
+    * (doc_id, payload binary) frame. Exposed for specs to pin the
+    * locality property on synthetic payloads (the fixture holds no
+    * byte-identical payloads).
+    */
+  private[operators] def phashSignatures(
+      payload: DataFrame,
+      gramHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+  : DataFrame = {
+    graft.expressions.SimHashAgg.register(payload.sparkSession)
+    payload
+      .select(col("doc_id"), col("payload"),
+        length(col("payload")).cast("int").as("n"))
+      .filter(col("n") >= 4)
+      .select(col("doc_id"), col("payload"),
+        explode(sequence(lit(1), col("n") - 3)).as("off"))
+      .select(col("doc_id"),
+        gramHash(col("payload").substr(col("off"), lit(4))).as("h"))
+      .groupBy("doc_id")
+      .agg(call_function("graft_simhash", col("h")).as("sig"))
+  }
+
+  /** Oracle-portable [[phashPairs]] — md5-prefix gram hash, replayed
+    * bit-for-bit by the SQL oracle's character 4-grams (ASCII fixture).
+    */
+  def phashPairsPortable(s: SparkSession, dir: String,
+                         maxBucket: Int = 100000): DataFrame =
+    phashPairs(s, dir, maxBucket,
+      graft.functions.TextFunctions.portableTokenHash)
 }

@@ -60,4 +60,35 @@ class LakeSpec extends AnyFunSuite {
     assert(nullBucket.length == 1 && nullBucket(0).getLong(1) > 0,
       "gen1 rows must surface as NULL lang")
   }
+
+  test("change feed applied to v1 reconstructs v2 (the changelog invariant)") {
+    import graft.Tables
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    // the same version definitions the operator commits through storage
+    val v1 = docs.filter(col("doc_id") % 2 === 0)
+    val rep = docs.filter(col("doc_id") % 3 === 0)
+      .withColumn("text", upper(col("text")))
+    val v2 = v1.filter(!(col("doc_id") % 10 === 4 && col("doc_id") % 3 =!= 0))
+      .join(rep.select("doc_id"), Seq("doc_id"), "left_anti")
+      .unionByName(rep)
+    val feed = Lake.changeFeed(spark, sf)
+    // every update emits exactly one pre- and one post-image
+    val pre = feed.filter(col("change_type") === "update_preimage").count()
+    val post = feed.filter(col("change_type") === "update_postimage").count()
+    assert(pre === post && pre > 0)
+    assert(feed.filter(col("change_type") === "insert").count() > 0)
+    assert(feed.filter(col("change_type") === "delete").count() > 0)
+    // apply: v1 minus (deleted ∪ updated) keys, plus inserts and postimages
+    val removedKeys = feed
+      .filter(col("change_type").isin("delete", "update_preimage"))
+      .select("doc_id")
+    val added = feed
+      .filter(col("change_type").isin("insert", "update_postimage"))
+      .select("doc_id", "text")
+    val reconstructed = v1.join(removedKeys, Seq("doc_id"), "left_anti")
+      .unionByName(added)
+    val a = reconstructed.collect().map(_.toString).sorted
+    val b = v2.collect().map(_.toString).sorted
+    assert(a.toSeq == b.toSeq)
+  }
 }

@@ -617,6 +617,34 @@ class OperatorSpec extends AnyFunSuite {
     assert(a.length === graft.Tables.documents(spark, sf).count())
   }
 
+  test("phash signatures are local: equal payloads collide, edits stay near") {
+    import org.apache.spark.sql.functions._
+    val base = "the quick brown fox jumps over the lazy dog " * 8
+    val perturbed = base.updated(10, 'X') // one-byte edit
+    val unrelated = "zqvx9 entirely different content stream 0x7f " * 8
+    import spark.implicits._
+    val payload = Seq((1L, base), (2L, base), (3L, perturbed), (4L, unrelated))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    for (h <- Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column](
+        xxhash64(_), graft.functions.TextFunctions.portableTokenHash)) {
+      val sigs = Multimodal.phashSignatures(payload, h)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(sigs(1L) === sigs(2L), "identical payloads must collide")
+      def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+      assert(ham(sigs(1L), sigs(3L)) <= 3,
+        s"one-byte edit drifted ${ham(sigs(1L), sigs(3L))} bits")
+      assert(ham(sigs(1L), sigs(4L)) > 3,
+        "unrelated payloads must not sit inside the verify threshold")
+    }
+    // and the fixture-level pipeline respects the verify threshold in
+    // both hash variants
+    for (df <- Seq(Multimodal.phashPairsPortable(spark, sf),
+                   Multimodal.phashPairs(spark, sf))) {
+      assert(df.collect().forall(_.getInt(2) <= 3))
+    }
+  }
+
   test("IVF ANN recall vs brute force clears the nprobe/cells floor") {
     def topSet(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
