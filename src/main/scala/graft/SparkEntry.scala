@@ -193,6 +193,7 @@ object SparkEntry {
     "lake_change_feed" -> ((s: SparkSession, d: String) =>
       graft.operators.Lake.changeFeed(s, d)),
     "stream_lake_upsert" -> (StreamOps.streamLakeUpsert _),
+    "stream_cdc_apply" -> (StreamOps.streamCdcApply _),
     "q45_decile_lift" -> (Relational.q45DecileLift _),
     "q46_chi_square" -> ((s: SparkSession, d: String) =>
       graft.operators.Drift.chiSquare(s, d)),
@@ -937,6 +938,16 @@ object SparkEntry {
         |  FROM events) WHERE rn = 1""".stripMargin,
     // streaming CDC materialized view drains to exactly the batch
     // compaction → same oracle as q33_merge_upsert
+    // last-writer-wins + delete-tombstone replay: a key survives iff its
+    // final (ts, event_id)-ordered op is not an 'error' tombstone
+    "stream_cdc_apply" ->
+      """SELECT user_id, last_ts, last_event_id, last_value, n_ops FROM (
+        |  SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+        |         round(value, 6) AS last_value, event_type,
+        |         count(*) OVER (PARTITION BY user_id) AS n_ops,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
     "stream_merge_upsert" ->
       """SELECT user_id, event_type, last_ts, last_event_id, last_value, n_versions FROM (
         |  SELECT user_id, event_type, ts AS last_ts, event_id AS last_event_id,

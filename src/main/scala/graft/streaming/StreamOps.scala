@@ -708,6 +708,118 @@ object StreamOps {
     }
   }
 
+  // public: Catalyst's generated (de)serializers cannot access private
+  // case-class members (Sessionize's lesson)
+  case class CdcOp(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+                   event_type: String, value: Double)
+  case class CdcState(lastUs: Long, lastEventId: Long, lastValue: Double,
+                      deleted: Boolean, nOps: Long)
+  case class CdcRow(user_id: Long, last_ts: java.sql.Timestamp,
+                    last_event_id: Long, last_value: Double,
+                    deleted: Boolean, n_ops: Long)
+
+  /** CDC-apply state logic, isolated Serializable module (no driver-scope
+    * capture). The fold is a VERSION-CHECKED upsert: an op mutates the
+    * state only if its (ts, event_id) version exceeds the state's — so
+    * the final state is the max-version op's, regardless of how the
+    * changelog is partitioned into micro-batches or ordered within one
+    * (the out-of-order resilience a real CDC materializer needs; the
+    * cross-batch spec pins batch-split invariance). An 'error' op
+    * tombstones the key, any newer upsert revives it; stale ops still
+    * count toward n_ops.
+    */
+  private[streaming] object CdcLogic extends Serializable {
+    import graft.streaming.Sessionize.SessionLogic.toMicros
+
+    def fn(userId: Long, ops: Iterator[CdcOp],
+           state: org.apache.spark.sql.streaming.GroupState[CdcState]): CdcRow = {
+      var st = state.getOption.getOrElse(
+        CdcState(Long.MinValue, Long.MinValue, 0.0, deleted = true, 0L))
+      ops.foreach { o =>
+        val us = toMicros(o.ts)
+        val newer = us > st.lastUs ||
+          (us == st.lastUs && o.event_id > st.lastEventId)
+        st =
+          if (!newer) st.copy(nOps = st.nOps + 1)
+          else if (o.event_type == "error")
+            CdcState(us, o.event_id, 0.0, deleted = true, st.nOps + 1)
+          else
+            CdcState(us, o.event_id, o.value, deleted = false, st.nOps + 1)
+      }
+      state.update(st)
+      CdcRow(userId,
+        graft.streaming.Sessionize.SessionLogic.fromMicros(st.lastUs),
+        st.lastEventId, st.lastValue, st.deleted, st.nOps)
+    }
+  }
+
+  /** Streaming CDC apply — the consumer side of `lake_change_feed`: a
+    * keyed changelog (events on user_id; 'error' ops are DELETE
+    * tombstones, everything else upserts `value`) folds into per-key
+    * state via `mapGroupsWithState`, the custom-state route a real CDC
+    * materializer takes when the sink table needs more than
+    * last-row-wins (tombstone revival, op counting, conditional
+    * merges). Update output emits each key's state once per touching
+    * micro-batch; the drained table collapses to the final emission per
+    * key (max n_ops — monotone within a key) and tombstoned keys are
+    * dropped from the materialized view.
+    *
+    * State is one fixed-width row per LIVE key — the bounded-state
+    * contract (dead keys stay as tombstones here; a production variant
+    * ages them out with a state timeout, exactly like Sessionize's).
+    * The SQL oracle replays last-writer-wins + tombstone semantics with
+    * one ranking window.
+    */
+  def streamCdcApply(s: SparkSession, dir: String): DataFrame =
+    cdcApplyPath(streamingSession(s), dir, "events.parquet",
+      maxFilesPerTrigger = 0)
+
+  /** Source-parameterized core of [[streamCdcApply]] — specs stage
+    * multi-file directories through it to pin cross-batch state folds
+    * and tombstone revival.
+    */
+  private[streaming] def cdcApplyPath(ss: SparkSession, watchDir: String,
+                                      glob: String,
+                                      maxFilesPerTrigger: Int): DataFrame = {
+    val schema = ss.read.option("pathGlobFilter", glob)
+      .parquet(watchDir).schema
+    val name = s"graft_stream_${counter.incrementAndGet()}"
+    import ss.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val reader = ss.readStream.schema(schema)
+      .option("pathGlobFilter", glob)
+    if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+        .option("latestFirst", "false")
+    val q = reader.parquet(watchDir)
+      .transform(graft.Tables.normalizeTs)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("value"))
+      .as[CdcOp]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(CdcLogic.fn _)
+      .toDF()
+      .writeStream
+      .outputMode(OutputMode.Update())
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val drained = ss.table(name)
+    drained
+      .groupBy("user_id")
+      .agg(max_by(
+        struct(col("last_ts"), col("last_event_id"), col("last_value"),
+          col("deleted")), col("n_ops")).as("st"),
+        max(col("n_ops")).as("n_ops"))
+      .filter(!col("st.deleted"))
+      .select(col("user_id"), col("st.last_ts").as("last_ts"),
+        col("st.last_event_id").as("last_event_id"),
+        round(col("st.last_value"), 6).as("last_value"), col("n_ops"))
+      .localCheckpoint(true)
+  }
+
   def streamMergeUpsert(s: SparkSession, dir: String): DataFrame = {
     val ss = streamingSession(s)
     val path = s"$dir/events.parquet"

@@ -233,4 +233,61 @@ class StreamingSpec extends AnyFunSuite {
       StreamOps.lastDroppedByWatermark <= droppedExpected,
       s"engine ${StreamOps.lastDroppedByWatermark} vs events $droppedExpected")
   }
+
+  test("CDC apply folds state across micro-batches and revives tombstones") {
+    import org.apache.spark.sql.functions._
+    // stage the events fixture as two files (event_id parity split) so
+    // the keyed state demonstrably carries across micro-batches; the
+    // drained view must equal the single-batch run on the same data
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .transform(graft.Tables.normalizeTs)
+    val stage = java.nio.file.Files.createTempDirectory("graft_cdc_stage_")
+    try {
+      def stageFile(df: org.apache.spark.sql.DataFrame, n: Int): Unit = {
+        val tmp = stage.resolve(s"tmp$n")
+        df.coalesce(1).write.parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp).iterator()
+        var src: java.nio.file.Path = null
+        while (part.hasNext) {
+          val p = part.next()
+          if (p.getFileName.toString.endsWith(".parquet")) src = p
+        }
+        val dst = stage.resolve(f"batch$n%04d.parquet")
+        java.nio.file.Files.move(src, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1000000L + n * 10000L))
+      }
+      stageFile(ev.filter(col("event_id") % 2 === 0), 1)
+      stageFile(ev.filter(col("event_id") % 2 =!= 0), 2)
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      val staged = StreamOps.cdcApplyPath(ss, stage.toString,
+          "batch*.parquet", maxFilesPerTrigger = 1)
+        .collect().map(_.toString).sorted
+      val single = StreamOps.streamCdcApply(spark, sf)
+        .collect().map(_.toString).sorted
+      assert(staged.nonEmpty)
+      assert(staged.toSeq == single.toSeq)
+      // the fixture must actually exercise tombstone semantics: at least
+      // one user's final op is an 'error' (absent from the view) and at
+      // least one user has an error followed by a reviving upsert
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val lastOps = ev.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      val deadUsers = lastOps.filter(col("event_type") === "error")
+        .select("user_id").collect().map(_.getLong(0)).toSet
+      assert(deadUsers.nonEmpty, "no user ends on a tombstone")
+      val revived = ev.filter(col("event_type") === "error")
+        .select("user_id").distinct()
+        .collect().map(_.getLong(0)).toSet -- deadUsers
+      assert(revived.nonEmpty, "no user revives after a tombstone")
+      val viewUsers = single.map(_.split(",")(0).stripPrefix("[").toLong).toSet
+      assert(deadUsers.forall(u => !viewUsers.contains(u)))
+      assert(revived.forall(viewUsers.contains))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
+    }
+  }
 }
