@@ -124,6 +124,8 @@ object SparkEntry {
       Multimodal.phashPairsPortable(s, d)),
     "mm_dedup_phash_fast" -> ((s: SparkSession, d: String) =>
       Multimodal.phashPairs(s, d)),
+    "mm_phash_clusters" -> ((s: SparkSession, d: String) =>
+      Multimodal.phashClusters(s, d)),
     "mm_frame_sample" -> ((s: SparkSession, d: String) =>
       Multimodal.frameSample(Multimodal.asBinaryPayload(s, d))),
     "stream_tumbling_agg" -> ((s: SparkSession, d: String) => StreamOps.tumblingWindowAgg(s, d)),
@@ -236,6 +238,8 @@ object SparkEntry {
       Relational.q54SkewJoinSalted(s, d)),
     "q55_runtime_filter" -> ((s: SparkSession, d: String) =>
       Relational.q55RuntimeFilter(s, d)),
+    "q56_attribution" -> ((s: SparkSession, d: String) =>
+      Relational.q56Attribution(s, d)),
     "gov_l_diversity" -> ((s: SparkSession, d: String) =>
       graft.operators.Governance.lDiversity(s, d)),
     "feat_lag_windows" -> (Features.lagFeatures _),
@@ -407,24 +411,28 @@ object SparkEntry {
     * same md5-prefix hash, same 60-bit vote terms, same chunk-bucket
     * candidates and hamming ≤ 3 verify.
     */
-  private val phashOracle: String = {
+  private val phashPairCtes: String = {
     val sigTerms = (0 until 60).map { b =>
       s"CASE WHEN 2 * count(*) FILTER (WHERE (h >> $b) & 1 = 1) > count(*) THEN ${1L << b} ELSE 0 END"
     }.mkString("\n + ")
-    s"""WITH g AS (SELECT doc_id, substr(text, CAST(i AS INTEGER), 4) AS t
+    s"""g AS (SELECT doc_id, substr(text, CAST(i AS INTEGER), 4) AS t
        |           FROM documents, UNNEST(range(1, length(text) - 2)) u(i)
        |           WHERE length(text) >= 4),
        |h AS (SELECT doc_id, ${md5PrefixSql("t")} AS h FROM g),
        |sig AS (SELECT doc_id, $sigTerms AS sig FROM h GROUP BY doc_id),
        |chunks AS (SELECT doc_id, sig, CAST(i AS INTEGER) AS chunk_idx,
        |           (sig >> (i * 16)) & 65535 AS chunk
-       |           FROM sig, UNNEST([0, 1, 2, 3]) t(i))
-       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |           FROM sig, UNNEST([0, 1, 2, 3]) t(i)),
+       |prs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
        |FROM chunks a JOIN chunks b
        |ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin
+       |WHERE bit_count(xor(a.sig, b.sig)) <= 3)""".stripMargin
   }
+
+  private val phashOracle: String =
+    s"""WITH $phashPairCtes
+       |SELECT id_a, id_b, hamming FROM prs""".stripMargin
 
   /** The mm_decode oracle replays the stub decoder's 64-bit polynomial
     * hash (h = 31·h + byte, wrapping) in SQL via HUGEINT mod-2⁶⁴
@@ -1503,6 +1511,17 @@ object SparkEntry {
         |FROM h""".stripMargin,
     "mm_decode_batched" -> mmDecodeOracle,
     "mm_dedup_phash" -> phashOracle,
+    // transitive closure over the phash pair graph (dedup_clusters'
+    // recursive-CTE pattern on the multimodal pair set)
+    "mm_phash_clusters" ->
+      s"""WITH RECURSIVE $phashPairCtes,
+         |e AS (SELECT id_a AS a, id_b AS b FROM prs UNION SELECT id_b, id_a FROM prs),
+         |reach(v, l) AS (
+         |  SELECT DISTINCT a, a FROM e
+         |  UNION
+         |  SELECT e.a, r.l FROM e JOIN reach r ON e.b = r.v),
+         |lbl AS (SELECT v, min(l) AS cluster_id FROM reach GROUP BY 1)
+         |SELECT cluster_id, count(*) AS n_members FROM lbl GROUP BY 1""".stripMargin,
     "mm_binary_features" ->
       """SELECT doc_id, 'text/plain' AS mime, CAST(length(text) AS INTEGER) AS n_bytes,
         |md5(text) AS content_md5, hex(substring(text, 1, 8)) AS head_hex
@@ -2147,6 +2166,23 @@ object SparkEntry {
         |  round(max(abs(value - user_mean)), 6) AS max_dev
         |FROM events e JOIN d USING (user_id)
         |GROUP BY 1""".stripMargin,
+    // one range-frame window per user, epoch-micros long arithmetic so
+    // the [-7d, -1us) frame is an integer comparison in both engines
+    "q56_attribution" ->
+      """SELECT user_id, event_id AS purchase_id,
+        |  make_timestamp(us) AS purchase_ts,
+        |  make_timestamp(first_click_us) AS first_touch_ts,
+        |  make_timestamp(last_click_us) AS last_touch_ts,
+        |  n_clicks
+        |FROM (
+        |  SELECT user_id, event_id, event_type, us,
+        |    min(CASE WHEN event_type = 'click' THEN us END) OVER w AS first_click_us,
+        |    max(CASE WHEN event_type = 'click' THEN us END) OVER w AS last_click_us,
+        |    count(CASE WHEN event_type = 'click' THEN 1 END) OVER w AS n_clicks
+        |  FROM (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events)
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |               RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING))
+        |WHERE event_type = 'purchase'""".stripMargin,
     // the oracle is the PLAIN join: the runtime bloom is a superset
     // filter, output-invisible by construction
     "q55_runtime_filter" ->

@@ -645,9 +645,20 @@ object Dedup {
     */
   def clusterMembers(s: SparkSession, dir: String, maxRounds: Int = 20,
                      driverMaxPairs: Long = 10000000L,
-                     distributedAlgo: String = "star"): DataFrame = {
+                     distributedAlgo: String = "star"): DataFrame =
     // ngramJaccard returns the memoized, already-materialized pair set
-    val pairs = ngramJaccard(s, dir).select(col("id_a"), col("id_b"))
+    componentsOf(s, ngramJaccard(s, dir).select(col("id_a"), col("id_b")),
+      maxRounds, driverMaxPairs, distributedAlgo)
+
+  /** Connected components over ANY (id_a, id_b) pair frame — the
+    * pair-graph → dedup-group step, shared by the text near-dup family
+    * and the multimodal phash family (one clustering engine, any
+    * modality's candidate pairs).
+    */
+  private[operators] def componentsOf(s: SparkSession, pairs: DataFrame,
+                                      maxRounds: Int = 20,
+                                      driverMaxPairs: Long = 10000000L,
+                                      distributedAlgo: String = "star"): DataFrame = {
     val nPairs = pairs.count()
     // Hybrid: the pair set is a vanishing fraction of the corpus by
     // construction (only near-dups appear), so up to `driverMaxPairs` the

@@ -183,9 +183,25 @@ object Multimodal {
 
   /** Oracle-portable [[phashPairs]] — md5-prefix gram hash, replayed
     * bit-for-bit by the SQL oracle's character 4-grams (ASCII fixture).
+    * Family-cached: `mm_dedup_phash` and [[phashClusters]] consume the
+    * same materialized pair set within one run.
     */
   def phashPairsPortable(s: SparkSession, dir: String,
                          maxBucket: Int = 100000): DataFrame =
-    phashPairs(s, dir, maxBucket,
-      graft.functions.TextFunctions.portableTokenHash)
+    FamilyCache.get(s, dir, "phash_pairs_portable") {
+      phashPairs(s, dir, maxBucket,
+        graft.functions.TextFunctions.portableTokenHash)
+    }
+
+  /** Media duplicate clusters — phash pairs → connected components,
+    * through the SAME clustering engine the text near-dup family uses
+    * (`Dedup.componentsOf`: driver union-find under a pair-count guard,
+    * large-star/small-star contraction past it). Output is
+    * (cluster_id, n_members) — the groups a media-dedup pass keeps one
+    * survivor from.
+    */
+  def phashClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.componentsOf(s,
+        phashPairsPortable(s, dir).select(col("id_a"), col("id_b")))
+      .groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
 }

@@ -1095,6 +1095,38 @@ object Relational {
       v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
   }
 
+  /** Marketing-touch attribution — first/last-touch within a lookback
+    * window, the event-analytics staple: for every purchase, the
+    * earliest and latest 'click' by the same user in the 7 days strictly
+    * before it, plus the click count. ONE range-frame window pass per
+    * user (epoch-micros long order key, RANGE [−7d, −1µs]) — no
+    * self-join, no per-purchase probe: the window frame IS the as-of
+    * lookup, shared across every purchase of the user, and partitions
+    * are per-user local sorts that scale with the user's history, never
+    * the corpus. Unattributed purchases keep NULL touches (the honest
+    * output — dropping them would hide funnel leakage).
+    */
+  def q56Attribution(s: SparkSession, dir: String,
+                     lookbackDays: Int = 7): DataFrame = {
+    val lookbackUs = lookbackDays * 86400000000L
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val w = Window.partitionBy("user_id").orderBy("us")
+      .rangeBetween(-lookbackUs, -1L)
+    val isClick = col("event_type") === "click"
+    ev
+      .withColumn("first_click_us", min(when(isClick, col("us"))).over(w))
+      .withColumn("last_click_us", max(when(isClick, col("us"))).over(w))
+      .withColumn("n_clicks", count(when(isClick, lit(1))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        timestamp_micros(col("us")).as("purchase_ts"),
+        timestamp_micros(col("first_click_us")).as("first_touch_ts"),
+        timestamp_micros(col("last_click_us")).as("last_touch_ts"),
+        col("n_clicks"))
+  }
+
   /** Lazy plan for [[q55RuntimeFilter]] — built (and PlanSpec-inspected)
     * under whatever runtime-filter confs the caller holds.
     */
