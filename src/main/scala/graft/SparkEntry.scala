@@ -240,6 +240,8 @@ object SparkEntry {
       Relational.q55RuntimeFilter(s, d)),
     "q56_attribution" -> ((s: SparkSession, d: String) =>
       Relational.q56Attribution(s, d)),
+    "q57_bitmap_cohorts" -> ((s: SparkSession, d: String) =>
+      Relational.q57BitmapCohorts(s, d)),
     "gov_l_diversity" -> ((s: SparkSession, d: String) =>
       graft.operators.Governance.lDiversity(s, d)),
     "feat_lag_windows" -> (Features.lagFeatures _),
@@ -2166,6 +2168,20 @@ object SparkEntry {
         |  round(max(abs(value - user_mean)), 6) AS max_dev
         |FROM events e JOIN d USING (user_id)
         |GROUP BY 1""".stripMargin,
+    // the bitmap artifacts are engine-internal; their EXACT set algebra
+    // results are not — the oracle recomputes every overlap relationally
+    "q57_bitmap_cohorts" ->
+      """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+        |c AS (SELECT event_type, count(*) AS n FROM tu GROUP BY 1),
+        |j AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |        count(*) AS n_common
+        |      FROM tu a JOIN tu b
+        |        ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |      GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_common, ca.n AS n_a, cb.n AS n_b,
+        |  round(n_common / CAST(ca.n + cb.n - n_common AS DOUBLE), 6) AS jaccard
+        |FROM j JOIN c ca ON j.type_a = ca.event_type
+        |       JOIN c cb ON j.type_b = cb.event_type""".stripMargin,
     // one range-frame window per user, epoch-micros long arithmetic so
     // the [-7d, -1us) frame is an integer comparison in both engines
     "q56_attribution" ->

@@ -1127,6 +1127,35 @@ object Relational {
         col("n_clicks"))
   }
 
+  /** Exact cohort overlap via bitmap indexes — the precomputed-audience
+    * pattern (`expressions/BitmapAgg`): ONE fact scan materializes each
+    * segment's member-id set as a canonical sorted bitmap (map-side
+    * union partials, one set per group crosses the wire), then every
+    * pairwise overlap / Jaccard answers by a sorted-merge walk over two
+    * artifacts — segment-pair count × O(|A|+|B|), ZERO further fact
+    * scans. The naive form re-shuffles the fact table per question;
+    * at 100 TB the bitmaps are the queryable index and this plan is the
+    * nightly build + the whole query family.
+    */
+  def q57BitmapCohorts(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.BitmapAgg.register(s)
+    val bms = Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(call_function("graft_bitmap", col("user_id")).as("bm"))
+    val interCount = udf { (a: Array[Byte], b: Array[Byte]) =>
+      graft.expressions.BitmapAgg.intersectCount(a, b) }
+    val card = udf { (a: Array[Byte]) =>
+      graft.expressions.BitmapAgg.cardinality(a) }
+    bms.as("a").join(bms.as("b"),
+        col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"),
+        interCount(col("a.bm"), col("b.bm")).as("n_common"),
+        card(col("a.bm")).as("n_a"), card(col("b.bm")).as("n_b"))
+      .withColumn("jaccard", round(col("n_common") /
+        (col("n_a") + col("n_b") - col("n_common")).cast("double"), 6))
+  }
+
   /** Lazy plan for [[q55RuntimeFilter]] — built (and PlanSpec-inspected)
     * under whatever runtime-filter confs the caller holds.
     */
