@@ -230,11 +230,27 @@ object Graph {
     *    node-sized count aggregate.
     */
   def triangles(s: SparkSession, dir: String): DataFrame = {
+    val (out, adjOut) = trianglesPlan(s, dir)
+    try CacheLifecycle.materialize(out)
+    finally adjOut.unpersist(false)
+  }
+
+  /** Lazy-plan variant of [[triangles]] — returns (plan, persisted
+    * adjacency) so PlanSpec pins the physical shape before the public
+    * operator's checkpoint hides it; callers unpersist the adjacency.
+    */
+  private[operators] def trianglesPlan(s: SparkSession, dir: String)
+  : (DataFrame, DataFrame) = {
     val pairs = coPairs(s, dir)
     val deg = coDegrees(s, dir)
+    // deg is NODE-sized — broadcast everywhere it joins edge-sized data
+    // (past broadcastable node counts, co-partition on the node key; the
+    // volume argument is unchanged)
     val withDeg = pairs
-      .join(deg.select(col("node").as("src"), col("deg").as("ds")), Seq("src"))
-      .join(deg.select(col("node").as("dst"), col("deg").as("dd")), Seq("dst"))
+      .join(broadcast(deg.select(col("node").as("src"), col("deg").as("ds"))),
+        Seq("src"))
+      .join(broadcast(deg.select(col("node").as("dst"), col("deg").as("dd"))),
+        Seq("dst"))
     // src < dst by construction, so the tie (ds == dd) orients src → dst
     val oriented = withDeg.select(
       when(col("ds") <= col("dd"), col("src")).otherwise(col("dst")).as("lo"),
@@ -242,29 +258,27 @@ object Graph {
     val adjOut = oriented.groupBy(col("lo").as("node"))
       .agg(collect_list(col("hi")).as("nbrs"))
       .persist()
-    try {
-      // edges re-explode from the lo-side adjacency; hi-side lists come
-      // from the one broadcast. An inner join is correct: an edge whose
-      // hi has no out-list closes no triangle and its (filtered) zero
-      // credits never reach the aggregate.
-      val inter = adjOut
-        .select(col("node").as("lo"), col("nbrs").as("ln"),
-          explode(col("nbrs")).as("hi"))
-        .join(broadcast(adjOut.select(col("node").as("hi"), col("nbrs").as("hn"))),
-          Seq("hi"))
-        .select(col("lo"), col("hi"),
-          array_intersect(col("ln"), col("hn")).as("third"))
-      val corners = inter.select(explode(concat(
-          array(struct(col("lo").as("node"), size(col("third")).cast("long").as("c")),
-                struct(col("hi").as("node"), size(col("third")).cast("long").as("c"))),
-          transform(col("third"), x => struct(x.as("node"), lit(1L).as("c"))))).as("e"))
-        .filter(col("e.c") > 0)
-        .groupBy(col("e.node").as("node")).agg(sum(col("e.c")).as("tri"))
-      val out = deg.join(corners, Seq("node"), "left")
-        .select(col("node").as("part"),
-          coalesce(col("tri"), lit(0L)).as("triangles"), col("deg"))
-      CacheLifecycle.materialize(out)
-    } finally adjOut.unpersist(false)
+    // edges re-explode from the lo-side adjacency; hi-side lists come
+    // from the one broadcast. An inner join is correct: an edge whose
+    // hi has no out-list closes no triangle and its (filtered) zero
+    // credits never reach the aggregate.
+    val inter = adjOut
+      .select(col("node").as("lo"), col("nbrs").as("ln"),
+        explode(col("nbrs")).as("hi"))
+      .join(broadcast(adjOut.select(col("node").as("hi"), col("nbrs").as("hn"))),
+        Seq("hi"))
+      .select(col("lo"), col("hi"),
+        array_intersect(col("ln"), col("hn")).as("third"))
+    val corners = inter.select(explode(concat(
+        array(struct(col("lo").as("node"), size(col("third")).cast("long").as("c")),
+              struct(col("hi").as("node"), size(col("third")).cast("long").as("c"))),
+        transform(col("third"), x => struct(x.as("node"), lit(1L).as("c"))))).as("e"))
+      .filter(col("e.c") > 0)
+      .groupBy(col("e.node").as("node")).agg(sum(col("e.c")).as("tri"))
+    val out = deg.join(broadcast(corners), Seq("node"), "left")
+      .select(col("node").as("part"),
+        coalesce(col("tri"), lit(0L)).as("triangles"), col("deg"))
+    (out, adjOut)
   }
 
   /** Link prediction — top-k strongest implicit links per node by

@@ -332,6 +332,20 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p.take(3000))
   }
 
+  test("triangles: intersect formulation — wedges never materialize as a join") {
+    // the r5 rebuild: array_intersect closes wedges INSIDE one row, one
+    // broadcast feeds the hi-side adjacency, and no sort-merge join
+    // streams wedge rows
+    val (plan, adj) = Graph.trianglesPlan(spark, sf)
+    try {
+      val p = planOf(plan)
+      assert(p.contains("array_intersect"), p.take(2000))
+      assert(p.contains("BroadcastHashJoin"), p.take(2000))
+      assert(!p.contains("SortMergeJoin"),
+        s"wedge-streaming join crept back:\n${p.take(2000)}")
+    } finally adj.unpersist(false)
+  }
+
   test("q55: runtime bloom filter is injected into the fact-side scan") {
     // under the operator's scoped confs the InjectRuntimeFilter rule must
     // compile the dim predicate into a bloom probe on the fact side —
