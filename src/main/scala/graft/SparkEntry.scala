@@ -256,6 +256,11 @@ object SparkEntry {
       graft.operators.Graph.commonNeighbors(s, d)),
     "graph_label_prop" -> ((s: SparkSession, d: String) =>
       graft.operators.Graph.labelPropagation(s, d)),
+    // rows-only by design: transitive-closure SQL is intractable on a
+    // dense giant-component graph; GraphGovSpec pins star == propagation
+    // == driver union-find on the identical edges
+    "graph_components" -> ((s: SparkSession, d: String) =>
+      graft.operators.Graph.components(s, d)),
     // custom HLL sketch — deterministic but engine-internal (rows-only
     // by design; HllSpec pins ≤5% error vs exact, q20 covers HLL++)
     "sketch_hll_users" -> (Relational.sketchHllUsers _),

@@ -337,6 +337,28 @@ object Graph {
     CacheLifecycle.materialize(out, byCenter)
   }
 
+  /** Connected components of the co-purchase graph through the
+    * DISTRIBUTED large-star/small-star contraction engine
+    * (`Dedup.componentsOf`, driverMaxPairs=0 forces past the driver
+    * union-find guard) — the suite's one CC run on a DENSE million-edge
+    * graph, where the near-dup families' pair graphs are sparse chains.
+    * Output is (cluster_id, n_members).
+    *
+    * Rows-only by design: a transitive-closure SQL oracle materializes
+    * O(V·labels) recursion state, intractable on a giant-component
+    * graph (the dedup closures replay fine because near-dup clusters
+    * are tiny). GraphGovSpec pins the result three ways instead —
+    * star contraction == min-label propagation == driver union-find on
+    * the identical edge set.
+    */
+  def components(s: SparkSession, dir: String): DataFrame = {
+    val pairs = coPairs(s, dir)
+      .select(col("src").as("id_a"), col("dst").as("id_b"))
+    CacheLifecycle.materialize(
+      Dedup.componentsOf(s, pairs, driverMaxPairs = 0)
+        .groupBy("cluster_id").agg(count(lit(1)).as("n_members")))
+  }
+
   /** Label-propagation community detection (Raghavan et al. 2007, the
     * SYNCHRONOUS bounded-round form): labels init to the node id; each
     * round every node adopts the PLURALITY label among its neighbors'

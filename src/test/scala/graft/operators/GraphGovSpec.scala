@@ -137,6 +137,26 @@ class GraphGovSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("graph components: star == propagation == driver union-find") {
+    import graft.Tables
+    // rebuild the co-purchase edges independently of the family cache
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = li.as("a").join(li.as("b"), Seq("l_orderkey"))
+      .filter(col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("id_a"), col("b.l_partkey").as("id_b"))
+      .distinct().localCheckpoint(true)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val star = canon(Dedup.componentsOf(spark, pairs, driverMaxPairs = 0))
+    val prop = canon(Dedup.componentsOf(spark, pairs, driverMaxPairs = 0,
+      distributedAlgo = "prop"))
+    val driver = canon(Dedup.componentsOf(spark, pairs))
+    assert(star.nonEmpty)
+    assert(star == prop)
+    assert(star == driver)
+  }
+
   test("pagerank driver-rank and join-rank regimes agree bit-for-bit") {
     // driverCap=0 forces the distributed broadcast-join path on the same
     // fixture the driver-map path serves — both regimes must emit the
