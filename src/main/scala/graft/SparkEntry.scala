@@ -242,6 +242,8 @@ object SparkEntry {
       Relational.q56Attribution(s, d)),
     "q57_bitmap_cohorts" -> ((s: SparkSession, d: String) =>
       Relational.q57BitmapCohorts(s, d)),
+    "q58_group_mode" -> ((s: SparkSession, d: String) =>
+      Relational.q58GroupMode(s, d)),
     "gov_l_diversity" -> ((s: SparkSession, d: String) =>
       graft.operators.Governance.lDiversity(s, d)),
     "feat_lag_windows" -> (Features.lagFeatures _),
@@ -2173,6 +2175,19 @@ object SparkEntry {
         |  round(max(abs(value - user_mean)), 6) AS max_dev
         |FROM events e JOIN d USING (user_id)
         |GROUP BY 1""".stripMargin,
+    // the one-pass graft_mode aggregate replays as (count DESC, value
+    // ASC) ranking — identical deterministic tie-break
+    "q58_group_mode" ->
+      """SELECT c_mktsegment, c_nationkey, band AS modal_band, n_customers
+        |FROM (
+        |  SELECT c_mktsegment, c_nationkey, band, count(*) AS cnt,
+        |    sum(count(*)) OVER (PARTITION BY c_mktsegment, c_nationkey) AS n_customers,
+        |    row_number() OVER (PARTITION BY c_mktsegment, c_nationkey
+        |                       ORDER BY count(*) DESC, band) AS rn
+        |  FROM (SELECT c_mktsegment, c_nationkey,
+        |          CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band FROM customer)
+        |  GROUP BY 1, 2, 3)
+        |WHERE rn = 1""".stripMargin,
     // the bitmap artifacts are engine-internal; their EXACT set algebra
     // results are not — the oracle recomputes every overlap relationally
     "q57_bitmap_cohorts" ->

@@ -377,10 +377,14 @@ object Graph {
     */
   def labelPropagation(s: SparkSession, dir: String, iters: Int = 2,
                        driverCap: Long = PagerankDriverNodeCap): DataFrame = {
+    graft.expressions.ModeAgg.register(s)
     val pairs = coPairs(s, dir)
     val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
     val deg = coDegrees(s, dir)
     val n = deg.count()
+    // per-round plurality = the custom one-pass graft_mode aggregate
+    // (count desc, label asc tie-break) — ONE node-sized exchange per
+    // round where the composed count→argmax form pays two
     if (n <= driverCap) {
       var labels = scala.collection.mutable.LongMap.empty[Long]
       deg.collect().foreach(r => labels(r.getLong(0)) = r.getLong(0))
@@ -388,10 +392,8 @@ object Graph {
         val bc = s.sparkContext.broadcast(labels)
         val lk = udf { (src: Long) => bc.value(src) }
         val next = edges.select(col("dst"), lk(col("src")).as("lbl"))
-          .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("cnt"))
           .groupBy(col("dst"))
-          .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("m"))
-          .select(col("dst"), (-col("m.neg")).as("lbl"))
+          .agg(call_function("graft_mode", col("lbl")).as("lbl"))
           .collect()
         labels = scala.collection.mutable.LongMap.empty[Long]
         next.foreach(r => labels(r.getLong(0)) = r.getLong(1))
@@ -407,10 +409,9 @@ object Graph {
         .localCheckpoint(true)
       for (_ <- 1 to iters) {
         labels = edges.join(broadcast(labels), col("src") === col("node"))
-          .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("cnt"))
           .groupBy(col("dst"))
-          .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("m"))
-          .select(col("dst").as("node"), (-col("m.neg")).as("lbl"))
+          .agg(call_function("graft_mode", col("lbl")).as("lbl"))
+          .select(col("dst").as("node"), col("lbl"))
           .localCheckpoint(true)
       }
       deg.join(labels, Seq("node"))

@@ -1127,6 +1127,25 @@ object Relational {
         col("n_clicks"))
   }
 
+  /** Grouped statistical mode via the custom one-pass `graft_mode`
+    * aggregate (count desc, value asc tie-break): the modal account-
+    * balance band per market segment + nation. The composed SQL form is
+    * two stacked aggregations (count per (group, value), then ranked
+    * argmax); the custom aggregate carries a value→count map through
+    * map-side partials and resolves the plurality in ONE exchange —
+    * state bounded by the group's distinct-value count (bands here,
+    * neighbor labels in `graph_label_prop` — the same expression).
+    */
+  def q58GroupMode(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.ModeAgg.register(s)
+    Tables.customer(s, dir)
+      .select(col("c_mktsegment"), col("c_nationkey"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("band"))
+      .groupBy("c_mktsegment", "c_nationkey")
+      .agg(call_function("graft_mode", col("band")).as("modal_band"),
+        count(lit(1)).as("n_customers"))
+  }
+
   /** Exact cohort overlap via bitmap indexes — the precomputed-audience
     * pattern (`expressions/BitmapAgg`): ONE fact scan materializes each
     * segment's member-id set as a canonical sorted bitmap (map-side
