@@ -271,7 +271,9 @@ object SparkEntry {
     // streaming HLL — engine-internal registers (rows-only by design;
     // Batch37 spec pins streaming == batch sketch equality)
     "stream_hll_users" -> ((s: SparkSession, d: String) =>
-      StreamOps.streamHllUsers(s, d))
+      StreamOps.streamHllUsers(s, d)),
+    "stream_sample_bottomk" -> ((s: SparkSession, d: String) =>
+      StreamOps.streamSampleBottomK(s, d))
   )
 
   /** DuckDB shingle CTE bodies shared by the near-dup and cluster oracles
@@ -955,6 +957,19 @@ object SparkEntry {
         |  FROM events) WHERE rn = 1""".stripMargin,
     // streaming CDC materialized view drains to exactly the batch
     // compaction → same oracle as q33_merge_upsert
+    // the bottom-k hash sample is a pure function of each window's
+    // distinct-user set: rank the identical portable hash, take k
+    "stream_sample_bottomk" -> {
+      val h = md5PrefixSql("CAST(user_id AS VARCHAR)")
+      s"""SELECT win_start, CAST(rn AS INTEGER) AS rank, user_id FROM (
+         |  SELECT date_trunc('hour', ts) AS win_start, user_id,
+         |    row_number() OVER (PARTITION BY date_trunc('hour', ts)
+         |                       ORDER BY h, user_id) AS rn
+         |  FROM (SELECT DISTINCT date_trunc('hour', ts) AS ts, user_id,
+         |          $h AS h
+         |        FROM events))
+         |WHERE rn <= 5""".stripMargin
+    },
     // last-writer-wins + delete-tombstone replay: a key survives iff its
     // final (ts, event_id)-ordered op is not an 'error' tombstone
     "stream_cdc_apply" ->

@@ -1051,4 +1051,46 @@ object StreamOps {
     ss.table(name).select(
       col("window.start").as("win_start"), col("n_users_est"))
   }
+
+  /** Windowed deterministic uniform sample — bottom-k by member hash
+    * (`expressions/BottomKAgg`), the MERGEABLE replacement for
+    * reservoir sampling: Algorithm R's sample depends on arrival order
+    * and RNG state (unreplayable, unmergeable); the k hash-minima are a
+    * pure function of each window's distinct-user SET, so the streaming
+    * state is k pairs per window, partials merge map-side, and the SQL
+    * oracle replays the exact sample by ranking the same portable hash.
+    * The same buffer doubles as the KMV distinct sketch. Output is one
+    * row per sampled user with its rank.
+    */
+  def streamSampleBottomK(s: SparkSession, dir: String, k: Int = 5,
+                          windowLen: String = "1 hour"): DataFrame = {
+    val ss = streamingSession(s)
+    graft.expressions.BottomKAgg.register(ss)
+    val path = s"$dir/events.parquet"
+    val schema = ss.read.parquet(path).schema
+    val name = s"graft_stream_${counter.incrementAndGet()}"
+    val stream = ss.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .transform(graft.Tables.normalizeTs)
+      .withWatermark("ts", "10 minutes")
+      .select(col("ts"),
+        graft.functions.TextFunctions.portableTokenHash(
+          col("user_id").cast("string")).as("h"),
+        col("user_id"))
+      .groupBy(window(col("ts"), windowLen))
+      .agg(call_function("graft_bottomk", col("h"), col("user_id"), lit(k))
+        .as("sample"))
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    ss.table(name)
+      .select(col("window.start").as("win_start"),
+        posexplode(col("sample")).as(Seq("pos", "e")))
+      .select(col("win_start"), (col("pos") + 1).cast("int").as("rank"),
+        col("e.id").as("user_id"))
+  }
 }
