@@ -194,6 +194,8 @@ object SparkEntry {
       graft.operators.Lake.schemaEvolution(s, d)),
     "lake_change_feed" -> ((s: SparkSession, d: String) =>
       graft.operators.Lake.changeFeed(s, d)),
+    "lake_segment_scan" -> ((s: SparkSession, d: String) =>
+      graft.operators.Lake.segmentScan(s, d)),
     "stream_lake_upsert" -> (StreamOps.streamLakeUpsert _),
     "stream_cdc_apply" -> (StreamOps.streamCdcApply _),
     "q45_decile_lift" -> (Relational.q45DecileLift _),
@@ -1871,6 +1873,15 @@ object SparkEntry {
         |      FROM ud)
         |SELECT w_end, count(*) AS active_users
         |FROM c, b WHERE w_end <= dmax GROUP BY 1""".stripMargin,
+    // the custom V2 connector must agree with the plain relational
+    // range aggregate — same integer-division bounds both engines
+    "lake_segment_scan" ->
+      """WITH b AS (SELECT CAST(count(*) // 4 AS BIGINT) AS lo,
+        |                  CAST(count(*) // 2 AS BIGINT) AS hi FROM documents)
+        |SELECT count(*) AS n_docs,
+        |  sum(length(text)) AS sum_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents, b WHERE doc_id >= b.lo AND doc_id <= b.hi""".stripMargin,
     // replays the two CDC commits' set logic; the operator diffs REAL
     // manifested parquet versions through readVersion
     "lake_change_feed" ->

@@ -193,6 +193,38 @@ object Lake {
     }
   }
 
+  /** End-to-end scan through the custom DataSourceV2 connector
+    * (`sources/SegmentSource`, format `graft-segments`): the corpus is
+    * written as doc_id-range-clustered segment files with a min/max
+    * stats sidecar, then read back with a range predicate — the
+    * connector's `SupportsPushDownFilters` prunes non-intersecting
+    * files at PLANNING time (skipped files are never opened) and
+    * `SupportsPushDownRequiredColumns` narrows the decode to the
+    * requested columns. The oracle replays the same range aggregate on
+    * the source table; SegmentSourceSpec pins that pruning actually
+    * skipped files and stayed sound.
+    */
+  def segmentScan(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SegmentSource
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val tmp = Files.createTempDirectory("graft_segments_")
+    try {
+      SegmentSource.write(docs, tmp, 8)
+      val n = docs.count()
+      val lo = n / 4
+      val hi = n / 2
+      val seg = s.read.format("graft-segments").load(tmp.toString)
+      val out = seg
+        .filter(col("doc_id") >= lo && col("doc_id") <= hi)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("sum_chars"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+      CacheLifecycle.materialize(out)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+  }
+
   /** Compaction planner — the small-file maintenance pass every
     * streaming-ingested lakehouse table needs: given the file inventory
     * (here a pseudo-inventory derived deterministically from events —
