@@ -52,13 +52,123 @@ class SegmentSource extends TableProvider
     new SegmentTable(properties.get("path"))
 }
 
-class SegmentTable(path: String) extends Table with SupportsRead {
+class SegmentTable(path: String) extends Table with SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft-segments:$path"
   override def schema(): StructType = SegmentSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SegmentScanBuilder(path)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+  : org.apache.spark.sql.connector.write.WriteBuilder =
+    new SegmentWriteBuilder(path, info.schema())
+}
+
+/** V2 write path — the transactional two-phase protocol every file-based
+  * sink uses: each TASK writes its own uniquely-named segment file and
+  * returns (file, min, max) as its commit message; the DRIVER's
+  * `commit` publishes the `_stats.tsv` sidecar from the messages
+  * atomically (readers resolve files ONLY through the sidecar, so
+  * half-written tasks are invisible and `abort` just deletes strays).
+  * Overwrite = truncate: the new sidecar lists only the new files and
+  * the orphaned old ones are removed at commit. Data never moves
+  * through the driver — range-cluster with `repartitionByRange` +
+  * `sortWithinPartitions` before writing and the per-file stats become
+  * selective (the OPTIMIZE-orders-by-the-skip-key rule).
+  */
+class SegmentWriteBuilder(path: String, schema: StructType)
+  extends org.apache.spark.sql.connector.write.WriteBuilder
+  with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    doTruncate = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write = {
+    require(schema.fieldNames.toSeq == Seq("doc_id", "text"),
+      s"graft-segments writes (doc_id, text), got ${schema.fieldNames.mkString(",")}")
+    new org.apache.spark.sql.connector.write.Write {
+      override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+        new SegmentBatchWrite(path, doTruncate)
+    }
+  }
+}
+
+class SegmentBatchWrite(path: String, truncate: Boolean)
+  extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+  : DataWriterFactory = new SegmentWriterFactory(path)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val entries = messages.collect {
+      case m: SegmentCommit if m.rows > 0 => m
+    }.sortBy(_.file)
+    val dir = Paths.get(path)
+    Files.createDirectories(dir)
+    val keep = entries.map(_.file).toSet
+    if (truncate) {
+      // readers resolve through the sidecar, so removing orphans is
+      // cleanup, not correctness
+      val old = Files.list(dir).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("segment-") &&
+          !keep.contains(p.getFileName.toString))
+        .toList
+      old.foreach(Files.deleteIfExists(_))
+    }
+    val stats = entries.map(e => s"${e.file}\t${e.min}\t${e.max}")
+      .mkString("", "\n", "\n")
+    val tmp = Files.createTempFile(dir, "_stats", ".tmp")
+    Files.write(tmp, stats.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, dir.resolve("_stats.tsv"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case m: SegmentCommit => m }.foreach { m =>
+      Files.deleteIfExists(Paths.get(path).resolve(m.file))
+    }
+}
+
+case class SegmentCommit(file: String, min: Long, max: Long, rows: Long)
+  extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+class SegmentWriterFactory(path: String)
+  extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+  : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new SegmentWriter(path, partitionId, taskId)
+}
+
+class SegmentWriter(path: String, partitionId: Int, taskId: Long)
+  extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  private val fileName = f"segment-$partitionId%05d-$taskId.tsv"
+  private val target = Paths.get(path).resolve(fileName)
+  Files.createDirectories(target.getParent)
+  private val out = Files.newBufferedWriter(target, StandardCharsets.UTF_8)
+  private var min = Long.MaxValue
+  private var max = Long.MinValue
+  private var rows = 0L
+
+  override def write(r: InternalRow): Unit = {
+    val id = r.getLong(0)
+    val text = if (r.isNullAt(1)) "" else r.getUTF8String(1).toString
+    out.write(s"$id\t${SegmentSource.escape(text)}\n")
+    if (id < min) min = id
+    if (id > max) max = id
+    rows += 1
+  }
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    out.close()
+    if (rows == 0) Files.deleteIfExists(target)
+    SegmentCommit(fileName, min, max, rows)
+  }
+  override def abort(): Unit = { out.close(); Files.deleteIfExists(target) }
+  override def close(): Unit = ()
 }
 
 class SegmentScanBuilder(path: String) extends ScanBuilder
@@ -188,26 +298,19 @@ object SegmentSource {
       }.toArray
 
   /** Write a (doc_id, text) frame as `nFiles` doc_id-range segment files
-    * plus the `_stats.tsv` sidecar. Range clustering is what makes the
-    * stats selective — the same reason lakehouse OPTIMIZE orders by the
-    * skip key before splitting files.
+    * plus the `_stats.tsv` sidecar — THROUGH the V2 write path: range
+    * repartition + in-partition sort make each task's file a disjoint
+    * doc_id range (selective stats — the reason lakehouse OPTIMIZE
+    * orders by the skip key before splitting files), each task writes
+    * its own file, the driver commit publishes the sidecar from the
+    * tasks' commit messages. Data never moves through the driver.
     */
   def write(df: org.apache.spark.sql.DataFrame, dir: Path, nFiles: Int): Unit = {
     import org.apache.spark.sql.functions._
-    Files.createDirectories(dir)
-    val rows = df.select(col("doc_id").cast("long"), col("text"))
-      .collect().sortBy(_.getLong(0))
-    val per = math.max(1, (rows.length + nFiles - 1) / nFiles)
-    val stats = new StringBuilder
-    rows.grouped(per).zipWithIndex.foreach { case (chunk, i) =>
-      val name = f"segment-$i%04d.tsv"
-      val body = chunk.map(r =>
-        s"${r.getLong(0)}\t${escape(Option(r.getString(1)).getOrElse(""))}")
-        .mkString("", "\n", "\n")
-      Files.write(dir.resolve(name), body.getBytes(StandardCharsets.UTF_8))
-      stats.append(s"$name\t${chunk.head.getLong(0)}\t${chunk.last.getLong(0)}\n")
-    }
-    Files.write(dir.resolve("_stats.tsv"),
-      stats.toString.getBytes(StandardCharsets.UTF_8))
+    df.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .repartitionByRange(nFiles, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.format("graft-segments").mode("overwrite")
+      .save(dir.toString)
   }
 }
