@@ -275,7 +275,9 @@ object SparkEntry {
     "stream_hll_users" -> ((s: SparkSession, d: String) =>
       StreamOps.streamHllUsers(s, d)),
     "stream_sample_bottomk" -> ((s: SparkSession, d: String) =>
-      StreamOps.streamSampleBottomK(s, d))
+      StreamOps.streamSampleBottomK(s, d)),
+    "stream_segment_source" -> ((s: SparkSession, d: String) =>
+      StreamOps.streamSegmentSource(s, d))
   )
 
   /** DuckDB shingle CTE bodies shared by the near-dup and cluster oracles
@@ -959,6 +961,12 @@ object SparkEntry {
         |  FROM events) WHERE rn = 1""".stripMargin,
     // streaming CDC materialized view drains to exactly the batch
     // compaction → same oracle as q33_merge_upsert
+    // two committed generations drain to the full corpus exactly once —
+    // the batch aggregate is the oracle
+    "stream_segment_source" ->
+      """SELECT doc_id % 10 AS bucket, count(*) AS n_docs,
+        |  sum(length(text)) AS sum_chars
+        |FROM documents GROUP BY 1""".stripMargin,
     // the bottom-k hash sample is a pure function of each window's
     // distinct-user set: rank the identical portable hash, take k
     "stream_sample_bottomk" -> {

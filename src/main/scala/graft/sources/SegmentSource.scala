@@ -58,13 +58,57 @@ class SegmentTable(path: String) extends Table with SupportsRead
   override def schema(): StructType = SegmentSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SegmentScanBuilder(path)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
   : org.apache.spark.sql.connector.write.WriteBuilder =
     new SegmentWriteBuilder(path, info.schema())
+}
+
+/** Streaming read of the segment table — each committed write is one
+  * GENERATION (`_stats_v<N>.tsv`), and the stream's offset IS the
+  * generation number: micro-batch (start, end] reads exactly the files
+  * generation `end` added over `start` (segments are immutable, appends
+  * only add files — the Delta/Iceberg streaming-table contract). File
+  * sets per batch are a pure function of the committed sidecars, so
+  * restarts replay identically from the checkpointed offset — no
+  * listing races, no mtime heuristics.
+  */
+class SegmentMicroBatchStream(path: String)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private case class GenOffset(v: Int) extends Offset {
+    override def json(): String = v.toString
+  }
+
+  override def initialOffset(): Offset = GenOffset(0)
+  override def latestOffset(): Offset =
+    GenOffset(SegmentSource.generations(Paths.get(path)).lastOption.getOrElse(0))
+  override def deserializeOffset(json: String): Offset = GenOffset(json.toInt)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val dir = Paths.get(path)
+    val s = start.asInstanceOf[GenOffset].v
+    val e = end.asInstanceOf[GenOffset].v
+    val before =
+      if (s == 0) Set.empty[String]
+      else SegmentSource.readStatsGen(dir, s).map(_._1).toSet
+    val after =
+      if (e == 0) Array.empty[(String, Long, Long)]
+      else SegmentSource.readStatsGen(dir, e)
+    after.collect { case (f, _, _) if !before.contains(f) =>
+      SegmentPartition(dir.resolve(f).toString)
+    }.toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SegmentReaderFactory(SegmentSource.Schema)
 }
 
 /** V2 write path — the transactional two-phase protocol every file-based
@@ -109,7 +153,13 @@ class SegmentBatchWrite(path: String, truncate: Boolean)
     }.sortBy(_.file)
     val dir = Paths.get(path)
     Files.createDirectories(dir)
-    val keep = entries.map(_.file).toSet
+    // append mode carries the previous generation's files forward;
+    // truncate starts the file list over (and clears orphans)
+    val prev: Array[(String, Long, Long)] =
+      if (truncate || !Files.exists(dir.resolve("_stats.tsv"))) Array.empty
+      else SegmentSource.readStats(dir)
+    val all = prev ++ entries.map(e => (e.file, e.min, e.max))
+    val keep = all.map(_._1).toSet
     if (truncate) {
       // readers resolve through the sidecar, so removing orphans is
       // cleanup, not correctness
@@ -119,8 +169,15 @@ class SegmentBatchWrite(path: String, truncate: Boolean)
         .toList
       old.foreach(Files.deleteIfExists(_))
     }
-    val stats = entries.map(e => s"${e.file}\t${e.min}\t${e.max}")
+    val stats = all.map { case (f, lo, hi) => s"$f\t$lo\t$hi" }
       .mkString("", "\n", "\n")
+    // publish the immutable GENERATION sidecar (the streaming offset),
+    // then move the latest pointer — both atomic
+    val gen = SegmentSource.generations(dir).lastOption.getOrElse(0) + 1
+    val tmpG = Files.createTempFile(dir, "_statsg", ".tmp")
+    Files.write(tmpG, stats.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmpG, dir.resolve(s"_stats_v$gen.tsv"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     val tmp = Files.createTempFile(dir, "_stats", ".tmp")
     Files.write(tmp, stats.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, dir.resolve("_stats.tsv"),
@@ -215,6 +272,10 @@ class SegmentScan(path: String, pushed: Array[Filter], required: StructType)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new SegmentReaderFactory(required)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+  : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new SegmentMicroBatchStream(path)
 }
 
 case class SegmentPartition(file: String) extends InputPartition
@@ -290,12 +351,28 @@ object SegmentSource {
     sb.toString
   }
 
+  /** Committed generation numbers, ascending. */
+  private[sources] def generations(dir: Path): Seq[Int] =
+    if (!Files.isDirectory(dir)) Nil
+    else Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case n if n.startsWith("_stats_v") && n.endsWith(".tsv") =>
+        n.stripPrefix("_stats_v").stripSuffix(".tsv").toInt }
+      .toSeq.sorted
+
+  private[sources] def readStatsGen(dir: Path, v: Int): Array[(String, Long, Long)] =
+    parseStats(Files.readAllLines(dir.resolve(s"_stats_v$v.tsv"),
+      StandardCharsets.UTF_8).asScala.toSeq)
+
+  private def parseStats(lines: Seq[String]): Array[(String, Long, Long)] =
+    lines.filter(_.nonEmpty).map { l =>
+      val p = l.split('\t')
+      (p(0), p(1).toLong, p(2).toLong)
+    }.toArray
+
   private[sources] def readStats(dir: Path): Array[(String, Long, Long)] =
-    Files.readAllLines(dir.resolve("_stats.tsv"), StandardCharsets.UTF_8)
-      .asScala.filter(_.nonEmpty).map { l =>
-        val p = l.split('\t')
-        (p(0), p(1).toLong, p(2).toLong)
-      }.toArray
+    parseStats(Files.readAllLines(dir.resolve("_stats.tsv"),
+      StandardCharsets.UTF_8).asScala.toSeq)
 
   /** Write a (doc_id, text) frame as `nFiles` doc_id-range segment files
     * plus the `_stats.tsv` sidecar — THROUGH the V2 write path: range

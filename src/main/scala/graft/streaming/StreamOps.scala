@@ -1052,6 +1052,50 @@ object StreamOps {
       col("window.start").as("win_start"), col("n_users_est"))
   }
 
+  /** Streaming read THROUGH the custom V2 connector
+    * (`sources/SegmentSource`): the segment table's committed write
+    * generations are the stream's offsets, so each micro-batch reads
+    * exactly the files one commit added — the incremental-table
+    * contract (Delta/Iceberg streaming source) where file sets are a
+    * pure function of committed metadata, never directory-listing
+    * heuristics. The fixture commits TWO generations (even ids, then
+    * odd ids appended) with the query live between them; the drained
+    * complete-mode aggregate must equal the batch aggregate over the
+    * whole corpus — each file ingested exactly once.
+    */
+  def streamSegmentSource(s: SparkSession, dir: String): DataFrame = {
+    val ss = streamingSession(s)
+    val docs = graft.Tables.documents(ss, dir).select("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_segstream_")
+    try {
+      def commitGen(slice: org.apache.spark.sql.DataFrame): Unit =
+        slice.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+          .repartitionByRange(4, col("doc_id"))
+          .sortWithinPartitions("doc_id")
+          .write.format("graft-segments").mode("append")
+          .save(tmp.toString)
+      commitGen(docs.filter(col("doc_id") % 2 === 0))
+      val name = s"graft_stream_${counter.incrementAndGet()}"
+      val q = ss.readStream.format("graft-segments").load(tmp.toString)
+        .groupBy(pmod(col("doc_id"), lit(10)).as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("sum_chars"))
+        .writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try {
+        q.processAllAvailable()
+        commitGen(docs.filter(col("doc_id") % 2 =!= 0))
+        q.processAllAvailable()
+      } finally q.stop()
+      ss.table(name).localCheckpoint(true)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+  }
+
   /** Windowed deterministic uniform sample — bottom-k by member hash
     * (`expressions/BottomKAgg`), the MERGEABLE replacement for
     * reservoir sampling: Algorithm R's sample depends on arrival order

@@ -55,6 +55,42 @@ class SegmentSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming source ingests each generation exactly once across a restart") {
+    val inDir = Files.createTempDirectory("graft_segst_in_")
+    val outDir = Files.createTempDirectory("graft_segst_out_").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft_segst_ckpt_").toString
+    try {
+      val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+      def commitGen(slice: org.apache.spark.sql.DataFrame): Unit =
+        slice.repartitionByRange(3, col("doc_id"))
+          .sortWithinPartitions("doc_id")
+          .write.format("graft-segments").mode("append").save(inDir.toString)
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      def drain(): Unit = {
+        val q = ss.readStream.format("graft-segments").load(inDir.toString)
+          .writeStream.format("parquet")
+          .option("path", outDir).option("checkpointLocation", ckpt)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      commitGen(docs.filter(col("doc_id") % 2 === 0))
+      drain() // restart boundary: the checkpointed GENERATION offset
+      commitGen(docs.filter(col("doc_id") % 2 =!= 0))
+      drain()
+      val out = ss.read.parquet(outDir).select("doc_id")
+        .collect().map(_.getLong(0))
+      assert(out.length === out.distinct.length,
+        "a generation was ingested twice")
+      assert(out.length.toLong === docs.count(), "a generation was dropped")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(inDir.toFile)
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(outDir).getParentFile)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    }
+  }
+
   test("escape round-trips tabs, newlines, and backslashes") {
     for (s <- Seq("a\tb", "line1\nline2", "back\\slash", "mix\\t\t\n\\n", ""))
       assert(SegmentSource.unescape(SegmentSource.escape(s)) === s)
