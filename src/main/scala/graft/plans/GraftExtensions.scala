@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
 
-import graft.expressions.{CountMinAgg, DotProduct, MinHashAgg, SimHashAgg, TopKAgg}
+import graft.expressions.{BitmapAgg, BottomKAgg, CountMinAgg, DotProduct, HllAgg, MinHashAgg, ModeAgg, SimHashAgg, TopKAgg}
 
 /** SparkSessionExtensions entry point: registers graft's native functions
   * at session build time, so a cluster deployment enables them with
@@ -60,6 +60,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 1, "graft_cms takes exactly 1 argument")
         CountMinAgg(children.head, CountMinAgg.DefaultDepth, CountMinAgg.DefaultWidth)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hll"),
+      new ExpressionInfo(classOf[HllAgg].getName, "graft_hll"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_hll takes exactly 1 argument")
+        HllAgg(children.head, HllAgg.DefaultP)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bitmap"),
+      new ExpressionInfo(classOf[BitmapAgg].getName, "graft_bitmap"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_bitmap takes exactly 1 argument")
+        BitmapAgg(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_mode"),
+      new ExpressionInfo(classOf[ModeAgg].getName, "graft_mode"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_mode takes exactly 1 argument")
+        ModeAgg(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bottomk"),
+      new ExpressionInfo(classOf[BottomKAgg].getName, "graft_bottomk"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "graft_bottomk takes (key, id, k)")
+        val k = children(2) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_bottomk k must be an int literal, got $other")
+        }
+        BottomKAgg(children.head, children(1), k)
       }))
   }
 }

@@ -57,7 +57,8 @@ class DotProductSpec extends AnyFunSuite {
           org.apache.spark.sql.types.FloatType))))
     assert(expr.eval(null) === 11.0)
     // the whole native-function surface rides the same injection path
-    Seq("graft_minhash", "graft_simhash", "graft_topk", "graft_cms").foreach { f =>
+    Seq("graft_minhash", "graft_simhash", "graft_topk", "graft_cms",
+        "graft_hll", "graft_bitmap", "graft_mode", "graft_bottomk").foreach { f =>
       assert(registry.functionExists(FunctionIdentifier(f)), s"$f not injected")
     }
   }
