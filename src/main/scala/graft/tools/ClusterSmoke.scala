@@ -34,6 +34,9 @@ object ClusterSmoke {
     "graph_pagerank",       // driver-map broadcast regime
     "graph_triangles",      // adjacency broadcast + array_intersect
     "mm_dedup_phash",       // shared bucket/verify machinery
+    "q58_group_mode",       // ModeAgg across executors
+    "stream_sample_bottomk",// BottomKAgg in streaming state
+    "lake_segment_scan",    // V2 connector: writers+readers across JVMs
     "stream_tumbling_agg",  // streaming micro-batches on a cluster
     "lake_time_travel")     // commit/manifest round-trip
 
