@@ -246,6 +246,10 @@ object SparkEntry {
       Relational.q57BitmapCohorts(s, d)),
     "q58_group_mode" -> ((s: SparkSession, d: String) =>
       Relational.q58GroupMode(s, d)),
+    "q59_shipping_priority" -> ((s: SparkSession, d: String) =>
+      Relational.q59ShippingPriority(s, d)),
+    "q60_local_supplier" -> ((s: SparkSession, d: String) =>
+      Relational.q60LocalSupplier(s, d)),
     "gov_l_diversity" -> ((s: SparkSession, d: String) =>
       graft.operators.Governance.lDiversity(s, d)),
     "feat_lag_windows" -> (Features.lagFeatures _),
@@ -2208,6 +2212,31 @@ object SparkEntry {
         |  round(avg(value - user_mean), 6) AS avg_dev,
         |  round(max(abs(value - user_mean)), 6) AS max_dev
         |FROM events e JOIN d USING (user_id)
+        |GROUP BY 1""".stripMargin,
+    // revenue rounded BEFORE ranking so both engines rank identical
+    // doubles; ties broken on the order key
+    "q59_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1998-06-01'
+        |  AND CAST(l_shipdate AS DATE) > DATE '1998-06-01'
+        |GROUP BY 1, 2
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q60_local_supplier" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_lines
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |WHERE r_name = 'ASIA' AND year(o_orderdate) = 1997
         |GROUP BY 1""".stripMargin,
     // the one-pass graft_mode aggregate replays as (count DESC, value
     // ASC) ranking — identical deterministic tie-break

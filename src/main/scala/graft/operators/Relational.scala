@@ -1127,6 +1127,68 @@ object Relational {
         col("n_clicks"))
   }
 
+  /** Classic warehouse shipping-priority query (the TPC-H Q3 shape):
+    * segment-filtered customers ⋈ date-bounded orders ⋈ not-yet-shipped
+    * lineitems, revenue per open order, top 10. The scale shape: both
+    * dim-side filters push to the scans, customer broadcast-prunes
+    * orders, the orders⋈lineitem join shuffles only date-surviving
+    * rows, and the top-10 is TakeOrdered — no global sort. Revenue is
+    * rounded BEFORE ranking so both engines rank identical doubles.
+    */
+  def q59ShippingPriority(s: SparkSession, dir: String,
+                          cutoff: String = "1998-06-01"): DataFrame = {
+    val cust = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate").cast("date") < lit(cutoff).cast("date"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate").cast("date") > lit(cutoff).cast("date"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Local-supplier volume (the TPC-H Q5 shape): the six-table join —
+    * region-filtered nations, customers and suppliers CO-LOCATED in the
+    * same nation (the c_nationkey = s_nationkey residual), orders in a
+    * date year, revenue per nation. All four dimension sides broadcast;
+    * the only shuffled join is orders ⋈ lineitem on the order key, and
+    * the residual nation-equality predicate rides the join instead of a
+    * second shuffle.
+    */
+  def q60LocalSupplier(s: SparkSession, dir: String,
+                       region: String = "ASIA", orderYear: Int = 1997): DataFrame = {
+    val nations = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === region)
+      .select("n_nationkey", "n_name")
+    val cust = Tables.customer(s, dir)
+      .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+    val supp = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+    val ord = Tables.orders(s, dir)
+      .filter(year(col("o_orderdate")) === orderYear)
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
   /** Grouped statistical mode via the custom one-pass `graft_mode`
     * aggregate (count desc, value asc tie-break): the modal account-
     * balance band per market segment + nation. The composed SQL form is

@@ -346,6 +346,24 @@ class PlanSpec extends AnyFunSuite {
     } finally adj.unpersist(false)
   }
 
+  test("q59: date bounds reach the scans; top-10 is TakeOrdered, not a sort") {
+    val p = planOf(Relational.q59ShippingPriority(spark, sf))
+    // the cast(date) predicates must constant-fold into pushable
+    // timestamp comparisons at the parquet scans
+    assert(p.contains("PushedFilters"), p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q60: six-table join shuffles only the order/lineitem spine") {
+    val p = planOf(Relational.q60LocalSupplier(spark, sf))
+    // every dimension side broadcasts; the single shuffled join is
+    // orders ⋈ lineitem plus the final aggregate exchange
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(3000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q55: runtime bloom filter is injected into the fact-side scan") {
     // under the operator's scoped confs the InjectRuntimeFilter rule must
     // compile the dim predicate into a bloom probe on the fact side —
