@@ -250,8 +250,24 @@ object SparkEntry {
       Relational.q59ShippingPriority(s, d)),
     "q60_local_supplier" -> ((s: SparkSession, d: String) =>
       Relational.q60LocalSupplier(s, d)),
+    "q61_market_share" -> ((s: SparkSession, d: String) =>
+      Relational.q61MarketShare(s, d)),
+    "q62_big_spenders" -> ((s: SparkSession, d: String) =>
+      Relational.q62BigSpenders(s, d)),
+    "q63_returned_items" -> ((s: SparkSession, d: String) =>
+      Relational.q63ReturnedItems(s, d)),
+    "q64_small_qty_revenue" -> ((s: SparkSession, d: String) =>
+      Relational.q64SmallQtyRevenue(s, d)),
+    "q65_top_supplier" -> ((s: SparkSession, d: String) =>
+      Relational.q65TopSupplier(s, d)),
     "gov_l_diversity" -> ((s: SparkSession, d: String) =>
       graft.operators.Governance.lDiversity(s, d)),
+    "dq_profile" -> ((s: SparkSession, d: String) =>
+      graft.operators.DataQuality.profile(s, d)),
+    "dq_constraints" -> ((s: SparkSession, d: String) =>
+      graft.operators.DataQuality.constraints(s, d)),
+    "dq_referential" -> ((s: SparkSession, d: String) =>
+      graft.operators.DataQuality.referential(s, d)),
     "feat_lag_windows" -> (Features.lagFeatures _),
     "stream_distinct_users" -> ((s: SparkSession, d: String) =>
       StreamOps.streamDistinctUsers(s, d)),
@@ -778,7 +794,93 @@ object SparkEntry {
       s"CAST(ord(substr(md5($e), i, 1)) - CASE WHEN substr(md5($e), i, 1) " +
       s"BETWEEN '0' AND '9' THEN 48 ELSE 87 END AS BIGINT)), (a, x) -> a * 16 + x)"
 
+  /** dq_profile oracle: one SELECT per lineitem column, UNION ALL — the
+    * oracle may scan N times; the engine pays ONE scan (+ the exact-
+    * distinct Expand). Sums/counts cast to BIGINT so both engines hash
+    * identical integer types; non-numeric columns carry NULL range.
+    */
+  private def dqProfileSql: String = {
+    val numeric = Set("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+    cols.map { c =>
+      val minMax =
+        if (numeric(c)) s"CAST(min($c) AS DOUBLE) AS min_num, CAST(max($c) AS DOUBLE) AS max_num"
+        else "CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num"
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+         |  round((count(*) - count($c)) / CAST(count(*) AS DOUBLE), 6) AS null_ratio,
+         |  count(DISTINCT $c) AS n_distinct, $minMax FROM lineitem""".stripMargin
+    }.mkString("\nUNION ALL\n")
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "dq_profile" -> dqProfileSql,
+    // every violation count casts to BIGINT (DuckDB sums integers to
+    // HUGEINT); the engine reports violations, never drops them — the
+    // fixture's duplicate (l_orderkey, l_linenumber) pairs show up here
+    "dq_constraints" ->
+      """SELECT check_name, violations, violations = 0 AS passed FROM (
+        |SELECT 'lineitem.quantity_positive' AS check_name,
+        |  CAST(coalesce(sum(CASE WHEN l_quantity <= 0.0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS violations FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem.discount_in_[0,1]',
+        |  CAST(coalesce(sum(CASE WHEN l_discount < 0.0 OR l_discount > 1.0 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem.tax_in_[0,1]',
+        |  CAST(coalesce(sum(CASE WHEN l_tax < 0.0 OR l_tax > 1.0 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem.returnflag_domain',
+        |  CAST(coalesce(sum(CASE WHEN l_returnflag NOT IN ('R','A','N') THEN 1 ELSE 0 END), 0) AS BIGINT) FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem.linestatus_domain',
+        |  CAST(coalesce(sum(CASE WHEN l_linestatus NOT IN ('O','F') THEN 1 ELSE 0 END), 0) AS BIGINT) FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem.shipdate_not_null',
+        |  CAST(coalesce(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem.pk_unique',
+        |  CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) FROM lineitem
+        |UNION ALL
+        |SELECT 'orders.orderstatus_domain',
+        |  CAST(coalesce(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END), 0) AS BIGINT) FROM orders
+        |UNION ALL
+        |SELECT 'orders.totalprice_positive',
+        |  CAST(coalesce(sum(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM orders
+        |UNION ALL
+        |SELECT 'orders.pk_unique',
+        |  CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders)""".stripMargin,
+    "dq_referential" ->
+      """SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+        |  CAST(coalesce(sum(n), 0) AS BIGINT) AS orphan_rows, count(*) AS orphan_keys
+        |FROM (SELECT l_orderkey AS k, count(*) AS n FROM lineitem GROUP BY 1) f
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = f.k)
+        |UNION ALL
+        |SELECT 'lineitem.l_partkey->part', CAST(coalesce(sum(n), 0) AS BIGINT), count(*)
+        |FROM (SELECT l_partkey AS k, count(*) AS n FROM lineitem GROUP BY 1) f
+        |WHERE NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = f.k)
+        |UNION ALL
+        |SELECT 'lineitem.l_suppkey->supplier', CAST(coalesce(sum(n), 0) AS BIGINT), count(*)
+        |FROM (SELECT l_suppkey AS k, count(*) AS n FROM lineitem GROUP BY 1) f
+        |WHERE NOT EXISTS (SELECT 1 FROM supplier WHERE s_suppkey = f.k)
+        |UNION ALL
+        |SELECT 'orders.o_custkey->customer', CAST(coalesce(sum(n), 0) AS BIGINT), count(*)
+        |FROM (SELECT o_custkey AS k, count(*) AS n FROM orders GROUP BY 1) f
+        |WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = f.k)
+        |UNION ALL
+        |SELECT 'customer.c_nationkey->nation', CAST(coalesce(sum(n), 0) AS BIGINT), count(*)
+        |FROM (SELECT c_nationkey AS k, count(*) AS n FROM customer GROUP BY 1) f
+        |WHERE NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey = f.k)
+        |UNION ALL
+        |SELECT 'supplier.s_nationkey->nation', CAST(coalesce(sum(n), 0) AS BIGINT), count(*)
+        |FROM (SELECT s_nationkey AS k, count(*) AS n FROM supplier GROUP BY 1) f
+        |WHERE NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey = f.k)
+        |UNION ALL
+        |SELECT 'nation.n_regionkey->region', CAST(coalesce(sum(n), 0) AS BIGINT), count(*)
+        |FROM (SELECT n_regionkey AS k, count(*) AS n FROM nation GROUP BY 1) f
+        |WHERE NOT EXISTS (SELECT 1 FROM region WHERE r_regionkey = f.k)""".stripMargin,
     "emb_dim_reduce" -> dimReduceOracle,
     // epoch-weighted mixture repetition: per-source per-mille weight
     // 400 + md5(source) % 2401; copies = w_pm // 1000 plus an extra iff
@@ -2238,6 +2340,69 @@ object SparkEntry {
         |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
         |WHERE r_name = 'ASIA' AND year(o_orderdate) = 1997
         |GROUP BY 1""".stripMargin,
+    // both revenue sums round before the share division so the ratio
+    // divides identical doubles on both engines
+    "q61_market_share" ->
+      """SELECT year(o_orderdate) AS o_year,
+        |  round(sum(CASE WHEN n2.n_name = 'NATION_1'
+        |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END), 2) AS nation_rev,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_rev,
+        |  round(round(sum(CASE WHEN n2.n_name = 'NATION_1'
+        |      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END), 2)
+        |    / round(sum(l_extendedprice * (1.0 - l_discount)), 2), 6) AS mkt_share
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation n2 ON n2.n_nationkey = s_nationkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation n1 ON n1.n_nationkey = c_nationkey
+        |JOIN region ON r_regionkey = n1.n_regionkey
+        |WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+        |GROUP BY 1""".stripMargin,
+    "q62_big_spenders" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+        |  total_qty
+        |FROM (SELECT l_orderkey, sum(l_quantity) AS total_qty
+        |      FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250.0) big
+        |JOIN orders ON o_orderkey = big.l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q63_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name, revenue
+        |FROM (SELECT o_custkey,
+        |        round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |      WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+        |        AND CAST(o_orderdate AS DATE) < DATE '1997-04-01'
+        |        AND l_returnflag = 'R'
+        |      GROUP BY 1) r
+        |JOIN customer ON c_custkey = r.o_custkey
+        |JOIN nation ON n_nationkey = c_nationkey
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    // the correlated avg-quantity subquery replays as the same per-part
+    // window aggregate the Spark plan decorrelates into
+    "q64_small_qty_revenue" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM (SELECT l_extendedprice, l_quantity,
+        |        avg(l_quantity) OVER (PARTITION BY l_partkey) AS avg_qty
+        |      FROM lineitem JOIN part ON p_partkey = l_partkey
+        |      WHERE p_brand = 'Brand#9')
+        |WHERE l_quantity < 0.5 * avg_qty""".stripMargin,
+    // revenue rounds BEFORE the max/equality so both engines compare
+    // identical doubles
+    "q65_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_rev
+        |  FROM lineitem
+        |  WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+        |    AND CAST(l_shipdate AS DATE) < DATE '1997-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_rev
+        |FROM rev JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
     // the one-pass graft_mode aggregate replays as (count DESC, value
     // ASC) ranking — identical deterministic tie-break
     "q58_group_mode" ->

@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Data-quality validation — the Deequ-shaped (Schelter et al., "Automating
+  * large-scale data quality verification", VLDB 2018) gate every training-
+  * data pipeline runs before a corpus snapshot is blessed. Three surfaces:
+  *
+  *  - [[profile]]: per-column statistics (completeness, cardinality,
+  *    range) computed in ONE scan of the table — the metrics a schema
+  *    registry records per snapshot.
+  *  - [[constraints]]: named predicate checks (domain membership, value
+  *    ranges, key uniqueness) folded into one conditional-sum aggregate
+  *    per table — a check suite costs one scan, not one scan per check.
+  *  - [[referential]]: FK orphan detection across the star schema —
+  *    each edge aggregates the fact side to its key set FIRST (the probe
+  *    shrinks from row count to key cardinality), then anti-joins the
+  *    broadcast dimension key set.
+  *
+  * Everything is a conditional aggregate over a declarative scan: no
+  * driver-side row loops, map-side partials everywhere, and the output is
+  * check-count-sized (KB) regardless of input scale. At 100 TB the only
+  * adjustment is swapping the exact `count_distinct` cardinality metrics
+  * for `approx_count_distinct` (HLL) — a documented one-line lever kept
+  * exact here so the DuckDB oracle can replay values bit-for-bit.
+  */
+object DataQuality {
+
+  /** One profile row per column: completeness, exact cardinality, and
+    * numeric range. The wide single-row aggregate (5 metrics × N columns
+    * in one pass) pivots to long form through an N-way `stack` — the
+    * scan happens ONCE; the stack re-shapes a single driver-sized row.
+    * Multiple exact count-distincts expand the scan N-fold pre-shuffle
+    * (Spark's Expand operator); that is the documented exact-mode cost,
+    * and the `approxCardinality` flag collapses it to one HLL pass for
+    * production scale.
+    */
+  def profile(s: SparkSession, dir: String, table: String = "lineitem",
+              approxCardinality: Boolean = false): DataFrame = {
+    val df = Tables.load(s, dir, table)
+    val numeric = df.schema.fields.filter(f => f.dataType.typeName match {
+      case "long" | "integer" | "double" | "float" | "short" => true
+      case _ => false
+    }).map(_.name).toSet
+    val cols = df.schema.fieldNames.toSeq
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      val card =
+        if (approxCardinality) approx_count_distinct(col(c))
+        else count_distinct(col(c))
+      Seq(
+        count(lit(1)).as(s"${c}__n"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        card.as(s"${c}__card"),
+        (if (numeric(c)) min(col(c)).cast("double") else lit(null).cast("double"))
+          .as(s"${c}__min"),
+        (if (numeric(c)) max(col(c)).cast("double") else lit(null).cast("double"))
+          .as(s"${c}__max"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackExpr = cols.map(c =>
+      s"'$c', `${c}__n`, `${c}__nulls`, `${c}__card`, `${c}__min`, `${c}__max`"
+    ).mkString(", ")
+    wide.selectExpr(
+      s"stack(${cols.size}, $stackExpr) AS " +
+        "(col_name, n_rows, n_nulls, n_distinct, min_num, max_num)")
+      .withColumn("null_ratio",
+        round(col("n_nulls") / col("n_rows").cast("double"), 6))
+      .select("col_name", "n_rows", "n_nulls", "null_ratio", "n_distinct",
+        "min_num", "max_num")
+  }
+
+  /** Named constraint checks over `lineitem` + `orders`, ONE conditional-
+    * sum aggregate per table (every predicate is a `sum(when(violated))`
+    * column of the same pass; key-uniqueness rides along as
+    * `count - count_distinct`). Violations are REPORTED, never dropped —
+    * the fixture's lineitem really does carry duplicate
+    * (l_orderkey, l_linenumber) pairs, and the suite's job is to say so.
+    */
+  def constraints(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val liWide = li.agg(
+      sum(when(col("l_quantity") <= 0.0, 1L).otherwise(0L)).as("c1"),
+      sum(when(col("l_discount") < 0.0 || col("l_discount") > 1.0, 1L)
+        .otherwise(0L)).as("c2"),
+      sum(when(col("l_tax") < 0.0 || col("l_tax") > 1.0, 1L)
+        .otherwise(0L)).as("c3"),
+      sum(when(!col("l_returnflag").isin("R", "A", "N"), 1L).otherwise(0L))
+        .as("c4"),
+      sum(when(!col("l_linestatus").isin("O", "F"), 1L).otherwise(0L))
+        .as("c5"),
+      sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("c6"),
+      (count(lit(1)) -
+        count_distinct(col("l_orderkey"), col("l_linenumber"))).as("c7"))
+    val ord = Tables.orders(s, dir)
+    val ordWide = ord.agg(
+      sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L))
+        .as("c8"),
+      sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("c9"),
+      (count(lit(1)) - count_distinct(col("o_orderkey"))).as("c10"))
+    val liLong = liWide.selectExpr(
+      """stack(7,
+        |'lineitem.quantity_positive', c1,
+        |'lineitem.discount_in_[0,1]', c2,
+        |'lineitem.tax_in_[0,1]', c3,
+        |'lineitem.returnflag_domain', c4,
+        |'lineitem.linestatus_domain', c5,
+        |'lineitem.shipdate_not_null', c6,
+        |'lineitem.pk_unique', c7) AS (check_name, violations)""".stripMargin)
+    val ordLong = ordWide.selectExpr(
+      """stack(3,
+        |'orders.orderstatus_domain', c8,
+        |'orders.totalprice_positive', c9,
+        |'orders.pk_unique', c10) AS (check_name, violations)""".stripMargin)
+    liLong.unionAll(ordLong)
+      .withColumn("passed", col("violations") === 0L)
+  }
+
+  /** FK orphan audit over every edge of the star schema. Per edge: the
+    * fact side aggregates to (key, row_count) FIRST — the anti-join then
+    * probes key-cardinality rows, not fact rows — and the dimension key
+    * set broadcasts (dimension keys are node-sized at any scale; were a
+    * dimension ever fact-sized, the same plan degrades gracefully to a
+    * shuffled anti-join). Output is one row per edge: rows and distinct
+    * keys that reference a missing parent.
+    */
+  def referential(s: SparkSession, dir: String): DataFrame = {
+    def edge(name: String, fact: DataFrame, fk: String,
+             dim: DataFrame, pk: String): DataFrame = {
+      val keyCounts = fact.groupBy(col(fk).as("k"))
+        .agg(count(lit(1)).as("n"))
+      keyCounts.join(broadcast(dim.select(col(pk).as("k")).distinct()),
+          Seq("k"), "left_anti")
+        .agg(coalesce(sum(col("n")), lit(0L)).as("orphan_rows"),
+          count(lit(1)).as("orphan_keys"))
+        .select(lit(name).as("fk_edge"), col("orphan_rows"),
+          col("orphan_keys"))
+    }
+    val li = Tables.lineitem(s, dir)
+    val ord = Tables.orders(s, dir)
+    Seq(
+      edge("lineitem.l_orderkey->orders", li, "l_orderkey",
+        ord, "o_orderkey"),
+      edge("lineitem.l_partkey->part", li, "l_partkey",
+        Tables.part(s, dir), "p_partkey"),
+      edge("lineitem.l_suppkey->supplier", li, "l_suppkey",
+        Tables.supplier(s, dir), "s_suppkey"),
+      edge("orders.o_custkey->customer", ord, "o_custkey",
+        Tables.customer(s, dir), "c_custkey"),
+      edge("customer.c_nationkey->nation", Tables.customer(s, dir),
+        "c_nationkey", Tables.nation(s, dir), "n_nationkey"),
+      edge("supplier.s_nationkey->nation", Tables.supplier(s, dir),
+        "s_nationkey", Tables.nation(s, dir), "n_nationkey"),
+      edge("nation.n_regionkey->region", Tables.nation(s, dir),
+        "n_regionkey", Tables.region(s, dir), "r_regionkey")
+    ).reduce(_ unionAll _)
+  }
+}

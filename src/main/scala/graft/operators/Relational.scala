@@ -1251,4 +1251,156 @@ object Relational {
       .agg(count(lit(1)).as("n_lines"),
         round(sum(col("l_extendedprice")), 2).as("rev"))
   }
+
+  /** National market share (the TPC-H Q8 shape): within one region's
+    * customer market and one part type, what fraction of revenue per
+    * order-year is supplied from one target nation. Two DISTINCT nation
+    * roles join the same dimension — the customer side restricts
+    * membership (region filter), the supplier side labels each line with
+    * its selling nation. Every dimension (part-type subset, region
+    * nations, suppliers, region customers) broadcasts; the only shuffled
+    * join is the orders ⋈ lineitem spine, and the share arithmetic is a
+    * conditional sum inside ONE aggregate — no second pass over the
+    * facts. Both sums round before dividing so the share is a ratio of
+    * the same doubles the oracle ranks.
+    */
+  def q61MarketShare(s: SparkSession, dir: String, region: String = "AMERICA",
+                     targetNation: String = "NATION_1",
+                     pType: String = "PROMO"): DataFrame = {
+    val regionNations = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === region)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey")
+    val cust = Tables.customer(s, dir)
+      .join(broadcast(regionNations), col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val supp = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .select("s_suppkey", "supp_nation")
+    val typedParts = Tables.part(s, dir)
+      .filter(col("p_type") === pType).select("p_partkey")
+    val li = Tables.lineitem(s, dir)
+      .join(broadcast(typedParts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_orderkey"), col("supp_nation"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    Tables.orders(s, dir)
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_year"))
+      .agg(
+        round(sum(when(col("supp_nation") === targetNation, col("rev"))
+          .otherwise(lit(0.0))), 2).as("nation_rev"),
+        round(sum(col("rev")), 2).as("total_rev"))
+      .withColumn("mkt_share",
+        round(col("nation_rev") / col("total_rev"), 6))
+  }
+
+  /** Large-volume customers (the TPC-H Q18 shape): orders whose total
+    * line quantity exceeds a threshold, with their customer and order
+    * detail. The having-subquery decorrelates into ONE grouped pass over
+    * lineitem; the surviving order keys are a tiny fraction (threshold
+    * sits past the 99th percentile of order quantity), so they BROADCAST
+    * back into orders — the fact table is never shuffled on a key it
+    * already aggregated on. Top-100 by order value is TakeOrdered, no
+    * global sort.
+    */
+  def q62BigSpenders(s: SparkSession, dir: String,
+                     minQty: Double = 250.0): DataFrame = {
+    val bigOrders = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    Tables.orders(s, dir)
+      .join(broadcast(bigOrders), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(s, dir).select("c_custkey", "c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** Returned-item revenue report (the TPC-H Q10 shape): customers
+    * ranked by revenue lost to returns in one order quarter. The date
+    * predicate pushes to the orders scan and the return-flag predicate
+    * to the lineitem scan BEFORE the spine join; customer and nation
+    * broadcast onto the aggregated result (group keys carry the
+    * customer attributes, so the dimension join happens once per
+    * customer, not once per line). Top-20 is TakeOrdered.
+    */
+  def q63ReturnedItems(s: SparkSession, dir: String,
+                       qStart: String = "1997-01-01",
+                       qEnd: String = "1997-04-01"): DataFrame = {
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate").cast("date") >= lit(qStart).cast("date") &&
+        col("o_orderdate").cast("date") < lit(qEnd).cast("date"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    val custNation = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "c_name", "c_acctbal", "n_name")
+    ord.join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("rev")), 2).as("revenue"))
+      .join(broadcast(custNation), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("n_name"), col("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** Small-quantity-order revenue (the TPC-H Q17 shape): revenue that
+    * would vanish if orders below half a part's average quantity were
+    * refused, for one brand. The correlated scalar subquery
+    * (avg quantity of the SAME part) decorrelates into a per-part
+    * window aggregate over the brand-filtered lines: ONE fact scan, one
+    * shuffle of only the brand's ~4% of lines, average and comparison
+    * resolved inside the window pass — the join-back form would scan
+    * the fact table twice for nothing. Single-row output.
+    */
+  def q64SmallQtyRevenue(s: SparkSession, dir: String,
+                         brand: String = "Brand#9"): DataFrame = {
+    val brandParts = Tables.part(s, dir)
+      .filter(col("p_brand") === brand).select("p_partkey")
+    val li = Tables.lineitem(s, dir)
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+    val w = Window.partitionBy("l_partkey")
+    li.withColumn("avg_qty", avg(col("l_quantity")).over(w))
+      .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+      .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+  }
+
+  /** Top supplier by quarter revenue (the TPC-H Q15 shape): the
+    * supplier(s) achieving the maximum revenue in a ship-date window.
+    * The scalar max-of-aggregate subquery becomes: one grouped pass
+    * over the date-pruned lines (supplier-count-sized result), a
+    * single-row max aggregate, and a broadcast equality join of the two
+    * — revenue is rounded BEFORE the max/compare so both engines
+    * equality-match the same doubles. No window over a global sort.
+    */
+  def q65TopSupplier(s: SparkSession, dir: String,
+                     qStart: String = "1997-01-01",
+                     qEnd: String = "1997-04-01"): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate").cast("date") >= lit(qStart).cast("date") &&
+        col("l_shipdate").cast("date") < lit(qEnd).cast("date"))
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("total_rev"))
+    val maxRev = rev.agg(max(col("total_rev")).as("max_rev"))
+    rev.join(broadcast(maxRev), col("total_rev") === col("max_rev"))
+      .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+      .orderBy(col("s_suppkey"))
+  }
 }
