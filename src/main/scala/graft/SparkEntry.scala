@@ -288,6 +288,8 @@ object SparkEntry {
     // custom HLL sketch — deterministic but engine-internal (rows-only
     // by design; HllSpec pins ≤5% error vs exact, q20 covers HLL++)
     "sketch_hll_users" -> (Relational.sketchHllUsers _),
+    "sketch_theta_overlap" -> ((s: SparkSession, d: String) =>
+      graft.operators.Sketches.thetaOverlap(s, d)),
     "gov_dp_counts" -> ((s: SparkSession, d: String) =>
       graft.operators.Governance.dpCounts(s, d)),
     // streaming HLL — engine-internal registers (rows-only by design;
@@ -816,7 +818,49 @@ object SparkEntry {
     }.mkString("\nUNION ALL\n")
   }
 
+  /** sketch_theta_overlap oracle: the KMV/theta sketch is a pure
+    * function of each type's distinct-user set under the portable hash,
+    * so DuckDB replays sketch construction (rank the hashes, keep k),
+    * θ resolution, the below-θ union/intersection counts, and the
+    * (n * H) / θ estimate arithmetic in the same double order.
+    */
+  private def thetaOverlapSql: String = {
+    val h = md5PrefixSql("CAST(user_id AS VARCHAR)")
+    val big = "1152921504606846976" // 2^60, the portable hash space
+    s"""WITH hd AS (SELECT DISTINCT event_type, $h AS hv FROM events),
+       |rk AS (SELECT event_type, hv, row_number() OVER (
+       |         PARTITION BY event_type ORDER BY hv) AS rn FROM hd),
+       |sk AS (SELECT event_type, hv FROM rk WHERE rn <= 256),
+       |th AS (SELECT event_type, count(*) AS sz,
+       |         CASE WHEN count(*) = 256 THEN max(hv) ELSE $big END AS theta
+       |       FROM sk GROUP BY 1),
+       |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+       |        least(a.theta, b.theta) AS theta
+       |      FROM th a JOIN th b ON a.event_type < b.event_type),
+       |u AS (SELECT p.type_a, p.type_b, count(DISTINCT s.hv) AS n_union_minima
+       |      FROM p JOIN sk s ON (s.event_type = p.type_a OR s.event_type = p.type_b)
+       |        AND s.hv < p.theta
+       |      GROUP BY 1, 2),
+       |i AS (SELECT p.type_a, p.type_b, count(*) AS n_inter_minima
+       |      FROM p JOIN sk sa ON sa.event_type = p.type_a AND sa.hv < p.theta
+       |        JOIN sk sb ON sb.event_type = p.type_b AND sb.hv = sa.hv
+       |      GROUP BY 1, 2)
+       |SELECT p.type_a, p.type_b, p.theta, u.n_union_minima,
+       |  CAST(coalesce(i.n_inter_minima, 0) AS BIGINT) AS n_inter_minima,
+       |  round(CASE WHEN p.theta < $big
+       |    THEN CAST(u.n_union_minima AS DOUBLE) * $big.0 / CAST(p.theta AS DOUBLE)
+       |    ELSE CAST(u.n_union_minima AS DOUBLE) END, 4) AS est_union,
+       |  round(CASE WHEN p.theta < $big
+       |    THEN CAST(coalesce(i.n_inter_minima, 0) AS DOUBLE) * $big.0 / CAST(p.theta AS DOUBLE)
+       |    ELSE CAST(coalesce(i.n_inter_minima, 0) AS DOUBLE) END, 4) AS est_intersect,
+       |  round(CAST(coalesce(i.n_inter_minima, 0) AS DOUBLE)
+       |    / CAST(u.n_union_minima AS DOUBLE), 6) AS est_jaccard
+       |FROM p JOIN u ON u.type_a = p.type_a AND u.type_b = p.type_b
+       |LEFT JOIN i ON i.type_a = p.type_a AND i.type_b = p.type_b""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "sketch_theta_overlap" -> thetaOverlapSql,
     "dq_profile" -> dqProfileSql,
     // every violation count casts to BIGINT (DuckDB sums integers to
     // HUGEINT); the engine reports violations, never drops them — the
