@@ -269,6 +269,10 @@ object SparkEntry {
     "dq_referential" -> ((s: SparkSession, d: String) =>
       graft.operators.DataQuality.referential(s, d)),
     "feat_lag_windows" -> (Features.lagFeatures _),
+    "feat_woe_encode" -> ((s: SparkSession, d: String) =>
+      Features.woeEncode(s, d)),
+    "link_customer_pairs" -> ((s: SparkSession, d: String) =>
+      graft.operators.Linkage.customerPairs(s, d)),
     "stream_distinct_users" -> ((s: SparkSession, d: String) =>
       StreamOps.streamDistinctUsers(s, d)),
     // explicit build entry: sorts (and benches) before its consumers so
@@ -860,6 +864,42 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // WOE: 0.5-smoothed shares, woe rounds to 6, the IV term multiplies
+    // the ROUNDED woe — identical double composition on both engines
+    "feat_woe_encode" ->
+      """WITH g AS (SELECT o_orderpriority AS category,
+        |    CAST(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_pos,
+        |    CAST(coalesce(sum(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_neg
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_pos) AS BIGINT) AS pos_tot,
+        |        CAST(sum(n_neg) AS BIGINT) AS neg_tot FROM g),
+        |w AS (SELECT category, n_pos, n_neg,
+        |        round(ln(((n_pos + 0.5) / pos_tot) / ((n_neg + 0.5) / neg_tot)), 6) AS woe,
+        |        CAST(n_pos AS DOUBLE) / pos_tot - CAST(n_neg AS DOUBLE) / neg_tot AS share_gap
+        |      FROM g, t)
+        |SELECT category, n_pos, n_neg, woe,
+        |  round(share_gap * woe, 6) AS iv_term FROM w""".stripMargin,
+    // FS scoring: literal log-odds weights are exact binary fractions,
+    // so the score sum is bit-identical; ties broken on the id pair
+    "link_customer_pairs" ->
+      """SELECT id_a, id_b, name_dist, bal_diff, score,
+        |  CASE WHEN score >= 7.0 THEN 'match'
+        |       WHEN score >= 4.0 THEN 'possible'
+        |       ELSE 'non_match' END AS cls
+        |FROM (
+        |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |    CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS name_dist,
+        |    round(abs(a.c_acctbal - b.c_acctbal), 2) AS bal_diff,
+        |    (CASE WHEN levenshtein(a.c_name, b.c_name) <= 2
+        |       THEN 4.0 ELSE -1.0 END) + 1.5 +
+        |    (CASE WHEN abs(a.c_acctbal - b.c_acctbal) <= 100.0
+        |       THEN 2.0 ELSE -0.75 END) AS score
+        |  FROM customer a JOIN customer b
+        |    ON a.c_nationkey = b.c_nationkey
+        |    AND CAST(floor(a.c_acctbal / 500.0) AS BIGINT) =
+        |        CAST(floor(b.c_acctbal / 500.0) AS BIGINT)
+        |    AND a.c_custkey < b.c_custkey)
+        |ORDER BY score DESC, id_a, id_b LIMIT 50""".stripMargin,
     "sketch_theta_overlap" -> thetaOverlapSql,
     "dq_profile" -> dqProfileSql,
     // every violation count casts to BIGINT (DuckDB sums integers to

@@ -76,6 +76,34 @@ object Features {
             (col("t_n") - 1).cast("double"), 4)).as("loo_price"))
   }
 
+  /** Weight-of-evidence categorical encoding (the credit-scoring
+    * standard; Siddiqi, "Credit Risk Scorecards", 2006): per category,
+    * WOE = ln(smoothed positive share / smoothed negative share), plus
+    * the information-value contribution that ranks features by
+    * predictive power. Fit is ONE grouped pass over the fact table; the
+    * category totals join back as a broadcast single-row frame —
+    * encoder state is category-cardinality-sized at any scale (the
+    * [[targetEncodeLoo]] regime). Additive 0.5 smoothing keeps empty
+    * cells finite; WOE rounds to 6 and the IV term multiplies the
+    * ROUNDED woe so both engines compose identical doubles.
+    */
+  def woeEncode(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority").as("category"))
+      .agg(
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("o_orderstatus") =!= "F", 1L).otherwise(0L)).as("n_neg"))
+    val tot = g.agg(sum("n_pos").as("pos_tot"), sum("n_neg").as("neg_tot"))
+    g.crossJoin(broadcast(tot))
+      .withColumn("woe", round(log(
+        ((col("n_pos") + lit(0.5)) / col("pos_tot")) /
+          ((col("n_neg") + lit(0.5)) / col("neg_tot"))), 6))
+      .withColumn("iv_term", round(
+        (col("n_pos").cast("double") / col("pos_tot") -
+          col("n_neg").cast("double") / col("neg_tot")) * col("woe"), 6))
+      .select("category", "n_pos", "n_neg", "woe", "iv_term")
+  }
+
   /** Feature hashing (the "hashing trick", Weinberger et al. 2009) —
     * text to fixed-width term-frequency vectors with NO vocabulary: each
     * token hashes straight to one of `dim` slots. This is the
