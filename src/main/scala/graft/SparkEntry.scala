@@ -225,6 +225,8 @@ object SparkEntry {
       graft.operators.Graph.pagerank(s, d)),
     "graph_triangles" -> ((s: SparkSession, d: String) =>
       graft.operators.Graph.triangles(s, d)),
+    "graph_kcore" -> ((s: SparkSession, d: String) =>
+      graft.operators.Graph.kcore(s, d)),
     "gov_k_anonymity" -> ((s: SparkSession, d: String) =>
       graft.operators.Governance.kAnonymity(s, d)),
     "dedup_survivor_policy" -> ((s: SparkSession, d: String) =>
@@ -738,6 +740,26 @@ object SparkEntry {
     * distinct canonical pairs (src < dst) exactly as Graph.coPairs
     * derives them.
     */
+  /** graph_kcore oracle: one CTE layer per synchronous peel round —
+    * n_r = degree test over e_{r-1}, e_r = the n_r-induced subgraph.
+    * The Spark side may exit early at a fixpoint; the peel is a
+    * monotone ⊆ cascade, so the full `rounds` stack here computes the
+    * identical survivor set.
+    */
+  private def kcoreOracle(k: Int = 65, rounds: Int = 6): String = {
+    val sb = new StringBuilder(s"WITH $coPairCtes,\n")
+    sb.append("e0 AS (SELECT src AS a, dst AS b FROM p UNION ALL SELECT dst, src FROM p)")
+    for (r <- 1 to rounds) {
+      sb.append(s",\nn$r AS (SELECT a, count(*) AS deg FROM e${r - 1} " +
+        s"GROUP BY a HAVING count(*) >= $k)")
+      if (r < rounds)
+        sb.append(s",\ne$r AS (SELECT e.a, e.b FROM e${r - 1} e " +
+          s"JOIN n$r x ON e.a = x.a JOIN n$r y ON e.b = y.a)")
+    }
+    sb.append(s"\nSELECT a AS node, deg AS core_deg FROM n$rounds")
+    sb.toString
+  }
+
   private val coPairCtes: String =
     """li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
       |p AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
@@ -2304,6 +2326,7 @@ object SparkEntry {
         |  make_timestamp(max(e_us)) AS merged_end, count(*) AS n_events
         |FROM g GROUP BY user_id, island""".stripMargin,
     "graph_pagerank" -> pagerankOracle(),
+    "graph_kcore" -> kcoreOracle(),
     "graph_label_prop" -> labelPropOracle(),
     "graph_build_pairs" ->
       s"""WITH $coPairCtes

@@ -419,4 +419,53 @@ object Graph {
         .localCheckpoint(true)
     }
   }
+
+  /** k-core extraction by SYNCHRONOUS bounded-round peeling (the
+    * Batagelj–Zaveršnik cascade run breadth-synchronously): each round
+    * recomputes degrees over the surviving edge set and drops nodes
+    * below k; `rounds` fixed tests make the result a pure function of
+    * the edge set, so the SQL oracle replays it as one stacked CTE layer
+    * per round (the [[pagerank]] / [[labelPropagation]] discipline for
+    * iterative graph state).
+    *
+    * Scale shape per round: ONE edge-sized exchange (the degree
+    * aggregate — map-side partials) + a node-sized broadcast of the
+    * survivor set filtering edges map-side; the survivor set only
+    * shrinks, so every later round is cheaper. The peel cascades
+    * monotonically, which gives the early exit its correctness: if the
+    * survivor COUNT repeats, the set repeated (survivors are a
+    * monotone ⊆ chain), every further round is a fixpoint no-op, and
+    * stopping early returns exactly what the oracle's full `rounds`
+    * CTE stack computes. Per-round `localCheckpoint` caps lineage
+    * depth exactly as in the contraction loop of `componentsOf`.
+    */
+  def kcore(s: SparkSession, dir: String, k: Int = 65,
+            rounds: Int = 6): DataFrame = {
+    val pairs = coPairs(s, dir)
+    var edges = pairs.select(col("src").as("a"), col("dst").as("b"))
+      .union(pairs.select(col("dst").as("a"), col("src").as("b")))
+      .localCheckpoint(true)
+    var survivors: DataFrame = null
+    var prevCount = -1L
+    var r = 0
+    var done = false
+    while (r < rounds && !done) {
+      val deg = edges.groupBy("a").agg(count(lit(1)).as("deg"))
+      survivors = deg.filter(col("deg") >= k).localCheckpoint(true)
+      val n = survivors.count()
+      if (n == prevCount) done = true // fixpoint: all further rounds no-op
+      else {
+        prevCount = n
+        r += 1
+        if (r < rounds && !done) {
+          edges = edges
+            .join(broadcast(survivors.select(col("a"))), Seq("a"))
+            .join(broadcast(survivors.select(col("a").as("b"))), Seq("b"))
+            .localCheckpoint(true)
+        }
+      }
+    }
+    CacheLifecycle.materialize(
+      survivors.select(col("a").as("node"), col("deg").as("core_deg")))
+  }
 }
