@@ -128,6 +128,8 @@ object SparkEntry {
       Multimodal.phashClusters(s, d)),
     "mm_frame_sample" -> ((s: SparkSession, d: String) =>
       Multimodal.frameSample(Multimodal.asBinaryPayload(s, d))),
+    "mm_scene_cuts" -> ((s: SparkSession, d: String) =>
+      Multimodal.sceneCuts(s, d)),
     "stream_tumbling_agg" -> ((s: SparkSession, d: String) => StreamOps.tumblingWindowAgg(s, d)),
     "stream_dedup" -> (StreamOps.streamingDedup _),
     "stream_dedup_bounded" -> (StreamOps.streamingDedupBounded _),
@@ -1840,6 +1842,25 @@ object SparkEntry {
         |        md5(substr(text, CAST(floor(n_bytes * i / 4) AS INTEGER) + 1, 16)) AS frame_md5
         |      FROM n, UNNEST([0, 1, 2, 3]) t(i))
         |SELECT doc_id, n_bytes, frame_idx, frame_off, frame_md5 FROM f""".stripMargin,
+    // frame energies are integer byte sums over the 16-frame grid (the
+    // fixture's payload bytes ARE its ASCII chars — the phash contract),
+    // so the lag-window cut test replays exactly
+    "mm_scene_cuts" ->
+      """WITH n AS (SELECT doc_id, text, CAST(length(text) AS INTEGER) AS nb FROM documents),
+        |f AS (SELECT doc_id, nb, CAST(i AS INTEGER) AS frame_idx,
+        |        CAST(floor(nb * i / 16) AS INTEGER) AS off
+        |      FROM n, range(0, 16) t(i)),
+        |e AS (SELECT f.doc_id, f.frame_idx,
+        |        CAST(list_aggregate(list_transform(range(1, 17), j ->
+        |          CASE WHEN f.off + j <= f.nb
+        |            THEN ord(substr(n.text, f.off + CAST(j AS INTEGER), 1))
+        |            ELSE 0 END), 'sum') AS INTEGER) AS energy
+        |      FROM f JOIN n ON n.doc_id = f.doc_id),
+        |l AS (SELECT doc_id, frame_idx, energy,
+        |        lag(energy) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+        |      FROM e)
+        |SELECT doc_id, frame_idx, energy, energy - prev AS delta
+        |FROM l WHERE prev IS NOT NULL AND abs(energy - prev) > 150""".stripMargin,
     "stream_tumbling_agg" ->
       """SELECT date_trunc('hour', ts) AS win_start, event_type,
         |count(*) AS cnt, round(sum(value), 2) AS sum_v

@@ -450,14 +450,23 @@ object Graph {
     var r = 0
     var done = false
     while (r < rounds && !done) {
+      // checkpoint the NODE-sized degree table once; the survivor
+      // filter, the all-survived fast path, and the count action all
+      // read it without re-aggregating the edge set
       val deg = edges.groupBy("a").agg(count(lit(1)).as("deg"))
-      survivors = deg.filter(col("deg") >= k).localCheckpoint(true)
+        .localCheckpoint(true)
+      survivors = deg.filter(col("deg") >= k)
       val n = survivors.count()
-      if (n == prevCount) done = true // fixpoint: all further rounds no-op
+      // n == prev: the monotone ⊆ cascade repeated → fixpoint.
+      // n == deg.count(): NOTHING fell below the bar this round, so the
+      // induced subgraph is unchanged and the next test is identical —
+      // skip the join round entirely (the common case once the core
+      // stabilizes, and the whole query at scales where min degree > k)
+      if (n == prevCount || n == deg.count()) done = true
       else {
         prevCount = n
         r += 1
-        if (r < rounds && !done) {
+        if (r < rounds) {
           edges = edges
             .join(broadcast(survivors.select(col("a"))), Seq("a"))
             .join(broadcast(survivors.select(col("a").as("b"))), Seq("b"))

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -204,4 +205,43 @@ object Multimodal {
     Dedup.componentsOf(s,
         phashPairsPortable(s, dir).select(col("id_a"), col("id_b")))
       .groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+
+  /** Scene-cut detection over opaque media payloads — the video-pipeline
+    * segmentation pass (shot-boundary detection by frame-feature
+    * discontinuity): sample `nFrames` evenly-spaced byte windows per
+    * payload (the [[frameSample]] grid), reduce each to a scalar energy
+    * (the byte-sum surrogate for a real frame histogram — same stub
+    * discipline as [[fakeDecode]]: replace the kernel, keep the
+    * plumbing), and flag frames whose energy jumps more than `tau`
+    * against the previous frame. The lag comparison is ONE window pass
+    * partitioned per document (frame counts are schema-bounded, so
+    * partitions never skew), and the frame fan-out happens AFTER the
+    * kernel — one row per payload enters, nFrames scalars leave.
+    *
+    * The energy kernel is a deterministic pure function of the bytes,
+    * so the SQL oracle replays the whole pass (the fixture's payloads
+    * are the documents' ASCII bytes, the `mm_dedup_phash` contract).
+    */
+  def sceneCuts(s: SparkSession, dir: String, nFrames: Int = 16,
+                frameBytes: Int = 16, tau: Int = 150): DataFrame = {
+    val energies = udf { (payload: Array[Byte]) =>
+      val n = payload.length
+      Array.tabulate(nFrames) { i =>
+        val off = (n.toLong * i / nFrames).toInt
+        var e = 0; var j = off
+        val end = math.min(off + frameBytes, n)
+        while (j < end) { e += payload(j) & 0xFF; j += 1 }
+        e
+      }
+    }
+    val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    asBinaryPayload(s, dir)
+      .select(col("doc_id"),
+        posexplode(energies(col("payload"))).as(Seq("frame_idx", "energy")))
+      .withColumn("prev_energy", lag("energy", 1).over(w))
+      .filter(col("prev_energy").isNotNull &&
+        abs(col("energy") - col("prev_energy")) > tau)
+      .select(col("doc_id"), col("frame_idx"), col("energy"),
+        (col("energy") - col("prev_energy")).as("delta"))
+  }
 }
