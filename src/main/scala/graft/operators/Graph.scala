@@ -441,10 +441,12 @@ object Graph {
     */
   def kcore(s: SparkSession, dir: String, k: Int = 65,
             rounds: Int = 6): DataFrame = {
+    // round-0 edges are a plain union over the family-cached pair table
+    // — no checkpoint needed (lineage depth 1, recompute is a cache
+    // read); per-round checkpoints below start once joins stack up
     val pairs = coPairs(s, dir)
     var edges = pairs.select(col("src").as("a"), col("dst").as("b"))
       .union(pairs.select(col("dst").as("a"), col("src").as("b")))
-      .localCheckpoint(true)
     var survivors: DataFrame = null
     var prevCount = -1L
     var r = 0

@@ -38,7 +38,11 @@ object ClusterSmoke {
     "stream_sample_bottomk",// BottomKAgg in streaming state
     "lake_segment_scan",    // V2 connector: writers+readers across JVMs
     "stream_tumbling_agg",  // streaming micro-batches on a cluster
-    "lake_time_travel")     // commit/manifest round-trip
+    "lake_time_travel",     // commit/manifest round-trip
+    "sketch_theta_overlap", // BottomKAgg partials merged across JVMs
+    "graph_kcore",          // iterative broadcast survivor filters
+    "dq_profile",           // wide Expand distinct aggregation
+    "link_customer_pairs")  // blocked self-join across executors
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
