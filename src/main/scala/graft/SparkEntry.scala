@@ -213,6 +213,8 @@ object SparkEntry {
     // FeaturesSpec pins the linear-algebra invariants
     "emb_pca_project" -> ((s: SparkSession, d: String) =>
       Similarity.pcaProject(s, d)),
+    "emb_matryoshka_recall" -> ((s: SparkSession, d: String) =>
+      Similarity.matryoshkaRecall(s, d)),
     "q47_transition_matrix" -> (Relational.q47TransitionMatrix _),
     "q48_string_agg" -> (Relational.q48StringAgg _),
     "ann_filtered" -> ((s: SparkSession, d: String) => Similarity.annFiltered(s, d)),
@@ -846,6 +848,37 @@ object SparkEntry {
     }.mkString("\nUNION ALL\n")
   }
 
+  /** emb_matryoshka_recall oracle: each truncation arm replays the
+    * prefix-sliced cosine ranking (double arithmetic, 6-decimal round,
+    * id tie-break — the ann_brute discipline) and counts survivors of
+    * the full-dimension truth set; the full-dim arm must report recall
+    * 1.0 by construction.
+    */
+  private def matryoshkaOracle(dims: Seq[Int] = Seq(8, 16, 64),
+                               nq: Int = 10, k: Int = 5): String =
+    dims.map { d =>
+      s"""SELECT $d AS trunc_dim, CAST(count(*) AS BIGINT) AS n_hits,
+         |  round(count(*) / ${(nq * k).toDouble}, 6) AS recall
+         |FROM (
+         |  WITH vt AS (SELECT vec_id,
+         |         list_transform(embedding[1:$d], x -> x::DOUBLE) AS e,
+         |         sqrt(list_sum(list_transform(embedding[1:$d],
+         |           x -> x::DOUBLE * x::DOUBLE))) AS nrm
+         |       FROM embeddings),
+         |  scored AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |      round(list_sum(list_transform(range(1, $d + 1),
+         |        i -> q.e[i] * n.e[i])) / (q.nrm * n.nrm), 6) AS cosine
+         |    FROM vt q JOIN vt n ON q.vec_id < $nq AND n.vec_id <> q.vec_id),
+         |  arm AS (SELECT query_id, neighbor_id FROM (
+         |      SELECT query_id, neighbor_id, row_number() OVER (
+         |        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |      FROM scored) WHERE rank <= $k),
+         |  truth AS ($bruteTopKSql)
+         |  SELECT 1 FROM arm JOIN truth t
+         |    ON t.query_id = arm.query_id AND t.neighbor_id = arm.neighbor_id)"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+
   /** sketch_theta_overlap oracle: the KMV/theta sketch is a pure
     * function of each type's distinct-user set under the portable hash,
     * so DuckDB replays sketch construction (rank the hashes, keep k),
@@ -888,6 +921,7 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "emb_matryoshka_recall" -> matryoshkaOracle(),
     // WOE: 0.5-smoothed shares, woe rounds to 6, the IV term multiplies
     // the ROUNDED woe — identical double composition on both engines
     "feat_woe_encode" ->

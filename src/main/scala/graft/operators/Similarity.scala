@@ -1041,4 +1041,42 @@ object Similarity {
     import s.implicits._
     picked.toSeq.toDF("rank", "doc_id", "mmr")
   }
+
+  /** Matryoshka truncation-recall evaluation (Kusupati et al.,
+    * "Matryoshka representation learning", NeurIPS 2022 — the question
+    * every embedding-storage budget decision asks): for each truncated
+    * prefix dimensionality, what fraction of the FULL-dimension exact
+    * top-k survives ranking by the prefix alone. Per arm: slice the
+    * cached corpus vectors (a codegen'd prefix, no re-embedding), rank
+    * with the same rounded-cosine + id tie-break discipline as
+    * [[bruteForceTopK]], LEFT SEMI join against the materialized truth
+    * set, and reduce to ONE (dim, hits, recall) row — the output is
+    * arm-count-sized however large the corpus. Including the full
+    * dimension as the last arm makes the evaluation self-validating:
+    * its recall is 1.0 by construction, and the oracle checks it.
+    */
+  def matryoshkaRecall(s: SparkSession, dir: String,
+                       dims: Seq[Int] = Seq(8, 16, Dim),
+                       numQueries: Int = 10, k: Int = 5): DataFrame = {
+    val e = corpusVectors(s, dir)
+    val truth = bruteForceTopK(s, dir, numQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val denom = (numQueries * k).toDouble
+    dims.map { d =>
+      val t = e.select(col("vec_id"), slice(col("v"), 1, d).as("vt"))
+        .withColumn("nt", sqrt(call_function("graft_dot", col("vt"), col("vt"))))
+      val q = t.filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("query_id"), col("vt").as("qv"),
+          col("nt").as("qn"))
+      val scored = t.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(call_function("graft_dot", col("vt"), col("qv")) /
+            (col("nt") * col("qn")), 6).as("cosine"))
+      topKPerQuery(s, scored, k)
+        .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(d).as("trunc_dim"), col("n_hits"),
+          round(col("n_hits") / lit(denom), 6).as("recall"))
+    }.reduce(_ unionAll _)
+  }
 }
