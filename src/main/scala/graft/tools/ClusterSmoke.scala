@@ -19,7 +19,10 @@ import org.apache.spark.sql.SparkSession
   * sbt "runMain graft.tools.ClusterSmoke"` — the standalone Worker
   * launches executor JVMs through SPARK_HOME's launcher, and
   * SPARK_SCALA_VERSION skips its source-tree build-directory probe
-  * (release layouts don't have one). Verified 12/12 green this round.
+  * (release layouts don't have one). Verified 19/19 green this round
+  * (the slice now also covers the theta sketch's cross-JVM partial
+  * merges, k-core's iterative broadcasts, dq_profile's per-column
+  * union branches, and the blocked linkage self-join).
   */
 object ClusterSmoke {
 
