@@ -266,6 +266,10 @@ object SparkEntry {
       Relational.q64SmallQtyRevenue(s, d)),
     "q65_top_supplier" -> ((s: SparkSession, d: String) =>
       Relational.q65TopSupplier(s, d)),
+    "q66_order_priority" -> ((s: SparkSession, d: String) =>
+      Relational.q66OrderPriority(s, d)),
+    "lake_snapshot_expire" -> ((s: SparkSession, d: String) =>
+      graft.operators.Lake.snapshotExpire(s, d)),
     "gov_l_diversity" -> ((s: SparkSession, d: String) =>
       graft.operators.Governance.lDiversity(s, d)),
     "dq_profile" -> ((s: SparkSession, d: String) =>
@@ -2551,6 +2555,25 @@ object SparkEntry {
         |      FROM lineitem JOIN part ON p_partkey = l_partkey
         |      WHERE p_brand = 'Brand#9')
         |WHERE l_quantity < 0.5 * avg_qty""".stripMargin,
+    "q66_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_late_orders
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1997-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL 60 DAY)
+        |GROUP BY 1""".stripMargin,
+    // file counts are pinned by the operator's explicit repartition
+    // literals and the sharing design (append carries v1's files, the
+    // COW rewrite shares nothing); the live row count is the logical
+    // table content — the one column only the engine's post-delete
+    // re-read can produce
+    "lake_snapshot_expire" ->
+      """SELECT 1 AS version, false AS retained, CAST(4 AS BIGINT) AS n_files,
+        |  CAST(4 AS BIGINT) AS n_safe_deleted, CAST(NULL AS BIGINT) AS n_rows_after
+        |UNION ALL SELECT 2, false, 8, 8, NULL
+        |UNION ALL SELECT 3, true, 4, 0, (SELECT count(*) FROM documents)""".stripMargin,
     // revenue rounds BEFORE the max/equality so both engines compare
     // identical doubles
     "q65_top_supplier" ->

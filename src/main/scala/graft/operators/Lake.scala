@@ -257,4 +257,66 @@ object Lake {
         expr(s"cum_before div ${targetBytes}L").cast("int"))
       .select("day", "hr", "n_rows", "bytes", "target_file")
   }
+
+  /** Snapshot expiration with a safe-delete plan — the lakehouse
+    * retention staple (Delta VACUUM / Iceberg expire_snapshots): expired
+    * versions' manifests stop being readable, but a file is only
+    * DELETABLE if no RETAINED manifest references it. Exercised
+    * end-to-end through disk on a three-commit history that covers both
+    * sharing regimes:
+    *
+    *   v1 = even-id docs (4 files) · v2 = APPEND of the odd ids
+    *   (carryForward keeps all v1 files — shared references) · v3 =
+    *   copy-on-write upsert of the id%3 slice (hash-distributed keys put
+    *   replaced ids in every file, so v3 rewrites the table — zero
+    *   sharing with v1/v2).
+    *
+    * Keep-last-1 retention then expires v1 and v2: the deletion plan is
+    * exactly ∪files(expired) − ∪files(retained) (v1's files appear in
+    * v2's manifest too — set algebra, not per-version lists, is what
+    * makes the plan safe), the files are ACTUALLY DELETED, and the
+    * output's last column re-reads the retained version from disk
+    * afterwards — proof the expiry touched nothing live. All file
+    * counts are pinned by the explicit repartition literals, so the
+    * oracle checks the engine's file accounting against the design and
+    * the post-delete row count against the logical table content.
+    */
+  def snapshotExpire(s: SparkSession, dir: String,
+                     keepLast: Int = 1): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val table = Files.createTempDirectory("graft_lake_exp_")
+    try {
+      commit(docs.filter(col("doc_id") % 2 === 0).repartition(4), table, 1)
+      commit(docs.filter(col("doc_id") % 2 === 1).repartition(4), table, 2,
+        carryForward = liveFiles(table, 1))
+      val replaced = docs.filter(col("doc_id") % 3 === 0)
+        .withColumn("text", upper(col("text")))
+      val v3 = readVersion(s, table, 2)
+        .join(replaced.select("doc_id"), Seq("doc_id"), "left_anti")
+        .unionByName(replaced)
+        .repartition(4)
+      commit(v3, table, 3)
+
+      val versions = Seq(1, 2, 3)
+      val retained = versions.takeRight(keepLast).toSet
+      val retainedFiles = retained.flatMap(v => liveFiles(table, v).toSet)
+      val perVersion = versions.map { v =>
+        val fs = liveFiles(table, v).toSet
+        (v, retained(v), fs.size.toLong, (fs -- retainedFiles).size.toLong)
+      }
+      val toDelete = versions.filterNot(retained)
+        .flatMap(v => liveFiles(table, v)).toSet -- retainedFiles
+      toDelete.foreach(f => Files.deleteIfExists(table.resolve(f)))
+      // the proof obligation: every retained version still reads whole
+      val rows = perVersion.map { case (v, keep, nf, nsafe) =>
+        val after = if (keep) Some(readVersion(s, table, v).count()) else None
+        (v, keep, nf, nsafe, after)
+      }
+      import s.implicits._
+      rows.toDF("version", "retained", "n_files", "n_safe_deleted",
+        "n_rows_after")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(table.toFile)
+    }
+  }
 }

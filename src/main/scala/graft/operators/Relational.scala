@@ -1379,6 +1379,33 @@ object Relational {
       .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
   }
 
+  /** Order-priority audit (the TPC-H Q4 shape, adapted to the fixture's
+    * columns): orders in one quarter that had at least one LATE shipment
+    * (a lineitem shipped more than `lateDays` past the order date),
+    * counted per priority. The EXISTS correlated subquery decorrelates
+    * into a LEFT SEMI join — the fact side contributes each order ONCE
+    * no matter how many lines are late, the date predicate rides the
+    * join as a residual (never a second shuffle), and the quarter
+    * filter pushes to the orders scan before anything joins.
+    */
+  def q66OrderPriority(s: SparkSession, dir: String,
+                       qStart: String = "1997-01-01",
+                       qEnd: String = "1997-04-01",
+                       lateDays: Int = 60): DataFrame = {
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate").cast("date") >= lit(qStart).cast("date") &&
+        col("o_orderdate").cast("date") < lit(qEnd).cast("date"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate")
+    ord.join(li,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate").cast("date") >
+            date_add(col("o_orderdate").cast("date"), lateDays),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_late_orders"))
+  }
+
   /** Top supplier by quarter revenue (the TPC-H Q15 shape): the
     * supplier(s) achieving the maximum revenue in a ship-date window.
     * The scalar max-of-aggregate subquery becomes: one grouped pass
