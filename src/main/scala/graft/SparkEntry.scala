@@ -131,6 +131,8 @@ object SparkEntry {
     "mm_scene_cuts" -> ((s: SparkSession, d: String) =>
       Multimodal.sceneCuts(s, d)),
     "stream_tumbling_agg" -> ((s: SparkSession, d: String) => StreamOps.tumblingWindowAgg(s, d)),
+    "stream_dq_monitor" -> ((s: SparkSession, d: String) =>
+      StreamOps.streamingDqMonitor(s, d)),
     "stream_dedup" -> (StreamOps.streamingDedup _),
     "stream_dedup_bounded" -> (StreamOps.streamingDedupBounded _),
     "stream_dedup_minhash" -> ((s: SparkSession, d: String) =>
@@ -1906,6 +1908,19 @@ object SparkEntry {
     "stream_heavy_hitters" ->
       """SELECT date_trunc('hour', ts) AS win_start, user_id, count(*) AS cnt
         |FROM events GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+    // the streaming check suite replays as the batch conditional sums
+    // over the same windows; all_clear derives from the named counts
+    "stream_dq_monitor" ->
+      """SELECT win_start, n_rows, null_value, value_range, type_domain,
+        |  bad_user,
+        |  (null_value + value_range + type_domain + bad_user) = 0 AS all_clear
+        |FROM (
+        |  SELECT date_trunc('hour', ts) AS win_start, count(*) AS n_rows,
+        |    CAST(coalesce(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS null_value,
+        |    CAST(coalesce(sum(CASE WHEN value <= 0.0 OR value > 1000.0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS value_range,
+        |    CAST(coalesce(sum(CASE WHEN event_type NOT IN ('click','view','signup','purchase','error') THEN 1 ELSE 0 END), 0) AS BIGINT) AS type_domain,
+        |    CAST(coalesce(sum(CASE WHEN user_id IS NULL OR user_id < 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS bad_user
+        |  FROM events GROUP BY 1)""".stripMargin,
     "q17_sessionize" -> sessionizeSql,
     // the staged heartbeat advances the watermark past every real
     // session, so append mode emits the complete batch session set →

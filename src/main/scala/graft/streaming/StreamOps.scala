@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Structured Streaming surface. The reference is batch-only (SURVEY.md §0),
@@ -1136,5 +1136,53 @@ object StreamOps {
         posexplode(col("sample")).as(Seq("pos", "e")))
       .select(col("win_start"), (col("pos") + 1).cast("int").as("rank"),
         col("e.id").as("user_id"))
+  }
+
+  /** Streaming data-quality monitor — the ingest-time twin of the batch
+    * `dq_constraints` suite (the gate a production pipeline runs ON the
+    * stream, not after landing): per tumbling window, every named check
+    * folds into the SAME single stateful aggregation as conditional
+    * sums — adding a check costs one codegen'd column, never a second
+    * stateful operator, and state stays one row per (window) however
+    * many checks run. Violations are REPORTED per window with an
+    * all-clear flag; watermark-bounded state, complete mode on the
+    * draining fixture (append emits finalized windows in production —
+    * the tumblingWindowAgg contract). The batch SQL replay over the
+    * same events is the oracle.
+    */
+  def streamingDqMonitor(s: SparkSession, dir: String,
+                         windowLen: String = "1 hour",
+                         maxValue: Double = 1000.0): DataFrame = {
+    val ss = streamingSession(s)
+    val path = s"$dir/events.parquet"
+    val schema = ss.read.parquet(path).schema
+    val name = s"graft_stream_${counter.incrementAndGet()}"
+    val viol = (c: Column) => sum(when(c, 1L).otherwise(0L))
+    val stream = ss.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .transform(graft.Tables.normalizeTs)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), windowLen))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        viol(col("value").isNull).as("null_value"),
+        viol(col("value") <= 0.0 || col("value") > maxValue)
+          .as("value_range"),
+        viol(!col("event_type").isin(
+          "click", "view", "signup", "purchase", "error")).as("type_domain"),
+        viol(col("user_id").isNull || col("user_id") < 0L).as("bad_user"))
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    ss.table(name).select(
+      col("window.start").as("win_start"), col("n_rows"),
+      col("null_value"), col("value_range"), col("type_domain"),
+      col("bad_user"),
+      (col("null_value") + col("value_range") + col("type_domain") +
+        col("bad_user") === 0L).as("all_clear"))
   }
 }
