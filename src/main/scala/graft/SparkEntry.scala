@@ -270,6 +270,10 @@ object SparkEntry {
       Relational.q65TopSupplier(s, d)),
     "q66_order_priority" -> ((s: SparkSession, d: String) =>
       Relational.q66OrderPriority(s, d)),
+    "text_vocab_growth" -> ((s: SparkSession, d: String) =>
+      TextOps.vocabGrowth(s, d)),
+    "text_zipf_slope" -> ((s: SparkSession, d: String) =>
+      TextOps.zipfSlope(s, d)),
     "lake_snapshot_expire" -> ((s: SparkSession, d: String) =>
       graft.operators.Lake.snapshotExpire(s, d)),
     "gov_l_diversity" -> ((s: SparkSession, d: String) =>
@@ -2570,6 +2574,42 @@ object SparkEntry {
         |      FROM lineitem JOIN part ON p_partkey = l_partkey
         |      WHERE p_brand = 'Brand#9')
         |WHERE l_quantity < 0.5 * avg_qty""".stripMargin,
+    // first-appearance aggregation replays directly; per-checkpoint
+    // scalar subqueries are the oracle's cost, not the engine's
+    "text_vocab_growth" ->
+      """WITH ft AS (SELECT u.tok, min(d.doc_id) AS first_doc
+        |  FROM documents d, UNNEST(string_split_regex(trim(lower(d.text)), '\s+')) AS u(tok)
+        |  GROUP BY 1),
+        |tc AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS nt
+        |  FROM documents)
+        |SELECT 100 AS n_docs,
+        |  (SELECT CAST(coalesce(sum(nt), 0) AS BIGINT) FROM tc WHERE doc_id < 100) AS n_tokens_seen,
+        |  (SELECT CAST(coalesce(sum(CASE WHEN first_doc < 100 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM ft) AS vocab_size
+        |UNION ALL SELECT 500,
+        |  (SELECT CAST(coalesce(sum(nt), 0) AS BIGINT) FROM tc WHERE doc_id < 500),
+        |  (SELECT CAST(coalesce(sum(CASE WHEN first_doc < 500 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM ft)
+        |UNION ALL SELECT 2000,
+        |  (SELECT CAST(coalesce(sum(nt), 0) AS BIGINT) FROM tc WHERE doc_id < 2000),
+        |  (SELECT CAST(coalesce(sum(CASE WHEN first_doc < 2000 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM ft)
+        |UNION ALL SELECT 10000,
+        |  (SELECT CAST(coalesce(sum(nt), 0) AS BIGINT) FROM tc WHERE doc_id < 10000),
+        |  (SELECT CAST(coalesce(sum(CASE WHEN first_doc < 10000 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM ft)""".stripMargin,
+    // identical closed-form formula and parenthesization on both sides;
+    // ln sums differ only by float association (~1e-12) under the
+    // 6-decimal round
+    "text_zipf_slope" ->
+      """WITH f AS (SELECT u.tok, count(*) AS cnt
+        |  FROM documents d, UNNEST(string_split_regex(trim(lower(d.text)), '\s+')) AS u(tok)
+        |  GROUP BY 1),
+        |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rank
+        |      FROM f ORDER BY cnt DESC, tok LIMIT 200),
+        |xy AS (SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y FROM r),
+        |sums AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |           sum(x * y) AS sxy, sum(x * x) AS sxx FROM xy)
+        |SELECT n, round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept
+        |FROM sums""".stripMargin,
     "q66_order_priority" ->
       """SELECT o_orderpriority, count(*) AS n_late_orders
         |FROM orders

@@ -1184,4 +1184,68 @@ object TextOps {
       .withColumn("novelty",
         round(col("n_unique") / col("n_shingles").cast("double"), 6))
   }
+
+  /** Heaps'-law vocabulary growth (Heaps 1978) — the corpus statistic
+    * behind tokenizer-vocabulary and dedup-threshold sizing: distinct
+    * vocabulary vs tokens processed at document-count checkpoints. The
+    * scale trick is FIRST-APPEARANCE aggregation: one grouped pass
+    * reduces the exploded token stream to (token, min doc_id), and every
+    * checkpoint's vocabulary is then a conditional sum over that
+    * vocabulary-sized table — the corpus is scanned ONCE however many
+    * checkpoints are asked for (the naive form re-scans per checkpoint).
+    * Token-throughput checkpoints ride a second, doc-count-sized branch
+    * of the same scan. Output is checkpoint-count-sized.
+    */
+  def vocabGrowth(s: SparkSession, dir: String,
+                  checkpoints: Seq[Int] = Seq(100, 500, 2000, 10000))
+      : DataFrame = {
+    val t = tokens(lower(col("text")))
+    val first = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(t).as("tok"))
+      .groupBy("tok").agg(min("doc_id").as("first_doc"))
+    val vocabAggs = checkpoints.map(n =>
+      sum(when(col("first_doc") < n, 1L).otherwise(0L)).as(s"v$n"))
+    val vocabWide = first.agg(vocabAggs.head, vocabAggs.tail: _*)
+    val tokAggs = checkpoints.map(n =>
+      sum(when(col("doc_id") < n, col("nt")).otherwise(0L)).as(s"t$n"))
+    val tokWide = Tables.documents(s, dir)
+      .select(col("doc_id"), size(t).cast("long").as("nt"))
+      .agg(tokAggs.head, tokAggs.tail: _*)
+    val stacked = checkpoints.map(n =>
+      s"$n, `t$n`, `v$n`").mkString(", ")
+    vocabWide.crossJoin(broadcast(tokWide))
+      .selectExpr(s"stack(${checkpoints.size}, $stacked) AS " +
+        "(n_docs, n_tokens_seen, vocab_size)")
+  }
+
+  /** Zipf rank-frequency fit (Zipf 1949): least-squares slope of
+    * ln(freq) against ln(rank) over the top `topR` terms — the corpus
+    * health check that flags template/boilerplate corpora (slope far
+    * from ≈ −1) before they poison a training mix. One exploded
+    * two-phase count aggregate, a TakeOrdered top-R (never a global
+    * sort), and the closed-form fit from five sums over the R-row
+    * frame. Both engines evaluate the IDENTICAL formula with the same
+    * parenthesization and round to 6.
+    */
+  def zipfSlope(s: SparkSession, dir: String, topR: Int = 200): DataFrame = {
+    val freqs = Tables.documents(s, dir)
+      .select(explode(tokens(lower(col("text")))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(topR)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("tok"))
+    freqs
+      .withColumn("rank", row_number().over(w)) // topR rows — bounded
+      .select(log(col("rank").cast("double")).as("x"),
+        log(col("cnt").cast("double")).as("y"))
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+        round((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) /
+          col("n"), 6).as("intercept"))
+  }
 }
