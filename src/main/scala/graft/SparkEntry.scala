@@ -270,6 +270,8 @@ object SparkEntry {
       Relational.q65TopSupplier(s, d)),
     "q66_order_priority" -> ((s: SparkSession, d: String) =>
       Relational.q66OrderPriority(s, d)),
+    "q67_trade_volume" -> ((s: SparkSession, d: String) =>
+      Relational.q67TradeVolume(s, d)),
     "text_vocab_growth" -> ((s: SparkSession, d: String) =>
       TextOps.vocabGrowth(s, d)),
     "text_zipf_slope" -> ((s: SparkSession, d: String) =>
@@ -2574,6 +2576,21 @@ object SparkEntry {
         |      FROM lineitem JOIN part ON p_partkey = l_partkey
         |      WHERE p_brand = 'Brand#9')
         |WHERE l_quantity < 0.5 * avg_qty""".stripMargin,
+    "q67_trade_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l_shipdate) AS ship_year,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation n1 ON n1.n_nationkey = s_nationkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation n2 ON n2.n_nationkey = c_nationkey
+        |WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+        |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+        |  AND n1.n_name <> n2.n_name
+        |GROUP BY 1, 2, 3""".stripMargin,
     // first-appearance aggregation replays directly; per-checkpoint
     // scalar subqueries are the oracle's cost, not the engine's
     "text_vocab_growth" ->

@@ -1379,6 +1379,41 @@ object Relational {
       .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
   }
 
+  /** Bilateral trade volume (the TPC-H Q7 shape): revenue shipped
+    * between two named nations, per (supplier nation, customer nation,
+    * ship year) — both directions, never domestic. The two nation roles
+    * broadcast onto supplier and (through orders) customer; the spine
+    * orders ⋈ lineitem join is the only shuffle; the cross-direction
+    * predicate ((n1,n2) or (n2,n1)) rides the final projection as a
+    * codegen'd filter on two broadcast-resolved name columns.
+    */
+  def q67TradeVolume(s: SparkSession, dir: String,
+                     nationA: String = "NATION_1",
+                     nationB: String = "NATION_2"): DataFrame = {
+    val nations = Tables.nation(s, dir)
+      .filter(col("n_name").isin(nationA, nationB))
+    val supp = Tables.supplier(s, dir)
+      .join(broadcast(nations.select(col("n_nationkey").as("sk"),
+        col("n_name").as("supp_nation"))), col("s_nationkey") === col("sk"))
+      .select("s_suppkey", "supp_nation")
+    val cust = Tables.customer(s, dir)
+      .join(broadcast(nations.select(col("n_nationkey").as("ck"),
+        col("n_name").as("cust_nation"))), col("c_nationkey") === col("ck"))
+      .select("c_custkey", "cust_nation")
+    val ord = Tables.orders(s, dir)
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "cust_nation")
+    Tables.lineitem(s, dir)
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("ship_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
   /** Order-priority audit (the TPC-H Q4 shape, adapted to the fixture's
     * columns): orders in one quarter that had at least one LATE shipment
     * (a lineitem shipped more than `lateDays` past the order date),
