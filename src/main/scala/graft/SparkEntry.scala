@@ -2587,8 +2587,8 @@ object SparkEntry {
         |JOIN orders ON o_orderkey = l_orderkey
         |JOIN customer ON c_custkey = o_custkey
         |JOIN nation n2 ON n2.n_nationkey = c_nationkey
-        |WHERE n1.n_name IN ('NATION_1', 'NATION_2')
-        |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+        |WHERE n1.n_name IN ('NATION_13', 'NATION_19')
+        |  AND n2.n_name IN ('NATION_13', 'NATION_19')
         |  AND n1.n_name <> n2.n_name
         |GROUP BY 1, 2, 3""".stripMargin,
     // first-appearance aggregation replays directly; per-checkpoint

@@ -1388,8 +1388,8 @@ object Relational {
     * codegen'd filter on two broadcast-resolved name columns.
     */
   def q67TradeVolume(s: SparkSession, dir: String,
-                     nationA: String = "NATION_1",
-                     nationB: String = "NATION_2"): DataFrame = {
+                     nationA: String = "NATION_13",
+                     nationB: String = "NATION_19"): DataFrame = {
     val nations = Tables.nation(s, dir)
       .filter(col("n_name").isin(nationA, nationB))
     val supp = Tables.supplier(s, dir)
