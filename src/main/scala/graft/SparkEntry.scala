@@ -763,13 +763,18 @@ object SparkEntry {
     * identical survivor set.
     */
   private def kcoreOracle(k: Int = 65, rounds: Int = 6): String = {
+    // AS MATERIALIZED on every round CTE: each e_{r-1} is referenced
+    // twice (by n_r and e_r), so an inlining planner re-expands the
+    // whole prefix 3^r times — measured as a disk-filling spill at
+    // sf0.1+. Materialization makes the replay linear in rounds.
     val sb = new StringBuilder(s"WITH $coPairCtes,\n")
-    sb.append("e0 AS (SELECT src AS a, dst AS b FROM p UNION ALL SELECT dst, src FROM p)")
+    sb.append("e0 AS MATERIALIZED (SELECT src AS a, dst AS b FROM p " +
+      "UNION ALL SELECT dst, src FROM p)")
     for (r <- 1 to rounds) {
-      sb.append(s",\nn$r AS (SELECT a, count(*) AS deg FROM e${r - 1} " +
-        s"GROUP BY a HAVING count(*) >= $k)")
+      sb.append(s",\nn$r AS MATERIALIZED (SELECT a, count(*) AS deg " +
+        s"FROM e${r - 1} GROUP BY a HAVING count(*) >= $k)")
       if (r < rounds)
-        sb.append(s",\ne$r AS (SELECT e.a, e.b FROM e${r - 1} e " +
+        sb.append(s",\ne$r AS MATERIALIZED (SELECT e.a, e.b FROM e${r - 1} e " +
           s"JOIN n$r x ON e.a = x.a JOIN n$r y ON e.b = y.a)")
     }
     sb.append(s"\nSELECT a AS node, deg AS core_deg FROM n$rounds")
