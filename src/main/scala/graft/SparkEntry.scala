@@ -969,10 +969,16 @@ object SparkEntry {
         |       THEN 4.0 ELSE -1.0 END) + 1.5 +
         |    (CASE WHEN abs(a.c_acctbal - b.c_acctbal) <= 100.0
         |       THEN 2.0 ELSE -0.75 END) AS score
-        |  FROM customer a JOIN customer b
+        |  FROM (SELECT c_name, c_nationkey, c_acctbal,
+        |          min(c_custkey) AS c_custkey
+        |        FROM customer GROUP BY 1, 2, 3) a
+        |  JOIN (SELECT c_name, c_nationkey, c_acctbal,
+        |          min(c_custkey) AS c_custkey
+        |        FROM customer GROUP BY 1, 2, 3) b
         |    ON a.c_nationkey = b.c_nationkey
         |    AND CAST(floor(a.c_acctbal / 500.0) AS BIGINT) =
         |        CAST(floor(b.c_acctbal / 500.0) AS BIGINT)
+        |    AND substr(a.c_name, 1, 14) = substr(b.c_name, 1, 14)
         |    AND a.c_custkey < b.c_custkey)
         |ORDER BY score DESC, id_a, id_b LIMIT 50""".stripMargin,
     "sketch_theta_overlap" -> thetaOverlapSql,

@@ -68,15 +68,16 @@ class Batch46Spec extends AnyFunSuite {
     assert(rows.nonEmpty && rows.length <= 50)
     val cust = Tables.customer(spark, sf).collect()
       .map(r => r.getLong(0) -> ((r.getInt(2), math.floor(r.getDouble(3) / 500.0).toLong,
-        r.getDouble(3)))).toMap
+        r.getDouble(3), r.getString(1).take(14)))).toMap
     // descending score order with deterministic tie-break
     val scores = rows.map(_.getDouble(4))
     assert(scores.zip(scores.tail).forall { case (x, y) => x >= y })
     rows.foreach { r =>
-      val (na, banda, bala) = cust(r.getLong(0))
-      val (nb, bandb, balb) = cust(r.getLong(1))
+      val (na, banda, bala, pfxa) = cust(r.getLong(0))
+      val (nb, bandb, balb, pfxb) = cust(r.getLong(1))
       assert(r.getLong(0) < r.getLong(1))
-      assert(na == nb && banda == bandb, "pair escaped its block")
+      assert(na == nb && banda == bandb && pfxa == pfxb,
+        "pair escaped its block")
       val expected =
         (if (r.getInt(2) <= 2) 4.0 else -1.0) + 1.5 +
           (if (math.abs(bala - balb) <= 100.0) 2.0 else -0.75)
