@@ -280,6 +280,8 @@ object SparkEntry {
       graft.operators.Lake.snapshotExpire(s, d)),
     "gov_l_diversity" -> ((s: SparkSession, d: String) =>
       graft.operators.Governance.lDiversity(s, d)),
+    "gov_rtbf_cascade" -> ((s: SparkSession, d: String) =>
+      graft.operators.Governance.rtbfCascade(s, d)),
     "dq_profile" -> ((s: SparkSession, d: String) =>
       graft.operators.DataQuality.profile(s, d)),
     "dq_constraints" -> ((s: SparkSession, d: String) =>
@@ -937,7 +939,36 @@ object SparkEntry {
        |LEFT JOIN i ON i.type_a = p.type_a AND i.type_b = p.type_b""".stripMargin
   }
 
+  /** gov_rtbf_cascade oracle: each artifact audit replays relationally
+    * — direct rows, tainted aggregate cells, the q17 session-boundary
+    * rule over the requested slice, and the deterministic bottom-k
+    * sample membership (the stream_sample_bottomk ranking).
+    */
+  private def rtbfCascadeSql(mod: Long = 97L, k: Int = 5): String = {
+    val h = md5PrefixSql("CAST(user_id AS VARCHAR)")
+    s"""SELECT 'events_rows' AS artifact, CAST(count(*) AS BIGINT) AS affected
+       |FROM events WHERE user_id % $mod = 0
+       |UNION ALL
+       |SELECT 'hourly_agg_groups', CAST(count(*) AS BIGINT) FROM (
+       |  SELECT DISTINCT date_trunc('hour', ts) AS h, event_type
+       |  FROM events WHERE user_id % $mod = 0)
+       |UNION ALL
+       |SELECT 'user_sessions', CAST(coalesce(sum(new_s), 0) AS BIGINT) FROM (
+       |  SELECT CASE WHEN lag(ts) OVER win IS NULL
+       |    OR ts - lag(ts) OVER win >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+       |  FROM events WHERE user_id % $mod = 0
+       |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id))
+       |UNION ALL
+       |SELECT 'sample_entries', CAST(count(*) AS BIGINT) FROM (
+       |  SELECT user_id, row_number() OVER (PARTITION BY date_trunc('hour', ts)
+       |      ORDER BY h, user_id) AS rn
+       |  FROM (SELECT DISTINCT date_trunc('hour', ts) AS ts, user_id, $h AS h
+       |        FROM events))
+       |WHERE rn <= $k AND user_id % $mod = 0""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "gov_rtbf_cascade" -> rtbfCascadeSql(),
     "emb_matryoshka_recall" -> matryoshkaOracle(),
     // WOE: 0.5-smoothed shares, woe rounds to 6, the IV term multiplies
     // the ROUNDED woe — identical double composition on both engines

@@ -89,4 +89,63 @@ object Governance {
         round(col("n") + noise, 6).as("noisy_count"),
         lit(epsilon).as("epsilon"))
   }
+
+  /** Right-to-be-forgotten cascade audit — the GDPR/CCPA erasure
+    * planning pass: given a deletion-request set (fixture stand-in: a
+    * deterministic id predicate; production passes a request table),
+    * report how far each derived artifact is touched BEFORE any delete
+    * runs. One scan answers each artifact class:
+    *
+    *  - `events_rows`: the direct fact rows to purge;
+    *  - `hourly_agg_groups`: downstream aggregate cells that must
+    *    recompute (a cell is tainted if ANY of its inputs belongs to a
+    *    requested user);
+    *  - `user_sessions`: session artifacts to drop — counted by running
+    *    the session-boundary rule (the q17 convention: 30-minute gap,
+    *    (ts, event_id) order) over ONLY the requested users' slice, so
+    *    the window work is request-proportional, never corpus-sized;
+    *  - `sample_entries`: rows of the deterministic bottom-k window
+    *    sample (the `stream_sample_bottomk` artifact) that expose a
+    *    requested user — the "derived data product" erasure obligation
+    *    people forget.
+    *
+    * Every audit is a conditional aggregate behind the same broadcastable
+    * request predicate; output is artifact-count-sized at any scale.
+    */
+  def rtbfCascade(s: SparkSession, dir: String, mod: Long = 97L,
+                  sampleK: Int = 5): DataFrame = {
+    graft.expressions.BottomKAgg.register(s)
+    val ev = Tables.events(s, dir)
+    val requested = col("user_id") % mod === 0
+    val rows = ev.filter(requested)
+      .agg(count(lit(1)).as("affected"))
+      .select(lit("events_rows").as("artifact"), col("affected"))
+    val cells = ev.filter(requested)
+      .select(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .distinct()
+      .agg(count(lit(1)).as("affected"))
+      .select(lit("hourly_agg_groups").as("artifact"), col("affected"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val sessions = ev.filter(requested)
+      .withColumn("new_s",
+        when(lag("ts", 1).over(w).isNull ||
+          unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(w)) >=
+            1800L * 1000000L, 1L).otherwise(0L))
+      .agg(coalesce(sum("new_s"), lit(0L)).as("affected"))
+      .select(lit("user_sessions").as("artifact"), col("affected"))
+    val hv = graft.functions.TextFunctions
+      .portableTokenHash(col("user_id").cast("string"))
+    val samples = ev
+      .select(date_trunc("hour", col("ts")).as("h"), col("user_id"))
+      .withColumn("hv", hv)
+      .groupBy("h")
+      .agg(call_function("graft_bottomk", col("hv"), col("user_id"),
+        lit(sampleK)).as("mins"))
+      .select(explode(col("mins").getField("id")).as("user_id"))
+      .filter(requested)
+      .agg(count(lit(1)).as("affected"))
+      .select(lit("sample_entries").as("artifact"), col("affected"))
+    rows.unionAll(cells).unionAll(sessions).unionAll(samples)
+  }
 }
