@@ -182,6 +182,7 @@ object SparkEntry {
     "feat_scale" -> (Features.scaleFeatures _),
     "feat_target_encode" -> (Features.targetEncodeLoo _),
     "tok_bpe_pairs" -> ((s: SparkSession, d: String) => Features.bpePairCounts(s, d)),
+    "tok_bpe_train" -> ((s: SparkSession, d: String) => Features.bpeTrain(s, d)),
     "q40_skew_profile" -> ((s: SparkSession, d: String) => Relational.q40SkewProfile(s, d)),
     "q41_quantile_bucket" -> (Relational.q41QuantileBucket _),
     "stream_anomaly" -> ((s: SparkSession, d: String) => StreamOps.streamAnomaly(s, d)),
@@ -939,6 +940,54 @@ object SparkEntry {
        |LEFT JOIN i ON i.type_a = p.type_a AND i.type_b = p.type_b""".stripMargin
   }
 
+  /** tok_bpe_train oracle: one CTE group per merge round — pair ranking
+    * (count desc, pair asc LIMIT 1), then the greedy non-overlapping
+    * application as the SAME gaps-and-islands window algebra the engine
+    * runs (runs of consecutive matches, apply at even offsets). Every
+    * round CTE is MATERIALIZED: t_{r-1} is referenced by both the
+    * ranking and the application, and an inlining planner would
+    * re-expand the prefix exponentially (the graph_kcore lesson).
+    */
+  private def bpeTrainSql(rounds: Int = 3): String = {
+    val sb = new StringBuilder("WITH t0 AS MATERIALIZED (" +
+      "SELECT doc_id, CAST(unnest(range(0, len(l))) AS BIGINT) AS pos, " +
+      "unnest(l) AS tok FROM (SELECT doc_id, " +
+      "string_split_regex(trim(lower(text)), '\\s+') AS l FROM documents))")
+    for (r <- 1 to rounds) {
+      sb.append(s""",
+        |p$r AS MATERIALIZED (SELECT doc_id, pos, tok,
+        |  lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt FROM t${r - 1}),
+        |top$r AS MATERIALIZED (SELECT tok AS a, nxt AS b, CAST(count(*) AS BIGINT) AS c
+        |  FROM p$r WHERE nxt IS NOT NULL GROUP BY 1, 2
+        |  ORDER BY c DESC, a, b LIMIT 1),
+        |f$r AS MATERIALIZED (
+        |  SELECT doc_id, pos, tok, a, b,
+        |    m AND (pos - min(pos) OVER (PARTITION BY doc_id, m, runKey)) % 2 = 0 AS apply
+        |  FROM (
+        |    SELECT p.doc_id, p.pos, p.tok, t.a, t.b,
+        |      coalesce(p.tok = t.a AND p.nxt = t.b, false) AS m,
+        |      CASE WHEN coalesce(p.tok = t.a AND p.nxt = t.b, false)
+        |        THEN p.pos - row_number() OVER (
+        |          PARTITION BY p.doc_id, coalesce(p.tok = t.a AND p.nxt = t.b, false)
+        |          ORDER BY p.pos) END AS runKey
+        |    FROM p$r p CROSS JOIN top$r t)),
+        |t$r AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS BIGINT) AS pos,
+        |    CASE WHEN apply THEN a || '_' || b ELSE tok END AS tok
+        |  FROM (SELECT f.*, coalesce(lag(apply) OVER (
+        |          PARTITION BY doc_id ORDER BY pos), false) AS absorbed
+        |        FROM f$r f)
+        |  WHERE NOT absorbed)""".stripMargin)
+    }
+    sb.append((1 to rounds).map(r =>
+      s"""\nSELECT $r AS round, t.a AS merge_left, t.b AS merge_right,
+         |  t.c AS pair_count,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM t$r) AS corpus_tokens_after
+         |FROM top$r t""".stripMargin).mkString("\nUNION ALL"))
+    sb.toString
+  }
+
   /** gov_rtbf_cascade oracle: each artifact audit replays relationally
     * — direct rows, tainted aggregate cells, the q17 session-boundary
     * rule over the requested slice, and the deterministic bottom-k
@@ -968,6 +1017,7 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "tok_bpe_train" -> bpeTrainSql(),
     "gov_rtbf_cascade" -> rtbfCascadeSql(),
     "emb_matryoshka_recall" -> matryoshkaOracle(),
     // WOE: 0.5-smoothed shares, woe rounds to 6, the IV term multiplies

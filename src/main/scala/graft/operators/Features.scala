@@ -158,4 +158,76 @@ object Features {
         org.apache.spark.sql.expressions.Window
           .orderBy(col("cnt").desc, col("pair"))).cast("int"))
   }
+
+  /** Multi-round BPE-style merge TRAINING over the word stream (Sennrich
+    * et al., "Neural machine translation of rare words with subword
+    * units", ACL 2016 — run here at word granularity: the phrase/
+    * word-piece variant): each round counts adjacent-token pairs across
+    * the corpus, adopts the most frequent pair as a merge rule
+    * ((count desc, pair asc) tie-break — deterministic), and APPLIES it
+    * greedily left-to-right without overlaps before the next round
+    * counts again.
+    *
+    * The distributed shapes per round: ONE lead-window pass + two-phase
+    * count aggregate to rank pairs (the winning rule is a driver
+    * literal, IVF-centroid style — bytes of state against corpus-sized
+    * work); then the greedy application as pure window algebra — the
+    * classic sequential scan becomes gaps-and-islands: consecutive
+    * match positions form runs, and greedy non-overlap = "apply at even
+    * offsets within the run" (`(pos − run_start) % 2 = 0`), which both
+    * engines compute identically with no sequential dependence. The
+    * corpus stays in (doc, pos, token) long form between rounds;
+    * positions re-densify with one row_number pass after each merge.
+    * Per-round `localCheckpoint` caps the stacked-window lineage.
+    *
+    * Output: the learned merge table plus the post-merge corpus token
+    * count per round — so the oracle verifies the APPLICATION, not just
+    * the ranking.
+    */
+  def bpeTrain(s: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    var toks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(graft.functions.TextFunctions.tokens(lower(col("text"))))
+          .as(Seq("pos", "tok")))
+      .localCheckpoint(true)
+    val learned = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long, Long)]
+    for (r <- 1 to rounds) {
+      val top = toks
+        .withColumn("nxt", lead("tok", 1).over(wDoc))
+        .filter(col("nxt").isNotNull)
+        .groupBy("tok", "nxt").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("tok"), col("nxt")).limit(1)
+        .collect()(0)
+      val (a, b, c) = (top.getString(0), top.getString(1), top.getLong(2))
+      val flagged = toks
+        .withColumn("nxt", lead("tok", 1).over(wDoc))
+        .withColumn("m",
+          coalesce(col("tok") === a && col("nxt") === b, lit(false)))
+        // islands: consecutive match positions share (pos − rank-in-m)
+        .withColumn("runKey",
+          when(col("m"), col("pos") - row_number().over(
+            Window.partitionBy("doc_id", "m").orderBy("pos"))))
+        .withColumn("runStart",
+          min("pos").over(Window.partitionBy("doc_id", "m", "runKey")))
+        .withColumn("apply",
+          col("m") && (col("pos") - col("runStart")) % 2 === 0)
+      toks = flagged
+        .withColumn("absorbed",
+          coalesce(lag("apply", 1).over(wDoc), lit(false)))
+        .filter(!col("absorbed"))
+        .select(col("doc_id"),
+          (row_number().over(wDoc) - 1).as("pos"),
+          when(col("apply"), concat(lit(a), lit("_"), lit(b)))
+            .otherwise(col("tok")).as("tok"))
+        .localCheckpoint(true)
+      learned += ((r, a, b, c, toks.count()))
+    }
+    import s.implicits._
+    learned.toSeq
+      .toDF("round", "merge_left", "merge_right", "pair_count",
+        "corpus_tokens_after")
+  }
 }
