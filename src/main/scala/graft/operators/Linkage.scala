@@ -10,10 +10,12 @@ import graft.Tables
   * training-data pipeline runs when merging user/author/customer records
   * from multiple sources. Three stages, all declarative:
   *
-  *  1. BLOCK: candidate pairs only within (nation, account-balance band)
-  *    blocks — the all-pairs square never materializes, and block size is
-  *    tunable independent of corpus size (the `dedup_fuzzy_names`
-  *    blocking discipline applied to structured records).
+  *  1. BLOCK: exact-duplicate profiles pre-collapse to one
+  *    representative, then candidate pairs form only within
+  *    (nation, balance band, name prefix) blocks — the all-pairs square
+  *    never materializes, and the prefix term keeps block size BOUNDED
+  *    as the corpus grows (see [[customerPairs]] for why the two-term
+  *    key alone is quadratic).
   *  2. COMPARE: a fixed agreement vector per pair — name edit distance,
   *    nation equality (always true inside these blocks), balance
   *    proximity — each a codegen'd scalar expression.
