@@ -19,10 +19,11 @@ import org.apache.spark.sql.SparkSession
   * sbt "runMain graft.tools.ClusterSmoke"` — the standalone Worker
   * launches executor JVMs through SPARK_HOME's launcher, and
   * SPARK_SCALA_VERSION skips its source-tree build-directory probe
-  * (release layouts don't have one). Verified 19/19 green this round
+  * (release layouts don't have one). Verified 20/20 green this round
   * (the slice now also covers the theta sketch's cross-JVM partial
   * merges, k-core's iterative broadcasts, dq_profile's per-column
-  * union branches, and the blocked linkage self-join).
+  * union branches, the blocked linkage self-join, and the BPE
+  * trainer's iterative window algebra with driver-literal rules).
   */
 object ClusterSmoke {
 
@@ -44,8 +45,9 @@ object ClusterSmoke {
     "lake_time_travel",     // commit/manifest round-trip
     "sketch_theta_overlap", // BottomKAgg partials merged across JVMs
     "graph_kcore",          // iterative broadcast survivor filters
-    "dq_profile",           // wide Expand distinct aggregation
-    "link_customer_pairs")  // blocked self-join across executors
+    "dq_profile",           // per-column union-branch aggregation
+    "link_customer_pairs",  // blocked self-join across executors
+    "tok_bpe_train")        // iterative window algebra + driver-literal rules
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
