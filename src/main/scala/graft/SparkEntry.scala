@@ -183,6 +183,7 @@ object SparkEntry {
     "feat_target_encode" -> (Features.targetEncodeLoo _),
     "tok_bpe_pairs" -> ((s: SparkSession, d: String) => Features.bpePairCounts(s, d)),
     "tok_bpe_train" -> ((s: SparkSession, d: String) => Features.bpeTrain(s, d)),
+    "tok_bpe_encode" -> ((s: SparkSession, d: String) => Features.bpeEncode(s, d)),
     "q40_skew_profile" -> ((s: SparkSession, d: String) => Relational.q40SkewProfile(s, d)),
     "q41_quantile_bucket" -> (Relational.q41QuantileBucket _),
     "stream_anomaly" -> ((s: SparkSession, d: String) => StreamOps.streamAnomaly(s, d)),
@@ -948,7 +949,7 @@ object SparkEntry {
     * ranking and the application, and an inlining planner would
     * re-expand the prefix exponentially (the graph_kcore lesson).
     */
-  private def bpeTrainSql(rounds: Int = 3): String = {
+  private def bpeRoundCtes(rounds: Int): String = {
     val sb = new StringBuilder("WITH t0 AS MATERIALIZED (" +
       "SELECT doc_id, CAST(unnest(range(0, len(l))) AS BIGINT) AS pos, " +
       "unnest(l) AS tok FROM (SELECT doc_id, " +
@@ -980,13 +981,26 @@ object SparkEntry {
         |        FROM f$r f)
         |  WHERE NOT absorbed)""".stripMargin)
     }
-    sb.append((1 to rounds).map(r =>
+    sb.toString
+  }
+
+  private def bpeTrainSql(rounds: Int = 3): String =
+    bpeRoundCtes(rounds) + (1 to rounds).map(r =>
       s"""\nSELECT $r AS round, t.a AS merge_left, t.b AS merge_right,
          |  t.c AS pair_count,
          |  (SELECT CAST(count(*) AS BIGINT) FROM t$r) AS corpus_tokens_after
-         |FROM top$r t""".stripMargin).mkString("\nUNION ALL"))
-    sb.toString
-  }
+         |FROM top$r t""".stripMargin).mkString("", "\nUNION ALL", "")
+
+  /** tok_bpe_encode oracle: the same round CTEs, read out as per-doc
+    * token counts before/after — the transform's compression record.
+    */
+  private def bpeEncodeSql(rounds: Int = 3): String =
+    bpeRoundCtes(rounds) +
+      s"""\nSELECT b.doc_id, b.n0 AS n_tokens_before, a.n1 AS n_tokens_after,
+         |  round(a.n1 / CAST(b.n0 AS DOUBLE), 6) AS ratio
+         |FROM (SELECT doc_id, CAST(count(*) AS BIGINT) AS n0 FROM t0 GROUP BY 1) b
+         |JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS n1 FROM t$rounds GROUP BY 1) a
+         |  ON a.doc_id = b.doc_id""".stripMargin
 
   /** gov_rtbf_cascade oracle: each artifact audit replays relationally
     * — direct rows, tainted aggregate cells, the q17 session-boundary
@@ -1018,6 +1032,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "tok_bpe_train" -> bpeTrainSql(),
+    "tok_bpe_encode" -> bpeEncodeSql(),
     "gov_rtbf_cascade" -> rtbfCascadeSql(),
     "emb_matryoshka_recall" -> matryoshkaOracle(),
     // WOE: 0.5-smoothed shares, woe rounds to 6, the IV term multiplies

@@ -185,6 +185,29 @@ object Features {
     * the ranking.
     */
   def bpeTrain(s: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    val (learned, _, _) = bpeRun(s, dir, rounds)
+    import s.implicits._
+    learned
+      .toDF("round", "merge_left", "merge_right", "pair_count",
+        "corpus_tokens_after")
+  }
+
+  /** The transform side of [[bpeTrain]]: apply the learned merge rules
+    * and report each document's token count before/after plus the
+    * compression ratio — the record a packing/budgeting stage consumes.
+    * Same machinery, read out per document instead of per rule.
+    */
+  def bpeEncode(s: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    val (_, t0, tR) = bpeRun(s, dir, rounds)
+    val before = t0.groupBy("doc_id").agg(count(lit(1)).as("n_tokens_before"))
+    val after = tR.groupBy("doc_id").agg(count(lit(1)).as("n_tokens_after"))
+    before.join(after, Seq("doc_id"))
+      .withColumn("ratio", round(
+        col("n_tokens_after") / col("n_tokens_before").cast("double"), 6))
+  }
+
+  private def bpeRun(s: SparkSession, dir: String, rounds: Int)
+      : (Seq[(Int, String, String, Long, Long)], DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val wDoc = Window.partitionBy("doc_id").orderBy("pos")
     var toks = Tables.documents(s, dir)
@@ -192,6 +215,7 @@ object Features {
         posexplode(graft.functions.TextFunctions.tokens(lower(col("text"))))
           .as(Seq("pos", "tok")))
       .localCheckpoint(true)
+    val t0 = toks
     val learned = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, Long, Long)]
     for (r <- 1 to rounds) {
@@ -225,9 +249,6 @@ object Features {
         .localCheckpoint(true)
       learned += ((r, a, b, c, toks.count()))
     }
-    import s.implicits._
-    learned.toSeq
-      .toDF("round", "merge_left", "merge_right", "pair_count",
-        "corpus_tokens_after")
+    (learned.toSeq, t0, toks)
   }
 }
