@@ -42,8 +42,23 @@ private[operators] object FamilyCache {
       _ => build.persist())
 
   /** Unpersist and drop every cached intermediate. */
+  /** Driver-side family state that is not a single DataFrame (e.g. the
+    * BPE trainer's (rules, corpus-before, corpus-after) triple, whose
+    * frames are localCheckpointed). Same lifecycle as [[get]]: first
+    * toucher builds, the family reuses, [[release]] drops everything at
+    * attribution boundaries.
+    */
+  private val sideState =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+
+  def side[T <: AnyRef](s: SparkSession, dir: String, key: String)
+          (build: => T): T =
+    sideState.computeIfAbsent(sessionKey(s) + "|" + dir + "|" + key,
+      _ => build).asInstanceOf[T]
+
   def release(): Unit = {
     cache.values().forEach(_.unpersist(false))
     cache.clear()
+    sideState.clear()
   }
 }

@@ -206,7 +206,16 @@ object Features {
         col("n_tokens_after") / col("n_tokens_before").cast("double"), 6))
   }
 
+  /** One training run per (session, corpus, rounds) — family-shared:
+    * the train and encode entries read the same triple, so whichever
+    * runs first pays the rounds (the dedup_build_pairs attribution
+    * discipline); FamilyCache.release() drops it at sweep boundaries.
+    */
   private def bpeRun(s: SparkSession, dir: String, rounds: Int)
+      : (Seq[(Int, String, String, Long, Long)], DataFrame, DataFrame) =
+    FamilyCache.side(s, dir, s"bpe$rounds")(bpeRunUncached(s, dir, rounds))
+
+  private def bpeRunUncached(s: SparkSession, dir: String, rounds: Int)
       : (Seq[(Int, String, String, Long, Long)], DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val wDoc = Window.partitionBy("doc_id").orderBy("pos")
