@@ -306,9 +306,10 @@ object SparkEntry {
       graft.operators.Graph.commonNeighbors(s, d)),
     "graph_label_prop" -> ((s: SparkSession, d: String) =>
       graft.operators.Graph.labelPropagation(s, d)),
-    // rows-only by design: transitive-closure SQL is intractable on a
-    // dense giant-component graph; GraphGovSpec pins star == propagation
-    // == driver union-find on the identical edges
+    // value-gated by a bounded min-label + pointer-jump oracle (closure
+    // SQL stays intractable; the jump trick keeps each layer node-sized);
+    // GraphGovSpec additionally pins star == propagation == driver
+    // union-find on the identical edges
     "graph_components" -> ((s: SparkSession, d: String) =>
       graft.operators.Graph.components(s, d)),
     // custom HLL sketch — deterministic but engine-internal (rows-only
@@ -782,6 +783,36 @@ object SparkEntry {
           s"JOIN n$r x ON e.a = x.a JOIN n$r y ON e.b = y.a)")
     }
     sb.append(s"\nSELECT a AS node, deg AS core_deg FROM n$rounds")
+    sb.toString
+  }
+
+  /** Connected components as bounded min-label rounds WITH POINTER
+    * JUMPING — each round takes the min over {self, neighbors' labels,
+    * label-of-label}, so reach doubles per round and `rounds` layers
+    * cover components of diameter ≈ 2^rounds (the co-purchase giant
+    * component converges by round 3 at sf0.01 and round 4 at sf1;
+    * rounds=6 leaves margin). This sidesteps the transitive-closure
+    * blowup a recursive-CTE oracle would hit on a dense giant component:
+    * every layer is node-sized. AS MATERIALIZED on each layer (each is
+    * referenced three times — the kcore CTE lesson). Labels converge to
+    * the component-minimum id, exactly `Dedup.componentsOf`'s labeling.
+    */
+  private def componentsOracle(rounds: Int = 6): String = {
+    val sb = new StringBuilder(s"WITH $coPairCtes,\n")
+    sb.append("e AS MATERIALIZED (SELECT src, dst FROM p " +
+      "UNION ALL SELECT dst, src FROM p),\n")
+    sb.append("l0 AS MATERIALIZED (SELECT src AS node, src AS lbl FROM e GROUP BY 1)")
+    for (r <- 1 to rounds)
+      sb.append(s""",
+        |l$r AS MATERIALIZED (SELECT node, min(lbl) AS lbl FROM (
+        |  SELECT node, lbl FROM l${r - 1}
+        |  UNION ALL SELECT e.dst AS node, l.lbl
+        |    FROM e JOIN l${r - 1} l ON e.src = l.node
+        |  UNION ALL SELECT a.node, b.lbl
+        |    FROM l${r - 1} a JOIN l${r - 1} b ON a.lbl = b.node
+        |) GROUP BY node)""".stripMargin)
+    sb.append(s"\nSELECT lbl AS cluster_id, count(*) AS n_members " +
+      s"FROM l$rounds GROUP BY 1")
     sb.toString
   }
 
@@ -1332,7 +1363,7 @@ object SparkEntry {
     // the batch aggregate is the oracle
     "stream_segment_source" ->
       """SELECT doc_id % 10 AS bucket, count(*) AS n_docs,
-        |  sum(length(text)) AS sum_chars
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY 1""".stripMargin,
     // the bottom-k hash sample is a pure function of each window's
     // distinct-user set: rank the identical portable hash, take k
@@ -2039,6 +2070,9 @@ object SparkEntry {
     // session, so append mode emits the complete batch session set →
     // the batch islands oracle gates the native streaming twin too
     "stream_session_native" -> sessionizeSql,
+    // the flatMapGroupsWithState variant drains through the same
+    // heartbeat staging, so the same batch islands oracle gates it
+    "stream_sessionize" -> sessionizeSql,
     // seed-point cell assignment (annIvfOracle's technique) joined to the
     // documents' term explosion; count ranking is pure-integer so the
     // per-cell top-k replays exactly
@@ -2187,7 +2221,7 @@ object SparkEntry {
         |    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
         |    FROM documents)
         |  GROUP BY 1 HAVING length(w) >= 2),
-        |p AS (SELECT pair, sum(freq) AS cnt FROM (
+        |p AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
         |    SELECT freq, unnest(list_transform(range(1, length(w)),
         |      i -> substring(w, i, 2))) AS pair
         |    FROM words) GROUP BY 1)
@@ -2286,7 +2320,7 @@ object SparkEntry {
       """WITH b AS (SELECT CAST(count(*) // 4 AS BIGINT) AS lo,
         |                  CAST(count(*) // 2 AS BIGINT) AS hi FROM documents)
         |SELECT count(*) AS n_docs,
-        |  sum(length(text)) AS sum_chars,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM documents, b WHERE doc_id >= b.lo AND doc_id <= b.hi""".stripMargin,
     // replays the two CDC commits' set logic; the operator diffs REAL
@@ -2515,6 +2549,7 @@ object SparkEntry {
     "graph_pagerank" -> pagerankOracle(),
     "graph_kcore" -> kcoreOracle(),
     "graph_label_prop" -> labelPropOracle(),
+    "graph_components" -> componentsOracle(),
     "graph_build_pairs" ->
       s"""WITH $coPairCtes
          |SELECT node, count(*) AS deg FROM
@@ -2773,7 +2808,7 @@ object SparkEntry {
       """SELECT c_mktsegment, c_nationkey, band AS modal_band, n_customers
         |FROM (
         |  SELECT c_mktsegment, c_nationkey, band, count(*) AS cnt,
-        |    sum(count(*)) OVER (PARTITION BY c_mktsegment, c_nationkey) AS n_customers,
+        |    CAST(sum(count(*)) OVER (PARTITION BY c_mktsegment, c_nationkey) AS BIGINT) AS n_customers,
         |    row_number() OVER (PARTITION BY c_mktsegment, c_nationkey
         |                       ORDER BY count(*) DESC, band) AS rn
         |  FROM (SELECT c_mktsegment, c_nationkey,

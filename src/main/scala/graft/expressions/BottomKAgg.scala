@@ -116,23 +116,30 @@ object BottomKAgg {
       s < keys(j) || (s == keys(j) && i < ids(j))
 
     def insert(s: Long, i: Long): Unit = {
-      // distinct: an identical (key, id) pair is already represented
-      var j = 0
-      while (j < size) {
-        if (keys(j) == s && ids(j) == i) return
-        j += 1
+      // O(1) reject: a full buffer whose current maximum the candidate
+      // does not beat cannot change — the hot path once a group has
+      // streamed k rows (the common case: most of a large group's rows
+      // hash above the running k-th minimum)
+      if (size == k && !beats(s, i, size - 1)) return
+      // binary search the (key, id)-sorted arrays for the insert point
+      var lo = 0
+      var hi = size
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (beats(s, i, mid)) hi = mid else lo = mid + 1
       }
-      if (size < k || beats(s, i, size - 1)) {
-        var pos = math.min(size, k - 1)
-        while (pos > 0 && beats(s, i, pos - 1)) {
-          keys(pos) = keys(pos - 1)
-          ids(pos) = ids(pos - 1)
-          pos -= 1
-        }
-        keys(pos) = s
-        ids(pos) = i
-        if (size < k) size += 1
+      // `beats` is strict, so an exact duplicate pair sits right before
+      // the insertion point — distinct check in O(log k), not O(k)
+      if (lo > 0 && keys(lo - 1) == s && ids(lo - 1) == i) return
+      var pos = math.min(size, k - 1)
+      while (pos > lo) {
+        keys(pos) = keys(pos - 1)
+        ids(pos) = ids(pos - 1)
+        pos -= 1
       }
+      keys(lo) = s
+      ids(lo) = i
+      if (size < k) size += 1
     }
   }
 

@@ -153,7 +153,9 @@ object Graph {
       val contrib = scala.collection.mutable.LongMap.empty[Double]
       rank.foreach { case (node, r) => contrib(node) = r / degMap(node) }
       val bc = s.sparkContext.broadcast(contrib)
-      val lookup = udf { (src: Long) => bc.value(src) }
+      // a src absent from the rank map (possible only on an asymmetric
+      // edge list) contributes no mass rather than crashing the executor
+      val lookup = udf { (src: Long) => bc.value.getOrElse(src, 0.0) }
       val next = edges.select(col("dst"), lookup(col("src")).as("c"))
         .groupBy(col("dst"))
         .agg((lit(teleport / n) + lit(damping) * sum(col("c"))).as("rank"))
@@ -163,7 +165,8 @@ object Graph {
       bc.destroy()
     }
     val finalBc = s.sparkContext.broadcast(rank)
-    val rlook = udf { (node: Long) => finalBc.value(node) }
+    val base = teleport / n // rank of a node with no in-edges
+    val rlook = udf { (node: Long) => finalBc.value.getOrElse(node, base) }
     deg.select(col("node").as("part"),
         round(rlook(col("node")) * lit(n.toDouble), 6).as("pagerank"),
         col("deg"))
@@ -390,7 +393,8 @@ object Graph {
       deg.collect().foreach(r => labels(r.getLong(0)) = r.getLong(0))
       for (_ <- 1 to iters) {
         val bc = s.sparkContext.broadcast(labels)
-        val lk = udf { (src: Long) => bc.value(src) }
+        // missing src (asymmetric edge list) keeps its initial own-id label
+        val lk = udf { (src: Long) => bc.value.getOrElse(src, src) }
         val next = edges.select(col("dst"), lk(col("src")).as("lbl"))
           .groupBy(col("dst"))
           .agg(call_function("graft_mode", col("lbl")).as("lbl"))
@@ -441,6 +445,7 @@ object Graph {
     */
   def kcore(s: SparkSession, dir: String, k: Int = 65,
             rounds: Int = 6): DataFrame = {
+    require(rounds >= 1, s"kcore needs at least one peeling round, got $rounds")
     // round-0 edges are a plain union over the family-cached pair table
     // — no checkpoint needed (lineage depth 1, recompute is a cache
     // read); per-round checkpoints below start once joins stack up

@@ -200,11 +200,43 @@ object Multimodal {
     * large-star/small-star contraction past it). Output is
     * (cluster_id, n_members) — the groups a media-dedup pass keeps one
     * survivor from.
+    *
+    * Byte-identical payloads are PRE-COLLAPSED before signature pairing
+    * (the `link_customer_pairs` lesson): replicated corpora hold many
+    * exact copies, identical payloads share every band bucket, and a
+    * group of c copies near k other payloads would otherwise emit
+    * Θ(c² + c·k) candidate pairs — super-linear in the copy count (the
+    * measured sf1 exponent was 1.45 before this collapse). Exact copies
+    * are trivially clustered with their representative (hamming is a
+    * pure function of the bytes), so it suffices to pair one
+    * REPRESENTATIVE per distinct payload (min doc_id) and attach the
+    * remaining copies with a copy→rep edge; the rep relays every
+    * cross-payload edge, leaving the component labels bit-identical.
+    * Cost: one md5 keying pass + one window shuffle, then the pairing
+    * runs on the distinct-payload set only.
     */
   def phashClusters(s: SparkSession, dir: String): DataFrame =
-    Dedup.componentsOf(s,
-        phashPairsPortable(s, dir).select(col("id_a"), col("id_b")))
+    phashClustersOf(s, asBinaryPayload(s, dir))
+
+  private[operators] def phashClustersOf(s: SparkSession, payload: DataFrame,
+                                         maxBucket: Int = 100000): DataFrame = {
+    val keyed = payload.select(col("doc_id"), col("payload"),
+      // 128-bit content key: collision-safe collapse (xxhash64 would risk
+      // merging distinct payloads at 100 TB-scale cardinalities)
+      md5(col("payload")).as("pk"))
+    val withRep = keyed.withColumn("rep_id",
+      min("doc_id").over(Window.partitionBy("pk")))
+    val reps = withRep.filter(col("doc_id") === col("rep_id"))
+      .select(col("doc_id"), col("payload"))
+    val copyEdges = withRep.filter(col("doc_id") =!= col("rep_id"))
+      .select(col("doc_id").as("id_a"), col("rep_id").as("id_b"))
+    val repPairs = Dedup.simhashBucketVerify(
+        phashSignatures(reps, graft.functions.TextFunctions.portableTokenHash),
+        maxBucket)
+      .select(col("id_a"), col("id_b"))
+    Dedup.componentsOf(s, repPairs.unionByName(copyEdges))
       .groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+  }
 
   /** Scene-cut detection over opaque media payloads — the video-pipeline
     * segmentation pass (shot-boundary detection by frame-feature

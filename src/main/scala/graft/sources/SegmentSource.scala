@@ -299,6 +299,8 @@ class SegmentReader(file: String, required: StructType)
     if (line == null) { current = null; false }
     else {
       val tab = line.indexOf('\t')
+      if (tab < 0) throw new java.io.IOException(
+        s"malformed segment line (no field separator): '$line' in $file")
       val vals = required.fields.map { f =>
         if (f.name == "doc_id") java.lang.Long.parseLong(line.substring(0, tab))
         else UTF8String.fromString(
@@ -332,8 +334,11 @@ object SegmentSource {
     case _ => None
   }
 
+  // \r must be escaped too: BufferedReader.readLine splits on it, so an
+  // unescaped carriage return would break one record across two lines
   private[sources] def escape(s: String): String =
-    s.replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n")
+    s.replace("\\", "\\\\").replace("\t", "\\t")
+      .replace("\n", "\\n").replace("\r", "\\r")
   private[sources] def unescape(s: String): String = {
     val sb = new StringBuilder(s.length)
     var i = 0
@@ -343,6 +348,7 @@ object SegmentSource {
         s.charAt(i + 1) match {
           case 't' => sb.append('\t'); i += 2
           case 'n' => sb.append('\n'); i += 2
+          case 'r' => sb.append('\r'); i += 2
           case '\\' => sb.append('\\'); i += 2
           case other => sb.append(c); i += 1
         }

@@ -57,9 +57,13 @@ object Sessionize {
       ts
     }
 
+    // sum_v stays RAW here; the final projection rounds with Spark's
+    // round() so the value is bit-identical to the batch session_window
+    // path (math.round(x*100)/100.0 disagrees with BigDecimal HALF_UP on
+    // .xx5 boundaries)
     def finish(userId: Long, cur: SessionState): Session =
       Session(userId, fromMicros(cur.start), fromMicros(cur.last), cur.n,
-        math.round(cur.sum * 100) / 100.0)
+        cur.sum)
 
     def fn(userId: Long, events: Iterator[Ev],
            state: GroupState[SessionState]): Iterator[Session] = {
@@ -95,6 +99,14 @@ object Sessionize {
     * user; a new event either extends it (gap not exceeded) or closes it
     * (emitting the finished session) and opens a new one. Event-time
     * timeout flushes sessions whose gap has passed the watermark.
+    *
+    * The fixture is staged with two far-future heartbeat batches
+    * (`StreamOps.stageEventsWithHeartbeats`, the `stream_session_native`
+    * technique): the first heartbeat advances the watermark past every
+    * real session's gap, the second forces the timeout pass that acts on
+    * it — so every FINAL session per user times out and emits too, and
+    * the drained output equals the batch `session_window` result
+    * row-for-row (the DuckDB lag/cumsum oracle gates it).
     */
   def streaming(s: SparkSession, dir: String): DataFrame = {
     // smaller stateful parallelism for local micro-batches (state store
@@ -102,22 +114,33 @@ object Sessionize {
     // on the shared session (see StreamOps.streamingSession)
     val ss = StreamOps.streamingSession(s)
     import ss.implicits._
-    val path = s"$dir/events.parquet"
-    val schema = ss.read.parquet(path).schema
-    val name = s"graft_sessions_${System.nanoTime()}"
-    val stream = ss.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .transform(graft.Tables.normalizeTs)
-      .withWatermark("ts", "10 minutes")
-      .select(col("user_id"), col("ts"), col("value"))
-      .as[Ev]
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.EventTimeTimeout)(SessionLogic.fn _)
-    val q = stream.toDF().writeStream
-      .outputMode("append").format("memory").queryName(name).start()
-    try q.processAllAvailable()
-    finally q.stop()
-    ss.table(name)
+    val stage = java.nio.file.Files.createTempDirectory("graft_fmgws_")
+    val watch = stage.resolve("watch")
+    java.nio.file.Files.createDirectory(watch)
+    try {
+      StreamOps.stageEventsWithHeartbeats(ss, dir, stage, watch)
+      val schema = ss.read.parquet(watch.toString).schema
+      val name = s"graft_sessions_${System.nanoTime()}"
+      val stream = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(watch.toString)
+        .withWatermark("ts", "10 minutes")
+        .select(col("user_id"), col("ts"), col("value"))
+        .as[Ev]
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.EventTimeTimeout)(SessionLogic.fn _)
+      val q = stream.toDF().writeStream
+        .outputMode("append").format("memory").queryName(name).start()
+      try q.processAllAvailable()
+      finally q.stop()
+      val result = ss.table(name).filter(col("user_id") >= 0)
+        .withColumn("sum_v", round(col("sum_v"), 2))
+      val out = result.collect()
+      ss.createDataFrame(java.util.Arrays.asList(out: _*), result.schema)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
+    }
   }
 }

@@ -876,7 +876,7 @@ object StreamOps {
     * event time, the second forces the eviction pass that acts on it
     * (the eviction watermark for batch N comes from data through N−1).
     */
-  private def stageEventsWithHeartbeats(ss: SparkSession, dir: String,
+  private[streaming] def stageEventsWithHeartbeats(ss: SparkSession, dir: String,
                                         stage: java.nio.file.Path,
                                         watch: java.nio.file.Path,
                                         nHeartbeats: Int = 2): Unit = {

@@ -645,6 +645,37 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("phash clusters: exact-copy pre-collapse matches the naive pairing") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // fixture docs plus REPLICATED copies (the scaled-fixture shape that
+    // made the uncollapsed path go super-linear): every payload appears
+    // 3×; the collapsed path must produce the exact clusters the naive
+    // all-copies pairing does
+    val base = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .limit(200)
+    val n = 1000000L // offset past any fixture doc_id so copies get fresh ids
+    val replicated = (0 until 3).map { r =>
+      base.select((col("doc_id") + lit(r * n)).as("doc_id"),
+        col("payload"),
+        struct(lit("text/plain").as("mime"),
+          length(col("payload")).as("n_bytes")).as("meta"))
+    }.reduce(_ unionByName _)
+    val h = graft.functions.TextFunctions.portableTokenHash(_)
+    val naive = Dedup.componentsOf(spark,
+        Dedup.simhashBucketVerify(
+            Multimodal.phashSignatures(replicated, h), 100000)
+          .select(col("id_a"), col("id_b")))
+      .groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+    val collapsed = Multimodal.phashClustersOf(spark, replicated)
+    assert(naive.exceptAll(collapsed).isEmpty &&
+      collapsed.exceptAll(naive).isEmpty,
+      "pre-collapsed clusters diverged from the naive pairing")
+    // every copy group must land in one cluster of size ≥ 3
+    assert(collapsed.filter(col("n_members") < 3).count() === 0)
+  }
+
   test("IVF ANN recall vs brute force clears the nprobe/cells floor") {
     def topSet(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet

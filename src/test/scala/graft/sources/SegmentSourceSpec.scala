@@ -91,8 +91,22 @@ class SegmentSourceSpec extends AnyFunSuite {
     }
   }
 
-  test("escape round-trips tabs, newlines, and backslashes") {
-    for (s <- Seq("a\tb", "line1\nline2", "back\\slash", "mix\\t\t\n\\n", ""))
+  test("escape round-trips tabs, newlines, carriage returns, backslashes") {
+    for (s <- Seq("a\tb", "line1\nline2", "back\\slash", "mix\\t\t\n\\n", "",
+        "cr\rlf", "crlf\r\n", "\r", "trail\r"))
       assert(SegmentSource.unescape(SegmentSource.escape(s)) === s)
+  }
+
+  test("carriage-return text survives the connector round-trip") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_seg_cr_")
+    try {
+      val rows = Seq((1L, "dos\r\nline"), (2L, "bare\rcr"), (3L, "plain"))
+      rows.toDF("doc_id", "text").repartition(1)
+        .write.format("graft-segments").mode("append").save(dir.toString)
+      val back = spark.read.format("graft-segments").load(dir.toString)
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      assert(back.toSeq === rows)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
 }

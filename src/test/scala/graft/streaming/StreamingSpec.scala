@@ -182,17 +182,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
-  test("streaming sessions are a subset of batch sessions; only tail sessions withheld") {
-    val batch = Sessionize.batch(spark, sf)
-      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(3))).toSet
-    val streamed = Sessionize.streaming(spark, sf)
-      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(3))).toSet
-    assert(streamed.subsetOf(batch),
-      s"streaming emitted sessions not found in batch: ${streamed.diff(batch).take(3)}")
-    // the stream withholds at most one open session per user at EOF
-    val users = graft.Tables.events(spark, sf)
-      .select("user_id").distinct().count()
-    assert(batch.size - streamed.size <= users)
+  test("fMGWS streaming sessions drain to exactly the batch sessions") {
+    // the heartbeat staging flushes every final session through the
+    // event-time timeout, so the drained output IS the batch result
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    val batch = key(Sessionize.batch(spark, sf))
+    val streamed = key(Sessionize.streaming(spark, sf))
+    assert(streamed === batch,
+      s"diff: ${streamed.diff(batch).take(3)} / ${batch.diff(streamed).take(3)}")
     assert(streamed.nonEmpty)
   }
 
