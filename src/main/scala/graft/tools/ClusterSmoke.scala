@@ -19,11 +19,14 @@ import org.apache.spark.sql.SparkSession
   * sbt "runMain graft.tools.ClusterSmoke"` — the standalone Worker
   * launches executor JVMs through SPARK_HOME's launcher, and
   * SPARK_SCALA_VERSION skips its source-tree build-directory probe
-  * (release layouts don't have one). Verified 20/20 green this round
-  * (the slice now also covers the theta sketch's cross-JVM partial
-  * merges, k-core's iterative broadcasts, dq_profile's per-column
-  * union branches, the blocked linkage self-join, and the BPE
-  * trainer's iterative window algebra with driver-literal rules).
+  * (release layouts don't have one). Verified 23/23 green this round
+  * (the slice now also covers the stateful-streaming tail —
+  * flatMapGroupsWithState session timeouts, watermark-late audits and
+  * CDC last-writer-wins state cross JVM boundaries through the
+  * HDFS-backed state store — on top of the theta sketch's cross-JVM
+  * partial merges, k-core's iterative broadcasts, dq_profile's
+  * per-column union branches, the blocked linkage self-join, and the
+  * BPE trainer's iterative window algebra with driver-literal rules).
   */
 object ClusterSmoke {
 
@@ -47,7 +50,14 @@ object ClusterSmoke {
     "graph_kcore",          // iterative broadcast survivor filters
     "dq_profile",           // per-column union-branch aggregation
     "link_customer_pairs",  // blocked self-join across executors
-    "tok_bpe_train")        // iterative window algebra + driver-literal rules
+    "tok_bpe_train",        // iterative window algebra + driver-literal rules
+    // stateful-streaming tail: HDFS-backed state stores serialize state
+    // rows across micro-batches; these three chain timeouts
+    // (flatMapGroupsWithState), watermark-late audits, and CDC
+    // last-writer-wins state through executor JVM boundaries
+    "stream_session_native",
+    "stream_late_audit",
+    "stream_cdc_apply")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
