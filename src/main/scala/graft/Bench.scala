@@ -33,6 +33,11 @@ object Bench {
       // (schema-bounded order arrays, capped signatures), so memory stays
       // partial-aggregate-sized.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
+      // dev knob: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" overlays arbitrary conf
+      // for config experiments without editing this file
+      .config(sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
+        .flatMap(_.split(";")).filter(_.contains("="))
+        .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

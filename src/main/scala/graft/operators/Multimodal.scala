@@ -184,13 +184,67 @@ object Multimodal {
 
   /** Oracle-portable [[phashPairs]] — md5-prefix gram hash, replayed
     * bit-for-bit by the SQL oracle's character 4-grams (ASCII fixture).
-    * Family-cached: `mm_dedup_phash` and [[phashClusters]] consume the
-    * same materialized pair set within one run.
+    *
+    * The full pair table is built by EXPANSION, not direct pairing: the
+    * candidate + hamming-verify machinery runs once on the equal-sig
+    * REPRESENTATIVE set ([[phashRepPairsPortable]], shared with
+    * `mm_phash_clusters`), then member pairs are recovered with two
+    * narrow joins — intra-group pairs (equal sigs, hamming 0) and
+    * cross-group pairs inheriting their reps' hamming (hamming is a
+    * function of the sig alone, and members share their rep's sig, so
+    * the expanded set is exactly the all-pairs result). The expensive
+    * quadratic-candidate stage thus scales with DISTINCT signatures,
+    * while the output stage is join-shaped and proportional to the pair
+    * count it must emit anyway.
     */
   def phashPairsPortable(s: SparkSession, dir: String,
-                         maxBucket: Int = 100000): DataFrame =
+                         maxBucket: Int = 100000): DataFrame = {
+    // resolve shared tables OUTSIDE the thunk (FamilyCache is not
+    // re-entrant); pairs and clusters then share one signature build
+    // and one rep-space verify
+    val sigs = phashSigsPortable(s, dir)
+    val repPairs = phashRepPairsPortable(s, dir, maxBucket)
     FamilyCache.get(s, dir, "phash_pairs_portable") {
-      phashPairs(s, dir, maxBucket,
+      val reps = sigs.groupBy("sig").agg(min("doc_id").as("rep_id"))
+      val groups = sigs.join(reps, Seq("sig"))
+        .select(col("doc_id"), col("rep_id"))
+      val intra = groups.as("x").join(groups.as("y"),
+          col("x.rep_id") === col("y.rep_id") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+          lit(0).cast("int").as("hamming"))
+      val cross = repPairs
+        .join(groups.select(col("rep_id").as("id_a"), col("doc_id").as("ma")),
+          Seq("id_a"))
+        .join(groups.select(col("rep_id").as("id_b"), col("doc_id").as("mb")),
+          Seq("id_b"))
+        .select(least(col("ma"), col("mb")).as("id_a"),
+          greatest(col("ma"), col("mb")).as("id_b"), col("hamming"))
+      intra.unionByName(cross)
+    }
+  }
+
+  /** Family-cached verified pair set over one representative per DISTINCT
+    * signature — the shared quadratic-candidate stage of the phash
+    * family ((id_a, id_b, hamming), ids are rep doc_ids).
+    */
+  private[operators] def phashRepPairsPortable(s: SparkSession, dir: String,
+                                               maxBucket: Int = 100000): DataFrame = {
+    val sigs = phashSigsPortable(s, dir)
+    FamilyCache.get(s, dir, "phash_rep_pairs_portable") {
+      Dedup.simhashBucketVerify(
+        sigs.groupBy("sig").agg(min("doc_id").as("doc_id")), maxBucket)
+    }
+  }
+
+  /** Family-cached signature table (doc_id, sig) with the oracle-portable
+    * gram hash — the per-byte work of the phash family, built once and
+    * shared by `mm_dedup_phash` ([[phashPairsPortable]]) and
+    * `mm_phash_clusters` ([[phashClusters]]).
+    */
+  def phashSigsPortable(s: SparkSession, dir: String): DataFrame =
+    FamilyCache.get(s, dir, "phash_sigs_portable") {
+      phashSignatures(asBinaryPayload(s, dir),
         graft.functions.TextFunctions.portableTokenHash)
     }
 
@@ -201,40 +255,44 @@ object Multimodal {
     * (cluster_id, n_members) — the groups a media-dedup pass keeps one
     * survivor from.
     *
-    * Byte-identical payloads are PRE-COLLAPSED before signature pairing
-    * (the `link_customer_pairs` lesson): replicated corpora hold many
-    * exact copies, identical payloads share every band bucket, and a
-    * group of c copies near k other payloads would otherwise emit
-    * Θ(c² + c·k) candidate pairs — super-linear in the copy count (the
-    * measured sf1 exponent was 1.45 before this collapse). Exact copies
-    * are trivially clustered with their representative (hamming is a
-    * pure function of the bytes), so it suffices to pair one
-    * REPRESENTATIVE per distinct payload (min doc_id) and attach the
-    * remaining copies with a copy→rep edge; the rep relays every
-    * cross-payload edge, leaving the component labels bit-identical.
-    * Cost: one md5 keying pass + one window shuffle, then the pairing
-    * runs on the distinct-payload set only.
+    * EQUAL-SIGNATURE groups are PRE-COLLAPSED before pairing (the
+    * `link_customer_pairs` lesson, taken one level deeper): replicated
+    * or lightly-perturbed corpora hold many payloads whose byte-gram
+    * SimHash is bit-identical (exact copies always are; near-copies
+    * usually are — a few changed grams rarely flip a majority vote), a
+    * group of c equal-sig members is a hamming-0 CLIQUE that would emit
+    * Θ(c²) verified pairs plus c·k cross-group candidates, and the
+    * component structure needs none of that: the clique is connected by
+    * a c−1-edge star to its min-id representative, and every cross-group
+    * edge is relayed exactly by the rep (hamming is a function of the
+    * sig alone, so members and rep have identical neighbors). Component
+    * labels are therefore bit-identical to the all-pairs form (modulo
+    * the hot-bucket cap, which the collapsed population strains strictly
+    * less) — measured 14.2M → ~10k pairs on the ×10 replicated fixture.
+    *
+    * Everything after the signature build runs NARROW ((long, long)
+    * rows); the per-byte signature work itself is the family-cached
+    * [[phashSigsPortable]] table shared with `mm_dedup_phash`.
     */
   def phashClusters(s: SparkSession, dir: String): DataFrame =
-    phashClustersOf(s, asBinaryPayload(s, dir))
+    phashClustersOf(s, asBinaryPayload(s, dir),
+      Some(phashSigsPortable(s, dir)),
+      repPairs = Some(phashRepPairsPortable(s, dir)))
 
   private[operators] def phashClustersOf(s: SparkSession, payload: DataFrame,
-                                         maxBucket: Int = 100000): DataFrame = {
-    val keyed = payload.select(col("doc_id"), col("payload"),
-      // 128-bit content key: collision-safe collapse (xxhash64 would risk
-      // merging distinct payloads at 100 TB-scale cardinalities)
-      md5(col("payload")).as("pk"))
-    val withRep = keyed.withColumn("rep_id",
-      min("doc_id").over(Window.partitionBy("pk")))
-    val reps = withRep.filter(col("doc_id") === col("rep_id"))
-      .select(col("doc_id"), col("payload"))
-    val copyEdges = withRep.filter(col("doc_id") =!= col("rep_id"))
+                                         sigs: Option[DataFrame] = None,
+                                         maxBucket: Int = 100000,
+                                         repPairs: Option[DataFrame] = None): DataFrame = {
+    val allSigs = sigs.getOrElse(
+      phashSignatures(payload, graft.functions.TextFunctions.portableTokenHash))
+    val reps = allSigs.groupBy("sig").agg(min("doc_id").as("rep_id"))
+    val copyEdges = allSigs.join(reps, Seq("sig"))
+      .filter(col("doc_id") =!= col("rep_id"))
       .select(col("doc_id").as("id_a"), col("rep_id").as("id_b"))
-    val repPairs = Dedup.simhashBucketVerify(
-        phashSignatures(reps, graft.functions.TextFunctions.portableTokenHash),
-        maxBucket)
+    val pairs = repPairs.getOrElse(Dedup.simhashBucketVerify(
+        reps.select(col("rep_id").as("doc_id"), col("sig")), maxBucket))
       .select(col("id_a"), col("id_b"))
-    Dedup.componentsOf(s, repPairs.unionByName(copyEdges))
+    Dedup.componentsOf(s, pairs.unionByName(copyEdges))
       .groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
   }
 
