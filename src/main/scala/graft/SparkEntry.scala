@@ -183,6 +183,8 @@ object SparkEntry {
       TextOps.blocklistFilter(graft.Tables.documents(s, d))),
     "q39_incremental_rollup" -> (Relational.q39IncrementalRollup(_, _)),
     "feat_scale" -> (Features.scaleFeatures _),
+    "ml_split_group" -> ((s: SparkSession, d: String) =>
+      Features.groupHoldoutSplit(s, d)),
     "feat_target_encode" -> (Features.targetEncodeLoo _),
     "tok_bpe_pairs" -> ((s: SparkSession, d: String) => Features.bpePairCounts(s, d)),
     "tok_bpe_train" -> ((s: SparkSession, d: String) => Features.bpeTrain(s, d)),
@@ -2206,6 +2208,17 @@ object SparkEntry {
         |  count(*) AS n_orders,
         |  round(round(sum(o_totalprice), 2) / count(*), 4) AS avg_price
         |FROM orders GROUP BY 1, 2""".stripMargin,
+    // group-hash split: the oracle replays the md5-prefix bucket per
+    // user, so the leakage-safe routing is value-checked end to end
+    "ml_split_group" -> {
+      val h = md5PrefixSql("CAST(user_id AS VARCHAR)")
+      s"""SELECT split, count(DISTINCT user_id) AS n_groups,
+         |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+         |FROM (SELECT user_id, value,
+         |        CASE WHEN $h % 100 < 20 THEN 'test' ELSE 'train' END AS split
+         |      FROM events)
+         |GROUP BY 1""".stripMargin
+    },
     "feat_scale" ->
       """WITH st AS (SELECT avg(l_extendedprice) AS m_p,
         |  stddev_samp(l_extendedprice) AS s_p,

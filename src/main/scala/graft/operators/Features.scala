@@ -57,6 +57,31 @@ object Features {
         col("ma3"))
   }
 
+  /** Group-aware holdout split — the leakage-safe train/test boundary an
+    * ML pipeline needs when rows are correlated within an entity (all of
+    * a user's events must land on ONE side, or temporal/user leakage
+    * inflates eval): assignment hashes the GROUP key once (portable
+    * md5-prefix hash, mod-100 bucket), so routing is a pure map-phase
+    * projection of each row's own key — deterministic across runs,
+    * engines, and cluster sizes, with no fit state at all. Contrast
+    * `emb_split_stratified` (per-LABEL proportions, rows independent) —
+    * this is the complementary split for entity-correlated data. Output
+    * is the per-split audit summary (group/row counts + value mass), the
+    * record a pipeline persists to prove the split held.
+    */
+  def groupHoldoutSplit(s: SparkSession, dir: String,
+                        testPct: Int = 20): DataFrame = {
+    val h = graft.functions.TextFunctions.portableTokenHash(
+      col("user_id").cast("string"))
+    Tables.events(s, dir)
+      .withColumn("split",
+        when(pmod(h, lit(100L)) < testPct, lit("test")).otherwise(lit("train")))
+      .groupBy("split")
+      .agg(countDistinct("user_id").as("n_groups"),
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"))
+  }
+
   /** Leave-one-out target encoding (the Kaggle/CatBoost-style categorical
     * encoder that avoids self-leakage): encode key k for row i as
     * (Σ_k target − target_i) / (n_k − 1); singleton keys get NULL (no
