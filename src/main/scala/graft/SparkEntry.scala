@@ -207,6 +207,8 @@ object SparkEntry {
       graft.operators.Lake.changeFeed(s, d)),
     "lake_segment_scan" -> ((s: SparkSession, d: String) =>
       graft.operators.Lake.segmentScan(s, d)),
+    "lake_vacuum_orphans" -> ((s: SparkSession, d: String) =>
+      graft.operators.Lake.vacuumOrphans(s, d)),
     "stream_lake_upsert" -> (StreamOps.streamLakeUpsert _),
     "stream_cdc_apply" -> (StreamOps.streamCdcApply _),
     "q45_decile_lift" -> (Relational.q45DecileLift _),
@@ -2336,6 +2338,15 @@ object SparkEntry {
         |      FROM ud)
         |SELECT w_end, count(*) AS active_users
         |FROM c, b WHERE w_end <= dmax GROUP BY 1""".stripMargin,
+    // the vacuum's post-deletion re-read must still see the FULL corpus
+    // (proof it only removed unreferenced files), and the orphan audit
+    // replays the aborted id%5 slice with its " [retry]" suffix (+8)
+    "lake_vacuum_orphans" ->
+      """SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_live_rows,
+        |  CAST((SELECT count(*) FROM documents WHERE doc_id % 5 = 0) AS BIGINT)
+        |    AS n_orphan_rows,
+        |  CAST((SELECT sum(length(text) + 8) FROM documents WHERE doc_id % 5 = 0)
+        |    AS BIGINT) AS orphan_chars""".stripMargin,
     // the custom V2 connector must agree with the plain relational
     // range aggregate — same integer-division bounds both engines
     "lake_segment_scan" ->

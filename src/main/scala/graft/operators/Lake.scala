@@ -225,6 +225,67 @@ object Lake {
     }
   }
 
+  /** Orphan-file vacuum — the GC pass every transaction-log table needs:
+    * a crashed or aborted writer leaves data files on disk that no
+    * published manifest references (the commit protocol makes this the
+    * ONLY failure residue — the manifest publishes atomically last), and
+    * they accumulate until a vacuum reconciles the physical inventory
+    * against the manifest-referenced set. Orphans = walk(files/) −
+    * ∪ liveFiles(v); deletion touches exactly that difference, so every
+    * published version stays byte-identical — the output PROVES it by
+    * re-reading v1 through its manifest AFTER the deletion (a vacuum
+    * that ate referenced data would change the count and fail the
+    * oracle). The staged scenario: one published commit of the full
+    * corpus, then an aborted retry of the id%5 slice whose manifest
+    * never lands. At scale the inventory walk is the only part that
+    * grows — a distributed file listing feeding the same set-difference,
+    * with the manifest union still metadata-sized.
+    */
+  def vacuumOrphans(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val table = Files.createTempDirectory("graft_lake_vac_")
+    try {
+      commit(docs, table, 1)
+      // aborted commit: data files land under files/v2, no manifest
+      docs.filter(col("doc_id") % 5 === 0)
+        .withColumn("text", concat(col("text"), lit(" [retry]")))
+        .write.mode(SaveMode.Overwrite)
+        .parquet(table.resolve("files/v2").toString)
+      def inventory(): Set[String] = {
+        val stream = Files.walk(table.resolve("files"))
+        try {
+          val out = scala.collection.mutable.Set.empty[String]
+          val it = stream.iterator()
+          while (it.hasNext) {
+            val p = it.next()
+            if (p.getFileName.toString.endsWith(".parquet"))
+              out += table.relativize(p).toString
+          }
+          out.toSet
+        } finally stream.close()
+      }
+      val referenced = liveFiles(table, 1).toSet
+      val orphans = inventory() -- referenced
+      // audit the doomed rows BEFORE deletion (what a production vacuum
+      // logs); explicit-path read, never through a manifest
+      val (orphanRows, orphanChars) =
+        if (orphans.isEmpty) (0L, 0L)
+        else {
+          val r = s.read
+            .parquet(orphans.map(f => table.resolve(f).toString).toSeq: _*)
+            .agg(count(lit(1)), sum(length(col("text")))).collect()(0)
+          (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+        }
+      orphans.foreach(f => Files.deleteIfExists(table.resolve(f)))
+      val liveAfter = readVersion(s, table, 1).count()
+      import s.implicits._
+      Seq((liveAfter, orphanRows, orphanChars))
+        .toDF("n_live_rows", "n_orphan_rows", "orphan_chars")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(table.toFile)
+    }
+  }
+
   /** Compaction planner — the small-file maintenance pass every
     * streaming-ingested lakehouse table needs: given the file inventory
     * (here a pseudo-inventory derived deterministically from events —
