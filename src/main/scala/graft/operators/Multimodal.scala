@@ -156,9 +156,38 @@ object Multimodal {
     */
   def phashPairs(s: SparkSession, dir: String, maxBucket: Int = 100000,
                  gramHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-                   xxhash64(_)): DataFrame =
-    Dedup.simhashBucketVerify(
-      phashSignatures(asBinaryPayload(s, dir), gramHash), maxBucket)
+                   xxhash64(_)): DataFrame = {
+    // same rep-space verify + expansion as the portable twin (see
+    // phashPairsPortable): the quadratic candidate stage runs on
+    // DISTINCT signatures, copies come back by join
+    val sigs = phashSignatures(asBinaryPayload(s, dir), gramHash)
+    val reps = sigs.groupBy("sig").agg(min("doc_id").as("rep_id"))
+    expandRepPairs(
+      Dedup.simhashBucketVerify(
+        reps.select(col("rep_id").as("doc_id"), col("sig")), maxBucket),
+      sigs.join(reps, Seq("sig")).select(col("doc_id"), col("rep_id")))
+  }
+
+  /** Expand a rep-space verified pair set back to ALL member pairs:
+    * intra-group pairs (equal sigs → hamming 0) plus cross-group pairs
+    * inheriting their reps' hamming. `groups` is (doc_id, rep_id).
+    */
+  private def expandRepPairs(repPairs: DataFrame,
+                             groups: DataFrame): DataFrame = {
+    val intra = groups.as("x").join(groups.as("y"),
+        col("x.rep_id") === col("y.rep_id") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        lit(0).cast("int").as("hamming"))
+    val cross = repPairs
+      .join(groups.select(col("rep_id").as("id_a"), col("doc_id").as("ma")),
+        Seq("id_a"))
+      .join(groups.select(col("rep_id").as("id_b"), col("doc_id").as("mb")),
+        Seq("id_b"))
+      .select(least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"), col("hamming"))
+    intra.unionByName(cross)
+  }
 
   /** Signature stage of [[phashPairs]] — (doc_id, sig) from a
     * (doc_id, payload binary) frame. Exposed for specs to pin the
@@ -206,21 +235,8 @@ object Multimodal {
     val repPairs = phashRepPairsPortable(s, dir, maxBucket)
     FamilyCache.get(s, dir, "phash_pairs_portable") {
       val reps = sigs.groupBy("sig").agg(min("doc_id").as("rep_id"))
-      val groups = sigs.join(reps, Seq("sig"))
-        .select(col("doc_id"), col("rep_id"))
-      val intra = groups.as("x").join(groups.as("y"),
-          col("x.rep_id") === col("y.rep_id") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
-          lit(0).cast("int").as("hamming"))
-      val cross = repPairs
-        .join(groups.select(col("rep_id").as("id_a"), col("doc_id").as("ma")),
-          Seq("id_a"))
-        .join(groups.select(col("rep_id").as("id_b"), col("doc_id").as("mb")),
-          Seq("id_b"))
-        .select(least(col("ma"), col("mb")).as("id_a"),
-          greatest(col("ma"), col("mb")).as("id_b"), col("hamming"))
-      intra.unionByName(cross)
+      expandRepPairs(repPairs,
+        sigs.join(reps, Seq("sig")).select(col("doc_id"), col("rep_id")))
     }
   }
 
