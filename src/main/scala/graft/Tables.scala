@@ -12,8 +12,53 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Resolved-relation cache: `spark.read.parquet` eagerly lists files and
+    * reads parquet footers to infer the schema, which costs ~100 ms per
+    * table reference — pure metadata work repeated identically by every
+    * query that touches the table. On a real cluster the table lives in a
+    * catalog/metastore and is resolved ONCE at registration, not per query;
+    * this cache gives the same semantics (resolve each (session, dir,
+    * table) once, reuse the immutable logical plan). Data is still scanned
+    * by every execution — only metadata resolution is skipped. Bounded LRU
+    * so stopped test sessions can't accumulate unboundedly.
+    */
+  private val planCache =
+    new java.util.LinkedHashMap[(SparkSession, String, String), DataFrame](
+      64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String, String), DataFrame])
+          : Boolean = size > 128
+    }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    planCache.synchronized {
+      val k = (spark, dir, name)
+      val hit = planCache.get(k)
+      if (hit != null) hit
+      else {
+        val df = spark.read.parquet(s"$dir/$name.parquet")
+        planCache.put(k, df)
+        df
+      }
+    }
+
+  /** Drop all cached relations (tests that rewrite fixture dirs in place). */
+  def invalidate(): Unit = {
+    planCache.synchronized(planCache.clear())
+    schemaCache.clear()
+  }
+
+  /** Schema-only resolution, memoized by path — used by the streaming
+    * operators, which need an explicit schema for `readStream` (file
+    * streams don't infer) and otherwise pay a footer read per query even
+    * when a dozen queries stream the same fixture table. Keyed by path
+    * alone: a parquet file's schema is a property of the file.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  def schemaOf(spark: SparkSession, path: String): org.apache.spark.sql.types.StructType =
+    schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")

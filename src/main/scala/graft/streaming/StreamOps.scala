@@ -44,7 +44,7 @@ object StreamOps {
                         windowLen: String = "1 hour"): DataFrame = {
     val ss = streamingSession(s)
     val path = s"$dir/events.parquet"
-    val schema = ss.read.parquet(path).schema
+    val schema = graft.Tables.schemaOf(ss, path)
     val name = s"graft_stream_${counter.incrementAndGet()}"
     // file-stream source wants a directory: stream the sf dir, glob one table
     val stream = ss.readStream.schema(schema)
@@ -86,7 +86,7 @@ object StreamOps {
                             windowLen: String = "1 hour"): DataFrame = {
     val ss = streamingSession(s)
     val path = s"$dir/events.parquet"
-    val schema = ss.read.parquet(path).schema
+    val schema = graft.Tables.schemaOf(ss, path)
     val name = s"graft_stream_${counter.incrementAndGet()}"
     val stream = ss.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
@@ -117,7 +117,7 @@ object StreamOps {
   def streamStreamJoin(s: SparkSession, dir: String): DataFrame = {
     val ss = streamingSession(s)
     val path = s"$dir/events.parquet"
-    val schema = ss.read.parquet(path).schema
+    val schema = graft.Tables.schemaOf(ss, path)
     val name = s"graft_stream_${counter.incrementAndGet()}"
     def events = ss.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
@@ -172,7 +172,7 @@ object StreamOps {
   def streamingDedupBounded(s: SparkSession, dir: String): DataFrame = {
     val ss = streamingSession(s)
     val path = s"$dir/events.parquet"
-    val schema = ss.read.parquet(path).schema
+    val schema = graft.Tables.schemaOf(ss, path)
     val name = s"graft_stream_${counter.incrementAndGet()}"
     val stream = ss.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
@@ -206,7 +206,7 @@ object StreamOps {
     import graft.functions.TextFunctions.shingles
     val ss = streamingSession(s)
     val path = s"$dir/documents.parquet"
-    val schema = ss.read.parquet(path).schema
+    val schema = graft.Tables.schemaOf(ss, path)
     val name = s"graft_stream_${counter.incrementAndGet()}"
     val evalShingles = ss.read.parquet(path)
       .filter(col("doc_id") % evalMod === 0)
@@ -243,7 +243,7 @@ object StreamOps {
                     threshold: Double = 3.0): DataFrame = {
     val ss = streamingSession(s)
     val path = s"$dir/events.parquet"
-    val schema = ss.read.parquet(path).schema
+    val schema = graft.Tables.schemaOf(ss, path)
     val name = s"graft_stream_${counter.incrementAndGet()}"
     val stats = ss.read.parquet(path).groupBy("event_type")
       .agg(avg("value").as("mu"), stddev_samp("value").as("sigma"))
@@ -293,7 +293,7 @@ object StreamOps {
     val bucketOf = VectorFunctions.bucketKernel(
       VectorFunctions.hyperplanesFlat(numPlanes, dim), dim)
     val path = s"$dir/embeddings.parquet"
-    val schema = ss.read.parquet(path).schema
+    val schema = graft.Tables.schemaOf(ss, path)
     val name = s"graft_stream_${counter.incrementAndGet()}"
     val corpus = ss.read.parquet(path)
       .filter(col("vec_id") % 2 === 0)
@@ -338,7 +338,7 @@ object StreamOps {
     val ss = streamingSession(s)
     graft.expressions.CountMinAgg.register(ss)
     val path = s"$dir/documents.parquet"
-    val schema = ss.read.parquet(path).schema
+    val schema = graft.Tables.schemaOf(ss, path)
     val name = s"graft_stream_${counter.incrementAndGet()}"
     val stream = ss.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
@@ -414,7 +414,7 @@ object StreamOps {
     val ss = streamingSession(s)
     import ss.implicits._
     val path = s"$dir/documents.parquet"
-    val schema = ss.read.parquet(path).schema
+    val schema = graft.Tables.schemaOf(ss, path)
     val name = s"graft_stream_${counter.incrementAndGet()}"
     val ttlMs = 3600L * 1000
     val dropAcc = ss.sparkContext.longAccumulator("graft.streamMinhash.capacityDrops")
@@ -491,7 +491,7 @@ object StreamOps {
   def streamCurate(s: SparkSession, dir: String): DataFrame = {
     val ss = streamingSession(s)
     val path = s"$dir/documents.parquet"
-    val schema = ss.read.parquet(path).schema
+    val schema = graft.Tables.schemaOf(ss, path)
     val name = s"graft_stream_${counter.incrementAndGet()}"
     val t = graft.functions.TextFunctions.tokens(col("text"))
     val stream = ss.readStream.schema(schema)
@@ -516,7 +516,7 @@ object StreamOps {
   def streamingDedup(s: SparkSession, dir: String): DataFrame = {
     val ss = streamingSession(s)
     val path = s"$dir/documents.parquet"
-    val schema = ss.read.parquet(path).schema
+    val schema = graft.Tables.schemaOf(ss, path)
     val name = s"graft_stream_${counter.incrementAndGet()}"
     val stream = ss.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
@@ -667,7 +667,7 @@ object StreamOps {
     import graft.operators.Lake
     val ss = streamingSession(s)
     val path = s"$dir/events.parquet"
-    val schema = ss.read.parquet(path).schema
+    val schema = graft.Tables.schemaOf(ss, path)
     val table = java.nio.file.Files.createTempDirectory("graft_stream_lake_")
     val version = new java.util.concurrent.atomic.AtomicInteger(0)
     def compact(changelog: DataFrame): DataFrame = changelog
@@ -823,7 +823,7 @@ object StreamOps {
   def streamMergeUpsert(s: SparkSession, dir: String): DataFrame = {
     val ss = streamingSession(s)
     val path = s"$dir/events.parquet"
-    val schema = ss.read.parquet(path).schema
+    val schema = graft.Tables.schemaOf(ss, path)
     val name = s"graft_stream_${counter.incrementAndGet()}"
     val stream = ss.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
@@ -1033,7 +1033,7 @@ object StreamOps {
     val ss = streamingSession(s)
     graft.expressions.HllAgg.register(ss)
     val path = s"$dir/events.parquet"
-    val schema = ss.read.parquet(path).schema
+    val schema = graft.Tables.schemaOf(ss, path)
     val name = s"graft_stream_${counter.incrementAndGet()}"
     val stream = ss.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
@@ -1111,7 +1111,7 @@ object StreamOps {
     val ss = streamingSession(s)
     graft.expressions.BottomKAgg.register(ss)
     val path = s"$dir/events.parquet"
-    val schema = ss.read.parquet(path).schema
+    val schema = graft.Tables.schemaOf(ss, path)
     val name = s"graft_stream_${counter.incrementAndGet()}"
     val stream = ss.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
@@ -1155,7 +1155,7 @@ object StreamOps {
                          maxValue: Double = 1000.0): DataFrame = {
     val ss = streamingSession(s)
     val path = s"$dir/events.parquet"
-    val schema = ss.read.parquet(path).schema
+    val schema = graft.Tables.schemaOf(ss, path)
     val name = s"graft_stream_${counter.incrementAndGet()}"
     val viol = (c: Column) => sum(when(c, 1L).otherwise(0L))
     val stream = ss.readStream.schema(schema)
