@@ -125,6 +125,7 @@ object Sessionize {
         .option("maxFilesPerTrigger", "1")
         .option("latestFirst", "false")
         .parquet(watch.toString)
+        .transform(graft.Tables.normalizeTs) // staged bytes are the raw fixture
         .withWatermark("ts", "10 minutes")
         .select(col("user_id"), col("ts"), col("value"))
         .as[Ev]
@@ -135,10 +136,10 @@ object Sessionize {
         .outputMode("append").format("memory").queryName(name).start()
       try q.processAllAvailable()
       finally q.stop()
-      val result = ss.table(name).filter(col("user_id") >= 0)
+      // memory-sink table is staged-file-independent; return it lazily and
+      // skip two driver copies of the session-cardinality output
+      ss.table(name).filter(col("user_id") >= 0)
         .withColumn("sum_v", round(col("sum_v"), 2))
-      val out = result.collect()
-      ss.createDataFrame(java.util.Arrays.asList(out: _*), result.schema)
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
     }
