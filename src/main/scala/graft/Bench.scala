@@ -17,28 +17,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-bench")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // ObjectHashAggregate (collect_set/collect_list/typed aggregates)
-      // falls back to SORT-based aggregation after 128 distinct keys per
-      // partition by default — pathological for the grouped-array builds
-      // (co-purchase pair-gen, adjacency lists, minhash signatures) whose
-      // per-key state is small but key counts are corpus-sized. Raise the
-      // threshold so the hash path holds; per-key state here is bounded
-      // (schema-bounded order arrays, capped signatures), so memory stays
-      // partial-aggregate-sized.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
-      // dev knob: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" overlays arbitrary conf
-      // for config experiments without editing this file
-      .config(sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
-        .flatMap(_.split(";")).filter(_.contains("="))
-        .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap)
-      .getOrCreate()
+    val spark = GraftSession.builder("graft-bench", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // generic warm-up: JVM/codegen/parquet-reader init, not table data

@@ -803,13 +803,19 @@ object SparkEntry {
     * every layer is node-sized. AS MATERIALIZED on each layer (each is
     * referenced three times — the kcore CTE lesson). Labels converge to
     * the component-minimum id, exactly `Dedup.componentsOf`'s labeling.
+    *
+    * The bound is data-dependent, so the oracle SELF-DIAGNOSES: one extra
+    * layer runs and a poison row (cluster_id −1) is emitted iff the last
+    * two layers differ. An under-converged oracle on some future fixture
+    * then fails the gate LOUDLY as an oracle-parameter artifact (the −1
+    * row names the cause) instead of masquerading as an engine bug.
     */
   private def componentsOracle(rounds: Int = 6): String = {
     val sb = new StringBuilder(s"WITH $coPairCtes,\n")
     sb.append("e AS MATERIALIZED (SELECT src, dst FROM p " +
       "UNION ALL SELECT dst, src FROM p),\n")
     sb.append("l0 AS MATERIALIZED (SELECT src AS node, src AS lbl FROM e GROUP BY 1)")
-    for (r <- 1 to rounds)
+    for (r <- 1 to rounds + 1)
       sb.append(s""",
         |l$r AS MATERIALIZED (SELECT node, min(lbl) AS lbl FROM (
         |  SELECT node, lbl FROM l${r - 1}
@@ -819,7 +825,10 @@ object SparkEntry {
         |    FROM l${r - 1} a JOIN l${r - 1} b ON a.lbl = b.node
         |) GROUP BY node)""".stripMargin)
     sb.append(s"\nSELECT lbl AS cluster_id, count(*) AS n_members " +
-      s"FROM l$rounds GROUP BY 1")
+      s"FROM l${rounds + 1} GROUP BY 1\n" +
+      s"UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT) " +
+      s"WHERE EXISTS (SELECT 1 FROM l${rounds + 1} a " +
+      s"JOIN l$rounds b ON a.node = b.node WHERE a.lbl <> b.lbl)")
     sb.toString
   }
 

@@ -48,17 +48,22 @@ object Tables {
     schemaCache.clear()
   }
 
-  /** Schema-only resolution, memoized by path — used by the streaming
-    * operators, which need an explicit schema for `readStream` (file
-    * streams don't infer) and otherwise pay a footer read per query even
-    * when a dozen queries stream the same fixture table. Keyed by path
-    * alone: a parquet file's schema is a property of the file.
+  /** Schema-only resolution, memoized per (path, nanos-conf) — used by the
+    * streaming operators, which need an explicit schema for `readStream`
+    * (file streams don't infer) and otherwise pay a footer read per query
+    * even when a dozen queries stream the same fixture table. The key
+    * carries `spark.sql.legacy.parquet.nanosAsLong` because the RESOLVED
+    * schema depends on it for a TIMESTAMP(NANOS) fixture (ts: LongType vs
+    * a read error) — a path-only key could hand a differently-configured
+    * session the wrong schema.
     */
   private val schemaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), org.apache.spark.sql.types.StructType]()
 
-  def schemaOf(spark: SparkSession, path: String): org.apache.spark.sql.types.StructType =
-    schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
+  def schemaOf(spark: SparkSession, path: String): org.apache.spark.sql.types.StructType = {
+    val conf = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    schemaCache.computeIfAbsent((path, conf), _ => spark.read.parquet(path).schema)
+  }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")

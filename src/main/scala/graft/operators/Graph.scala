@@ -149,12 +149,19 @@ object Graph {
     degArr.foreach { case (node, _) => rank(node) = 1.0 / n }
     val degMap = scala.collection.mutable.LongMap(degArr.map {
       case (node, d) => node -> d.toDouble }: _*)
+    val base = teleport / n // rank of a node with no in-edges
     for (_ <- 1 to iters) {
+      // contributions iterate the DEGREE table, not the rank map: on an
+      // asymmetric edge list a node with out-edges but no in-edges drops
+      // out of `rank` after round 1, yet its true rank is the teleport
+      // base — which it must keep contributing (a 0.0 default would leak
+      // rank mass out of the system every round)
       val contrib = scala.collection.mutable.LongMap.empty[Double]
-      rank.foreach { case (node, r) => contrib(node) = r / degMap(node) }
+      degMap.foreach { case (node, d) =>
+        contrib(node) = rank.getOrElse(node, base) / d }
       val bc = s.sparkContext.broadcast(contrib)
-      // a src absent from the rank map (possible only on an asymmetric
-      // edge list) contributes no mass rather than crashing the executor
+      // every edge src has a degree row by construction, so the default
+      // is unreachable; it exists to keep a malformed input non-fatal
       val lookup = udf { (src: Long) => bc.value.getOrElse(src, 0.0) }
       val next = edges.select(col("dst"), lookup(col("src")).as("c"))
         .groupBy(col("dst"))
@@ -165,7 +172,6 @@ object Graph {
       bc.destroy()
     }
     val finalBc = s.sparkContext.broadcast(rank)
-    val base = teleport / n // rank of a node with no in-edges
     val rlook = udf { (node: Long) => finalBc.value.getOrElse(node, base) }
     deg.select(col("node").as("part"),
         round(rlook(col("node")) * lit(n.toDouble), 6).as("pagerank"),

@@ -247,7 +247,10 @@ object Multimodal {
   private[operators] def phashRepPairsPortable(s: SparkSession, dir: String,
                                                maxBucket: Int = 100000): DataFrame = {
     val sigs = phashSigsPortable(s, dir)
-    FamilyCache.get(s, dir, "phash_rep_pairs_portable") {
+    // maxBucket is part of the key: the cached pair set is a function of
+    // the cap, and a cap-silently-ignored hit would hand one caller
+    // another caller's tuning
+    FamilyCache.get(s, dir, s"phash_rep_pairs_portable:$maxBucket") {
       Dedup.simhashBucketVerify(
         sigs.groupBy("sig").agg(min("doc_id").as("doc_id")), maxBucket)
     }

@@ -355,17 +355,30 @@ object Relational {
     * events per supplier. The three stats collected up front (min, max,
     * count) are index-metadata, the same driver-side regime as the ANN
     * quantizers. Equality with the binned path is spec-pinned
-    * (counts exact, sums to fp tolerance before rounding).
+    * (counts exact, sums to fp tolerance before rounding; in the
+    * fixed-point regime below the prefix sums are exact).
     */
   def q25RangeJoinPrefix(s: SparkSession, dir: String): DataFrame = {
     val evRaw = Tables.events(s, dir).select(col("event_id"), col("value"))
-    val st = evRaw.agg(min("value"), max("value"), count(lit(1))).collect()(0)
+    // the fourth stat (same single scan) guards the FIXED-POINT regime:
+    // when every value is an exact multiple of 1e-6 (the money-like
+    // fixtures), sums run over integer-valued doubles — exact while the
+    // scaled total stays under 2^53 (Σ|value| < 9e9), so the cumulative-
+    // prefix DIFFERENCES carry no association error and the rounded
+    // per-supplier cent can never flip against the exact oracle. Data
+    // with genuine sub-micro precision (or a total past 2^53) degrades
+    // gracefully to the plain double path's error class, never worse.
+    val st = evRaw.agg(min("value"), max("value"), count(lit(1)),
+      max(abs(col("value") * 1e6 - round(col("value") * 1e6)))).collect()(0)
     val (vlo, vhi, n) = (st.getDouble(0), st.getDouble(1), st.getLong(2))
+    val fx = st.getDouble(3) < 1e-3
+    def sval(c: Column): Column = if (fx) round(c * 1e6) else c
+    val unscale = if (fx) 1e6 else 1.0
     val axis = math.min(1L << 16, math.max(1024L, n / 16)).toDouble
     val binW = math.max((vhi - vlo) / axis, 1e-9)
     val ev = evRaw.withColumn("bucket", floor(col("value") / binW).cast("long"))
     val hist = ev.groupBy("bucket")
-      .agg(count(lit(1)).as("cnt"), sum("value").as("sv"))
+      .agg(count(lit(1)).as("cnt"), sum(sval(col("value"))).as("sv"))
     val bLo = math.floor(vlo / binW).toLong
     val bHi = math.floor(vhi / binW).toLong
     // dense bucket axis via distributed range (empty buckets must carry a
@@ -424,13 +437,13 @@ object Relational {
       .join(ev, Seq("bucket"))
       .filter(col("value") >= col("lo") && col("value") < col("hi"))
       .groupBy("s_suppkey")
-      .agg(count(lit(1)).as("n_edge"), sum("value").as("sv_edge"))
+      .agg(count(lit(1)).as("n_edge"), sum(sval(col("value"))).as("sv_edge"))
     interior.join(edges, Seq("s_suppkey"), "full")
       .select(col("s_suppkey"),
         (coalesce(col("n_int"), lit(0L)) + coalesce(col("n_edge"), lit(0L)))
           .as("n_events"),
-        round(coalesce(col("sv_int"), lit(0.0)) +
-          coalesce(col("sv_edge"), lit(0.0)), 2).as("sum_v"))
+        round((coalesce(col("sv_int"), lit(0.0)) +
+          coalesce(col("sv_edge"), lit(0.0))) / lit(unscale), 2).as("sum_v"))
       .filter(col("n_events") > 0)
   }
 

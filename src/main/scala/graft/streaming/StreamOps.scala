@@ -900,11 +900,29 @@ object StreamOps {
     // grew linearly with data (single-threaded coalesce(1) encode) and
     // dominated these queries at 10× scale; consumers normalize `ts` on
     // the STREAMING frame instead (same values, applied before the
-    // watermark), so the staged bytes never need rewriting.
+    // watermark), so the staged bytes never need rewriting. A directory-
+    // shaped dataset (a Spark-written multi-part table) cannot be copied
+    // as one batch — part files as separate micro-batches would advance
+    // the watermark between unordered parts and silently DROP late rows —
+    // so that layout keeps the single-file rewrite.
     val first = watch.resolve("batch0001.parquet")
-    java.nio.file.Files.copy(srcFile, first)
-    java.nio.file.Files.setLastModifiedTime(first,
-      java.nio.file.attribute.FileTime.fromMillis(1000000L + 10000L))
+    if (java.nio.file.Files.isRegularFile(srcFile)) {
+      java.nio.file.Files.copy(srcFile, first)
+      java.nio.file.Files.setLastModifiedTime(first,
+        java.nio.file.attribute.FileTime.fromMillis(1000000L + 10000L))
+    } else {
+      val tmp = stage.resolve("tmp1")
+      raw.coalesce(1).write.parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).iterator()
+      var p1: java.nio.file.Path = null
+      while (part.hasNext) {
+        val p = part.next()
+        if (p.getFileName.toString.endsWith(".parquet")) p1 = p
+      }
+      java.nio.file.Files.move(p1, first)
+      java.nio.file.Files.setLastModifiedTime(first,
+        java.nio.file.attribute.FileTime.fromMillis(1000000L + 10000L))
+    }
     def stageFile(df: DataFrame, n: Int): Unit = {
       val tmp = stage.resolve(s"tmp$n")
       df.coalesce(1).write.parquet(tmp.toString)

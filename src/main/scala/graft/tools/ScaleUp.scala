@@ -44,6 +44,16 @@ object ScaleUp {
 
   def run(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
     new java.io.File(dst).mkdirs()
+    try runInner(spark, src, dst, factor)
+    // this tool rewrites fixture dirs in place — drop every relation/schema
+    // memoized in this JVM, including entries cached for dst BEFORE the
+    // rewrite (a spec that queries dst, regenerates it, and queries again
+    // would otherwise read stale file listings)
+    finally graft.Tables.invalidate()
+  }
+
+  private def runInner(spark: SparkSession, src: String, dst: String,
+                       factor: Int): Unit = {
 
     def load(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
     /** The fixture contract is ONE flat file per table named <t>.parquet

@@ -21,9 +21,12 @@ class Batch56Spec extends AnyFunSuite {
     prefix.foreach { case (k, (n, sv)) =>
       val (bn, bsv) = binned(k)
       assert(n === bn, s"count mismatch for supplier $k")
-      // both sides round(…, 2); the prefix-subtraction association error
-      // is ~1e-8 absolute, far inside one rounding step
-      assert(math.abs(sv - bsv) <= 0.011, s"sum mismatch for supplier $k: $sv vs $bsv")
+      // the fixture's values are exact micro-units, so the prefix path
+      // runs in its FIXED-POINT regime: prefix differences are exact and
+      // the only divergence from the binned path is the binned side's own
+      // double-sum association error — the rounded cents must be EQUAL
+      // (this is what makes the driver's exact-hash gate deterministic)
+      assert(sv === bsv, s"sum mismatch for supplier $k: $sv vs $bsv")
     }
   }
 
