@@ -831,8 +831,11 @@ object Dedup {
         .localCheckpoint(eager = true)
       val newCnt = next.count()
       // fixed point: same canonical edge set (counts equal and no new
-      // edges outside the old set)
-      done = newCnt == oldCnt && next.except(edges).limit(1).count() == 0
+      // edges outside the old set). left_anti, not except: both sides
+      // are already distinct by construction, and except would pay a
+      // re-distinct of each before the anti-join
+      done = newCnt == oldCnt &&
+        next.join(edges, Seq("a", "b"), "left_anti").limit(1).count() == 0
       edges = next
       oldCnt = newCnt
       round += 1

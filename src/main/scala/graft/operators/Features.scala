@@ -224,8 +224,8 @@ object Features {
     */
   def bpeEncode(s: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
     val (_, t0, tR) = bpeRun(s, dir, rounds)
-    val before = t0.groupBy("doc_id").agg(count(lit(1)).as("n_tokens_before"))
-    val after = tR.groupBy("doc_id").agg(count(lit(1)).as("n_tokens_after"))
+    val before = t0.select(col("doc_id"), col("n").as("n_tokens_before"))
+    val after = tR.select(col("doc_id"), col("n").as("n_tokens_after"))
     before.join(after, Seq("doc_id"))
       .withColumn("ratio", round(
         col("n_tokens_after") / col("n_tokens_before").cast("double"), 6))
@@ -235,54 +235,79 @@ object Features {
     * the train and encode entries read the same triple, so whichever
     * runs first pays the rounds (the dedup_build_pairs attribution
     * discipline); FamilyCache.release() drops it at sweep boundaries.
+    * The two frames are per-doc (doc_id, n) token counts before / after
+    * the merges (docs with zero tokens excluded — they have no token
+    * rows, matching the oracle's long-form counting).
     */
   private def bpeRun(s: SparkSession, dir: String, rounds: Int)
       : (Seq[(Int, String, String, Long, Long)], DataFrame, DataFrame) =
     FamilyCache.side(s, dir, s"bpe$rounds")(bpeRunUncached(s, dir, rounds))
 
+  /** Adjacent-pair emission over a doc's token array — compiled kernel,
+    * same discipline as [[graft.functions.TextFunctions.shingles]]: the
+    * Column form (`transform(sequence(...))`) is CodegenFallback-
+    * interpreted and this runs corpus-wide once per merge round.
+    */
+  private val adjacentPairs = udf { (toks: Array[String]) =>
+    if (toks == null || toks.length < 2) Array.empty[(String, String)]
+    else {
+      val out = new Array[(String, String)](toks.length - 1)
+      var i = 0
+      while (i < out.length) { out(i) = (toks(i), toks(i + 1)); i += 1 }
+      out
+    }
+  }
+
+  /** Greedy left-to-right non-overlapping merge of the pair (a, b) — the
+    * classic sequential BPE application. Within a run of consecutive
+    * matches the pair at position p+1 can only also match when a == b,
+    * so greedy L2R lands on exactly the even offsets of each run: the
+    * same result as the islands-parity window algebra the SQL oracle
+    * replays, computed in one pass with no window shuffles.
+    */
+  private def mergeKernel(a: String, b: String) = udf { (toks: Array[String]) =>
+    val merged = a + "_" + b
+    val out = new scala.collection.mutable.ArrayBuffer[String](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+        out += merged; i += 2
+      } else { out += toks(i); i += 1 }
+    }
+    out.toArray
+  }
+
   private def bpeRunUncached(s: SparkSession, dir: String, rounds: Int)
       : (Seq[(Int, String, String, Long, Long)], DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
-    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
-    var toks = Tables.documents(s, dir)
+    // the corpus stays in per-doc ARRAY form between rounds — each round
+    // is then (pair-count two-phase agg) + (one map pass) + (one sum
+    // agg), all scans with map-side combine and ZERO sorts, where the
+    // (doc, pos, token) long form paid ~4 corpus-sized window shuffles
+    // per round. Arrays are doc-sized (bounded), never corpus-sized.
+    var docs = Tables.documents(s, dir)
       .select(col("doc_id"),
-        posexplode(graft.functions.TextFunctions.tokens(lower(col("text"))))
-          .as(Seq("pos", "tok")))
+        graft.functions.TextFunctions.tokens(lower(col("text"))).as("toks"))
+      .filter(size(col("toks")) > 0)
       .localCheckpoint(true)
-    val t0 = toks
+    val before = docs.select(col("doc_id"), size(col("toks")).cast("long").as("n"))
+      .localCheckpoint(true)
     val learned = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, Long, Long)]
     for (r <- 1 to rounds) {
-      val top = toks
-        .withColumn("nxt", lead("tok", 1).over(wDoc))
-        .filter(col("nxt").isNotNull)
-        .groupBy("tok", "nxt").agg(count(lit(1)).as("c"))
+      val top = docs
+        .select(explode(adjacentPairs(col("toks"))).as("p"))
+        .groupBy(col("p._1").as("tok"), col("p._2").as("nxt"))
+        .agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("tok"), col("nxt")).limit(1)
         .collect()(0)
       val (a, b, c) = (top.getString(0), top.getString(1), top.getLong(2))
-      val flagged = toks
-        .withColumn("nxt", lead("tok", 1).over(wDoc))
-        .withColumn("m",
-          coalesce(col("tok") === a && col("nxt") === b, lit(false)))
-        // islands: consecutive match positions share (pos − rank-in-m)
-        .withColumn("runKey",
-          when(col("m"), col("pos") - row_number().over(
-            Window.partitionBy("doc_id", "m").orderBy("pos"))))
-        .withColumn("runStart",
-          min("pos").over(Window.partitionBy("doc_id", "m", "runKey")))
-        .withColumn("apply",
-          col("m") && (col("pos") - col("runStart")) % 2 === 0)
-      toks = flagged
-        .withColumn("absorbed",
-          coalesce(lag("apply", 1).over(wDoc), lit(false)))
-        .filter(!col("absorbed"))
-        .select(col("doc_id"),
-          (row_number().over(wDoc) - 1).as("pos"),
-          when(col("apply"), concat(lit(a), lit("_"), lit(b)))
-            .otherwise(col("tok")).as("tok"))
+      docs = docs
+        .select(col("doc_id"), mergeKernel(a, b)(col("toks")).as("toks"))
         .localCheckpoint(true)
-      learned += ((r, a, b, c, toks.count()))
+      val total = docs.agg(sum(size(col("toks")))).collect()(0).getLong(0)
+      learned += ((r, a, b, c, total))
     }
-    (learned.toSeq, t0, toks)
+    val after = docs.select(col("doc_id"), size(col("toks")).cast("long").as("n"))
+    (learned.toSeq, before, after)
   }
 }
