@@ -155,12 +155,11 @@ object Multimodal {
     * partition-parallel with no shuffle before the signature aggregate.
     */
   def phashPairs(s: SparkSession, dir: String, maxBucket: Int = 100000,
-                 gramHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-                   xxhash64(_)): DataFrame = {
+                 portableHash: Boolean = false): DataFrame = {
     // same rep-space verify + expansion as the portable twin (see
     // phashPairsPortable): the quadratic candidate stage runs on
     // DISTINCT signatures, copies come back by join
-    val sigs = phashSignatures(asBinaryPayload(s, dir), gramHash)
+    val sigs = phashSignatures(asBinaryPayload(s, dir), portableHash)
     val reps = sigs.groupBy("sig").agg(min("doc_id").as("rep_id"))
     expandRepPairs(
       Dedup.simhashBucketVerify(
