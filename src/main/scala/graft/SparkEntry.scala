@@ -1771,8 +1771,9 @@ object SparkEntry {
         |round(length(regexp_replace(text, '[a-zA-Z0-9\s]+', '', 'g')) / length(text), 6) AS punct_ratio
         |FROM w""".stripMargin,
     // per-source z-score calibration of the (6-decimal-rounded, hence
-    // engine-identical) stopword ratio; avg/stddev_samp differences land
-    // inside the checker's 1e-9 float tolerance; σ=0 guarded to z=0
+    // engine-identical) stopword ratio; z is ALSO rounded to 6 decimals
+    // on both sides — the raw division landed 1 ulp apart in r6 and the
+    // driver's exact hash renders full precision; σ=0 guarded to z=0
     "doc_quality_calibrate" ->
       """WITH w AS (SELECT doc_id, source,
         |  round(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
@@ -1781,8 +1782,8 @@ object SparkEntry {
         |  FROM documents),
         |s AS (SELECT source, avg(q) AS mu, stddev_samp(q) AS sigma FROM w GROUP BY 1)
         |SELECT w.doc_id, w.source, w.q,
-        |  CASE WHEN s.sigma <> 0 THEN (w.q - s.mu) / s.sigma ELSE 0.0 END AS z,
-        |  CASE WHEN s.sigma <> 0 THEN (w.q - s.mu) / s.sigma ELSE 0.0 END > -1.0 AS keep
+        |  round(CASE WHEN s.sigma <> 0 THEN (w.q - s.mu) / s.sigma ELSE 0.0 END, 6) AS z,
+        |  round(CASE WHEN s.sigma <> 0 THEN (w.q - s.mu) / s.sigma ELSE 0.0 END, 6) > -1.0 AS keep
         |FROM w JOIN s USING (source)""".stripMargin,
     "text_lang_id" ->
       """WITH w AS (SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),

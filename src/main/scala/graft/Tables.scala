@@ -30,8 +30,20 @@ object Tables {
           : Boolean = size > 128
     }
 
+  /** INVALIDATION CONTRACT: the cached relation snapshots the file list
+    * and schema at first load. Any path that rewrites a fixture dir IN
+    * PLACE (test regenerating parquet, external rewrite, `tools.ScaleUp`)
+    * must call [[invalidate]] afterwards, or subsequent loads serve a
+    * stale file index (reads fail or silently miss files). Appending NEW
+    * dirs needs nothing — the key includes `dir`.
+    */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     planCache.synchronized {
+      // drop entries owned by stopped sessions eagerly rather than
+      // waiting for LRU eviction — a stopped session's DataFrames are
+      // unusable and only pin memory (ADVICE r6)
+      val it = planCache.keySet.iterator()
+      while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
       val k = (spark, dir, name)
       val hit = planCache.get(k)
       if (hit != null) hit

@@ -64,6 +64,25 @@ object Lake {
       .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq
   }
 
+  /** Every published version: the manifest files present on disk. A
+    * manifest is published atomically (tmp + move in [[commit]]), so its
+    * presence IS the publication — aborted commits leave data files but
+    * never a manifest.
+    */
+  def publishedVersions(table: Path): Seq[Int] = {
+    val stream = Files.list(table)
+    try {
+      val Pat = "_manifest_v(\\d+)\\.json".r
+      val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val it = stream.iterator()
+      while (it.hasNext) it.next().getFileName.toString match {
+        case Pat(v) => out += v.toInt
+        case _      =>
+      }
+      out.toSeq.sorted
+    } finally stream.close()
+  }
+
   /** Read the table AS OF `version`: exactly the manifest's files. */
   def readVersion(s: SparkSession, table: Path, version: Int): DataFrame = {
     val files = liveFiles(table, version).map(f => table.resolve(f).toString)
@@ -264,7 +283,12 @@ object Lake {
           out.toSet
         } finally stream.close()
       }
-      val referenced = liveFiles(table, 1).toSet
+      // referenced = union over ALL published manifests, not just v1 —
+      // a file referenced only by a later version must survive the
+      // vacuum (ADVICE r6; here only v1 exists, but the helper must not
+      // bake that in)
+      val referenced = publishedVersions(table)
+        .flatMap(v => liveFiles(table, v)).toSet
       val orphans = inventory() -- referenced
       // audit the doomed rows BEFORE deletion (what a production vacuum
       // logs); explicit-path read, never through a manifest

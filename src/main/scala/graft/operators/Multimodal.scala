@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -156,10 +156,22 @@ object Multimodal {
     */
   def phashPairs(s: SparkSession, dir: String, maxBucket: Int = 100000,
                  portableHash: Boolean = false): DataFrame = {
-    // same rep-space verify + expansion as the portable twin (see
-    // phashPairsPortable): the quadratic candidate stage runs on
-    // DISTINCT signatures, copies come back by join
-    val sigs = phashSignatures(asBinaryPayload(s, dir), portableHash)
+    val gramHash: Column => Column =
+      if (portableHash) graft.functions.TextFunctions.portableTokenHash
+      else xxhash64(_)
+    phashPairsOf(asBinaryPayload(s, dir), gramHash, maxBucket)
+  }
+
+  /** Payload-level [[phashPairs]] — same rep-space verify + expansion as
+    * the portable twin (see [[phashPairsPortable]]): the quadratic
+    * candidate stage runs on DISTINCT signatures, copies come back by
+    * join. Exposed so specs can pin hash-variant equivalence on a
+    * synthetic corpus (the xxhash64 path has no SQL oracle).
+    */
+  private[operators] def phashPairsOf(payload: DataFrame,
+                                      gramHash: Column => Column,
+                                      maxBucket: Int = 100000): DataFrame = {
+    val sigs = phashSignatures(payload, gramHash)
     val reps = sigs.groupBy("sig").agg(min("doc_id").as("rep_id"))
     expandRepPairs(
       Dedup.simhashBucketVerify(

@@ -19,7 +19,7 @@ import org.apache.spark.sql.SparkSession
   * sbt "runMain graft.tools.ClusterSmoke"` — the standalone Worker
   * launches executor JVMs through SPARK_HOME's launcher, and
   * SPARK_SCALA_VERSION skips its source-tree build-directory probe
-  * (release layouts don't have one). Verified 23/23 green this round
+  * (release layouts don't have one). Verified 25/25 green this round
   * (the slice now also covers the stateful-streaming tail —
   * flatMapGroupsWithState session timeouts, watermark-late audits and
   * CDC last-writer-wins state cross JVM boundaries through the
@@ -57,7 +57,12 @@ object ClusterSmoke {
     // last-writer-wins state through executor JVM boundaries
     "stream_session_native",
     "stream_late_audit",
-    "stream_cdc_apply")
+    "stream_cdc_apply",
+    // r6 additions (VERDICT item 8): manifest set-algebra + explicit-path
+    // reads across JVMs, and the group-aware hash split's determinism
+    // under multi-executor partitioning
+    "lake_vacuum_orphans",
+    "ml_split_group")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -30,6 +30,32 @@ class Batch56Spec extends AnyFunSuite {
     }
   }
 
+  test("binned range join is output-bound: doubling both inputs ~4x the matches") {
+    // VERDICT r6 item 5: the binned variant's super-linear wall exponent
+    // (1.31 on the ×10 ScaleUp fixture) must be the OUTPUT's growth, not
+    // a plan defect. Its match set is Θ(S·N·span/R): duplicate both
+    // inputs (fresh supplier keys, same value distributions) and the
+    // total matched pairs — Σ n_events — must grow exactly 4×, i.e.
+    // quadratically in the common scale factor. The aggregate question
+    // itself is answered by q25RangeJoinPrefix at exponent 0.08.
+    import org.apache.spark.sql.functions._
+    val sup = graft.Tables.supplier(spark, sf)
+    val ev = graft.Tables.events(spark, sf)
+    def matches(s: org.apache.spark.sql.DataFrame,
+                e: org.apache.spark.sql.DataFrame): Long =
+      Relational.q25RangeJoinOf(s, e)
+        .agg(sum("n_events")).collect()(0).getLong(0)
+    val m1 = matches(sup, ev)
+    val sup2 = sup.unionByName(
+      sup.withColumn("s_suppkey", col("s_suppkey") + lit(1000000L)))
+    val ev2 = ev.unionByName(
+      ev.withColumn("event_id", col("event_id") + lit(1000000000L)))
+    val m4 = matches(sup2, ev2)
+    assert(m1 > 0, "fixture produced no matches — spec is vacuous")
+    assert(m4 === 4 * m1,
+      s"match set must scale as S·N: got $m4 for doubled inputs vs $m1")
+  }
+
   test("prefix-sum range join plan has no nested-loop join") {
     val plan = Relational.q25RangeJoinPrefix(spark, sf)
       .queryExecution.executedPlan.toString

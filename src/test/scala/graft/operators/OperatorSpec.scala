@@ -355,11 +355,13 @@ class OperatorSpec extends AnyFunSuite {
       val zs = rs.map(_._4)
       val n = zs.length.toDouble
       val mean = zs.sum / n
-      // z-scores standardize: mean 0, sample stddev 1 (per source)
-      assert(math.abs(mean) < 1e-9, s"$src z-mean $mean")
+      // z-scores standardize: mean 0, sample stddev 1 (per source).
+      // z is rounded to 6 decimals for the exact-hash oracle (r7), so
+      // each value carries ≤5e-7 rounding error — tolerances follow.
+      assert(math.abs(mean) < 1e-6, s"$src z-mean $mean")
       if (n > 1 && zs.exists(_ != 0.0)) {
         val sd = math.sqrt(zs.map(z => (z - mean) * (z - mean)).sum / (n - 1))
-        assert(math.abs(sd - 1.0) < 1e-9, s"$src z-sd $sd")
+        assert(math.abs(sd - 1.0) < 1e-6, s"$src z-sd $sd")
       }
       // the keep rule is exactly z > -1, and a calibrated cut keeps the
       // large majority of every source (that's the point vs a global cut)
@@ -372,7 +374,7 @@ class OperatorSpec extends AnyFunSuite {
     val mu = qs.sum / qs.length
     val sigma = math.sqrt(qs.map(q => (q - mu) * (q - mu)).sum / (qs.length - 1))
     bySrc.foreach { r =>
-      assert(math.abs(r._4 - (r._3 - mu) / sigma) < 1e-9, s"z replay doc ${r._1}")
+      assert(math.abs(r._4 - (r._3 - mu) / sigma) < 5.1e-7, s"z replay doc ${r._1}")
     }
   }
 
@@ -643,6 +645,37 @@ class OperatorSpec extends AnyFunSuite {
                    Multimodal.phashPairs(spark, sf))) {
       assert(df.collect().forall(_.getInt(2) <= 3))
     }
+  }
+
+  test("phash xxhash64 path matches the portable twin on a dup-structured corpus") {
+    // VERDICT r6 item 7: the production (xxhash64-gram) path is exactly
+    // the one no oracle value-checks — pin its pairing decisions against
+    // the portable twin on a synthetic corpus where the right answer is
+    // hash-independent: exact copies pair at hamming 0 under ANY gram
+    // hash, and unrelated payloads must pair under NEITHER. A refactor
+    // that breaks phashPairs(portableHash=false) turns this red.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog " * 8,
+      "pack my box with five dozen liquor jugs today " * 8,
+      "zqvx9 entirely different content stream 0x7f!! " * 8)
+    val corpus = texts.zipWithIndex.flatMap { case (t, i) =>
+      Seq((i * 10L + 1, t), (i * 10L + 2, t), (i * 10L + 3, t)) // 3 copies
+    }
+    val payload = corpus.toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    def pairSet(gh: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      Multimodal.phashPairsOf(payload, gh)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fast = pairSet(xxhash64(_))
+    val portable = pairSet(graft.functions.TextFunctions.portableTokenHash)
+    val expected = (0 until 3).flatMap { i =>
+      val ids = Seq(i * 10L + 1, i * 10L + 2, i * 10L + 3)
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    }.toSet
+    assert(fast === expected, "xxhash64 path missed/invented pairs")
+    assert(portable === expected, "portable path missed/invented pairs")
   }
 
   test("phash clusters: exact-copy pre-collapse matches the naive pairing") {
