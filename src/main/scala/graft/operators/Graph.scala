@@ -53,6 +53,13 @@ object Graph {
       // two codegen'd explodes beat one interpreted nested-lambda
       // combination expression (higher-order functions are
       // CodegenFallback): k² rows per order at k ≤ 7 is bounded fan-out
+      // (r7 negative result: folding the distinct+repartition into one
+      // hash(src,dst) exchange + within-partition dropDuplicates kept
+      // build_pairs flat but regressed common_neighbors 12.8 → 15.8 s at
+      // sf1 — the raw 33M-pair stream crossed the wire pre-dedup and the
+      // partial/final agg pair ran adjacent post-shuffle. The two-step
+      // form dedups map-side first; the round-robin exchange moves only
+      // the 12M survivors.)
       byOrder.select(col("ps"), explode(col("ps")).as("src"))
         .select(col("src"), explode(col("ps")).as("dst"))
         .filter(col("src") < col("dst"))
