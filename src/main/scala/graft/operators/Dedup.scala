@@ -659,7 +659,9 @@ object Dedup {
                                       maxRounds: Int = 20,
                                       driverMaxPairs: Long = 10000000L,
                                       distributedAlgo: String = "star"): DataFrame = {
-    val nPairs = pairs.count()
+    // driverMaxPairs == 0 forces the distributed path unconditionally —
+    // skip the guard count (a full pass over the pair set) entirely
+    val nPairs = if (driverMaxPairs == 0L) 1L else pairs.count()
     // Hybrid: the pair set is a vanishing fraction of the corpus by
     // construction (only near-dups appear), so up to `driverMaxPairs` the
     // component computation is driver-scale work — union-find in
@@ -830,6 +832,8 @@ object Dedup {
         .distinct()
         .localCheckpoint(eager = true)
       val newCnt = next.count()
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] round=$round edges=$oldCnt -> $newCnt")
       // fixed point: same canonical edge set (counts equal and no new
       // edges outside the old set). left_anti, not except: both sides
       // are already distinct by construction, and except would pay a

@@ -21,35 +21,51 @@ import graft.Tables
   */
 object Graph {
 
-  /** Distinct undirected co-purchase pairs, canonically oriented
-    * src < dst. One (orderkey-keyed) self-join plus a distinct — shared
-    * by [[pagerank]] and [[triangles]] through the family cache, the
-    * materialized edge-table shape every downstream graph pass reuses.
+  /** Per-order distinct part sets (orders with ≥ 2 parts) — the grouped-
+    * array root both edge derivations share: [[coPairs]] explodes the
+    * C(k,2) clique pairs, [[components]] explodes the (min, member) star
+    * edges. One corpus scan + one shuffle total for the whole family.
+    * Order size is schema-bounded (≤ 7 lines), so the arrays are tiny.
+    *
+    * fixture parquet is single-row-group (unsplittable): round-robin
+    * the narrow projection so the groupBy's PARTIAL aggregation (which
+    * runs on the scan partitioning, before the exchange) isn't a
+    * single task; a real cluster input arrives pre-split and this is
+    * a no-op.
     */
-  private[graft] def coPairs(s: SparkSession, dir: String): DataFrame =
-    FamilyCache.get(s, dir, "copairs") {
-      // Pair generation is GROUP-LOCAL (orders hold ≤ 7 lines), so the
-      // self-join formulation is overkill: collapse each order to its
-      // sorted distinct part set (one shuffle — collect_set partials are
-      // map-side) and emit the C(k,2) in-order pairs from the tiny array
-      // with pure codegen'd array ops. Only the final pair `distinct`
-      // shuffles edge-sized data. The r5 profile: the join formulation
-      // paid scan-distinct (3.9 s) + self-join (2.9 s) where this pays
-      // one grouped scan — and at 100 TB the argument is the same, the
-      // per-order array is schema-bounded so the explode never skews.
-      // fixture parquet is single-row-group (unsplittable): round-robin
-      // the narrow projection so the groupBy's PARTIAL aggregation (which
-      // runs on the scan partitioning, before the exchange) isn't a
-      // single task; a real cluster input arrives pre-split and this is
-      // a no-op. The final repartition sets the CACHED layout every
-      // family consumer streams from — session parallelism, not
-      // whatever AQE coalesced the distinct down to.
-      val byOrder = Tables.lineitem(s, dir)
+  private[graft] def coSets(s: SparkSession, dir: String): DataFrame =
+    FamilyCache.get(s, dir, "cosets") {
+      Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_partkey"))
         .repartition(s.sparkContext.defaultParallelism)
         .groupBy("l_orderkey")
         .agg(collect_set(col("l_partkey")).as("ps"))
         .filter(size(col("ps")) >= 2)
+        .select("ps")
+    }
+
+  /** Distinct undirected co-purchase pairs, canonically oriented
+    * src < dst — shared by [[pagerank]] and [[triangles]] through the
+    * family cache, the materialized edge-table shape every downstream
+    * graph pass reuses.
+    */
+  private[graft] def coPairs(s: SparkSession, dir: String): DataFrame = {
+    // resolve the shared root OUTSIDE the cache thunk (computeIfAbsent is
+    // not re-entrant — the FamilyCache contract)
+    val sets = coSets(s, dir)
+    FamilyCache.get(s, dir, "copairs") {
+      // Pair generation is GROUP-LOCAL (orders hold ≤ 7 lines), so the
+      // self-join formulation is overkill: emit the C(k,2) in-order pairs
+      // from the tiny cached per-order array with pure codegen'd array
+      // ops. Only the final pair `distinct` shuffles edge-sized data. The
+      // r5 profile: the join formulation paid scan-distinct (3.9 s) +
+      // self-join (2.9 s) where this pays one grouped scan — and at
+      // 100 TB the argument is the same, the per-order array is
+      // schema-bounded so the explode never skews. The final repartition
+      // sets the CACHED layout every family consumer streams from —
+      // session parallelism, not whatever AQE coalesced the distinct
+      // down to.
+      //
       // two codegen'd explodes beat one interpreted nested-lambda
       // combination expression (higher-order functions are
       // CodegenFallback): k² rows per order at k ≤ 7 is bounded fan-out
@@ -60,12 +76,13 @@ object Graph {
       // partial/final agg pair ran adjacent post-shuffle. The two-step
       // form dedups map-side first; the round-robin exchange moves only
       // the 12M survivors.)
-      byOrder.select(col("ps"), explode(col("ps")).as("src"))
+      sets.select(col("ps"), explode(col("ps")).as("src"))
         .select(col("src"), explode(col("ps")).as("dst"))
         .filter(col("src") < col("dst"))
         .distinct()
         .repartition(s.sparkContext.defaultParallelism)
     }
+  }
 
   /** Undirected degree per node — node-cardinality-sized, consumed
     * repeatedly by both graph operators (adjacency build, rank init,
@@ -391,10 +408,25 @@ object Graph {
     * the identical edge set.
     */
   def components(s: SparkSession, dir: String): DataFrame = {
-    val pairs = coPairs(s, dir)
-      .select(col("src").as("id_a"), col("dst").as("id_b"))
+    // Connectivity-equivalent STAR edges, not the clique pairs: an order's
+    // part set {p₁..pₖ} is a clique in the co-purchase graph, and a clique
+    // has the same connected components as its star (every member linked
+    // to the set minimum) over the same node set — so CC never needs the
+    // C(k,2) pair expansion or its edge-sized distinct at all. Σ(k−1)
+    // star edges vs Σ C(k,2) pairs (~2.5× fewer before dedup at k ≤ 7),
+    // and the input arrives NEAR-STAR already, so the contraction loop
+    // converges in fewer rounds. GraphGovSpec pins star-input CC ==
+    // pair-input CC; the value-checked SQL oracle (label propagation over
+    // the pair graph) is invariant to the swap because cluster ids are
+    // component minima.
+    // no persist: with driverMaxPairs=0 componentsOf skips its guard
+    // count, so the star subtree is consumed exactly once (the
+    // contraction's initial canonicalizing distinct)
+    val stars = coSets(s, dir)
+      .select(array_min(col("ps")).as("id_a"), explode(col("ps")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
     CacheLifecycle.materialize(
-      Dedup.componentsOf(s, pairs, driverMaxPairs = 0)
+      Dedup.componentsOf(s, stars, driverMaxPairs = 0)
         .groupBy("cluster_id").agg(count(lit(1)).as("n_members")))
   }
 
@@ -499,13 +531,19 @@ object Graph {
       val deg = edges.groupBy("a").agg(count(lit(1)).as("deg"))
         .localCheckpoint(true)
       survivors = deg.filter(col("deg") >= k)
-      val n = survivors.count()
+      // ONE scan of the checkpointed node table answers both loop tests
+      // (survivor count + total count) — two separate count() actions
+      // paid the per-job floor twice every round
+      val cnts = deg.agg(
+        sum(when(col("deg") >= k, 1L).otherwise(0L)).as("surv"),
+        count(lit(1)).as("all")).head()
+      val n = if (cnts.isNullAt(0)) 0L else cnts.getLong(0)
       // n == prev: the monotone ⊆ cascade repeated → fixpoint.
       // n == deg.count(): NOTHING fell below the bar this round, so the
       // induced subgraph is unchanged and the next test is identical —
       // skip the join round entirely (the common case once the core
       // stabilizes, and the whole query at scales where min degree > k)
-      if (n == prevCount || n == deg.count()) done = true
+      if (n == prevCount || n == cnts.getLong(1)) done = true
       else {
         prevCount = n
         r += 1

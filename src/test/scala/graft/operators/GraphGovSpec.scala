@@ -157,6 +157,27 @@ class GraphGovSpec extends AnyFunSuite {
     assert(star == driver)
   }
 
+  test("graph components: clique-star edge input equals pair input") {
+    import graft.Tables
+    // Graph.components feeds CC the per-order (min, member) STAR edges
+    // instead of the C(k,2) clique pairs — same connectivity, same node
+    // set, so identical (cluster_id, n_members). Pin it against the pair
+    // formulation rebuilt independently of the family cache.
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = li.as("a").join(li.as("b"), Seq("l_orderkey"))
+      .filter(col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("id_a"), col("b.l_partkey").as("id_b"))
+      .distinct().localCheckpoint(true)
+    val viaPairs = Dedup.componentsOf(spark, pairs)
+      .groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+      .collect().map(_.toString).sorted.toSeq
+    val viaStars = Graph.components(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaStars.nonEmpty)
+    assert(viaStars == viaPairs)
+  }
+
   test("pagerank driver-rank and join-rank regimes agree bit-for-bit") {
     // driverCap=0 forces the distributed broadcast-join path on the same
     // fixture the driver-map path serves — both regimes must emit the
