@@ -243,21 +243,6 @@ object Features {
       : (Seq[(Int, String, String, Long, Long)], DataFrame, DataFrame) =
     FamilyCache.side(s, dir, s"bpe$rounds")(bpeRunUncached(s, dir, rounds))
 
-  /** Adjacent-pair emission over a doc's token array — compiled kernel,
-    * same discipline as [[graft.functions.TextFunctions.shingles]]: the
-    * Column form (`transform(sequence(...))`) is CodegenFallback-
-    * interpreted and this runs corpus-wide once per merge round.
-    */
-  private val adjacentPairs = udf { (toks: Array[String]) =>
-    if (toks == null || toks.length < 2) Array.empty[(String, String)]
-    else {
-      val out = new Array[(String, String)](toks.length - 1)
-      var i = 0
-      while (i < out.length) { out(i) = (toks(i), toks(i + 1)); i += 1 }
-      out
-    }
-  }
-
   /** Greedy left-to-right non-overlapping merge of the pair (a, b) — the
     * classic sequential BPE application. Within a run of consecutive
     * matches the pair at position p+1 can only also match when a == b,
@@ -280,32 +265,64 @@ object Features {
   private def bpeRunUncached(s: SparkSession, dir: String, rounds: Int)
       : (Seq[(Int, String, String, Long, Long)], DataFrame, DataFrame) = {
     // the corpus stays in per-doc ARRAY form between rounds — each round
-    // is then (pair-count two-phase agg) + (one map pass) + (one sum
-    // agg), all scans with map-side combine and ZERO sorts, where the
+    // is then ONE job: pair-count two-phase agg, with the winning rule
+    // and the pair-total read off the tiny aggregate in the same action
+    // (argmax = min(struct(-c, tok, nxt)) — no TakeOrdered sort), all
+    // scans with map-side combine and ZERO sorts, where the
     // (doc, pos, token) long form paid ~4 corpus-sized window shuffles
     // per round. Arrays are doc-sized (bounded), never corpus-sized.
-    var docs = Tables.documents(s, dir)
+    //
+    // Two job classes the first cut paid are gone entirely:
+    //  - per-round corpus checkpoints: only 3 merge kernels ever stack,
+    //    each a cheap map over the ONE initial checkpoint, so recompute
+    //    beats materializing corpus-sized string arrays every round;
+    //  - per-round corpus token-count jobs: Σ len_r = Σ(len_r − 1) + |D|
+    //    and Σ(len_r − 1) is exactly the NEXT round's pair-count total,
+    //    already in its aggregate — only the final round pays a sum job.
+    def t[T](tag: String)(body: => T): T = {
+      val t0 = System.nanoTime(); val r = body
+      if (sys.env.contains("GRAFT_BPE_DEBUG"))
+        System.err.println(f"[bpe] $tag ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    var docs = t("tokenize+checkpoint")(Tables.documents(s, dir)
       .select(col("doc_id"),
         graft.functions.TextFunctions.tokens(lower(col("text"))).as("toks"))
       .filter(size(col("toks")) > 0)
-      .localCheckpoint(true)
+      .localCheckpoint(true))
     val before = docs.select(col("doc_id"), size(col("toks")).cast("long").as("n"))
-      .localCheckpoint(true)
-    val learned = scala.collection.mutable.ArrayBuffer
-      .empty[(Int, String, String, Long, Long)]
-    for (r <- 1 to rounds) {
-      val top = docs
-        .select(explode(adjacentPairs(col("toks"))).as("p"))
-        .groupBy(col("p._1").as("tok"), col("p._2").as("nxt"))
+    val nDocs = t("count")(docs.count())
+    val rules = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    val pairTotals = scala.collection.mutable.ArrayBuffer.empty[Long]
+    for (_ <- 1 to rounds) {
+      // adjacent pairs via slice + arrays_zip — fully codegen'd (both are
+      // ordinary array expressions, not CodegenFallback higher-order
+      // lambdas), beating even the compiled scala UDF by skipping the
+      // Tuple2 serializer round-trip per pair
+      val aggRow = t("round-agg")(docs
+        .select(explode(arrays_zip(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1))).as("p"))
+        .groupBy(col("p").getField("0").as("tok"),
+          col("p").getField("1").as("nxt"))
         .agg(count(lit(1)).as("c"))
-        .orderBy(col("c").desc, col("tok"), col("nxt")).limit(1)
-        .collect()(0)
-      val (a, b, c) = (top.getString(0), top.getString(1), top.getLong(2))
+        .agg(min(struct((-col("c")).as("nc"), col("tok"), col("nxt"))).as("m"),
+          sum(col("c")).as("s"))
+        .head())
+      val m = aggRow.getStruct(0)
+      val (a, b, c) = (m.getString(1), m.getString(2), -m.getLong(0))
+      pairTotals += aggRow.getLong(1)
+      rules += ((a, b, c))
       docs = docs
         .select(col("doc_id"), mergeKernel(a, b)(col("toks")).as("toks"))
-        .localCheckpoint(true)
-      val total = docs.agg(sum(size(col("toks")))).collect()(0).getLong(0)
-      learned += ((r, a, b, c, total))
+    }
+    val finalTotal = t("final-sum")(
+      docs.agg(sum(size(col("toks")))).head().getLong(0))
+    // corpus size after round r = pair total counted BY round r+1 + |D|
+    val learned = rules.zipWithIndex.map { case ((a, b, c), i) =>
+      val total =
+        if (i + 1 < pairTotals.length) pairTotals(i + 1) + nDocs else finalTotal
+      (i + 1, a, b, c, total)
     }
     val after = docs.select(col("doc_id"), size(col("toks")).cast("long").as("n"))
     (learned.toSeq, before, after)
