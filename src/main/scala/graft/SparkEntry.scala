@@ -211,7 +211,8 @@ object SparkEntry {
       graft.operators.Lake.vacuumOrphans(s, d)),
     "stream_lake_upsert" -> (StreamOps.streamLakeUpsert _),
     "stream_cdc_apply" -> (StreamOps.streamCdcApply _),
-    "q45_decile_lift" -> (Relational.q45DecileLift _),
+    "q45_decile_lift" -> ((s: SparkSession, d: String) =>
+      Relational.q45DecileLift(s, d)),
     "q46_chi_square" -> ((s: SparkSession, d: String) =>
       graft.operators.Drift.chiSquare(s, d)),
     "doc_drift_psi" -> ((s: SparkSession, d: String) =>

@@ -79,7 +79,12 @@ object DataQuality {
     */
   def constraints(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
-    val liWide = li.agg(
+    // key-uniqueness lives in its OWN aggregate: mixing count_distinct
+    // with the plain conditional sums makes Catalyst plan an Expand that
+    // doubles every fact row through the shuffle; split, the sums pass is
+    // a pure map-side-combined scan and the distinct pass shuffles only
+    // the two key columns — the two single-row results cross-join for free
+    val liSums = li.agg(
       sum(when(col("l_quantity") <= 0.0, 1L).otherwise(0L)).as("c1"),
       sum(when(col("l_discount") < 0.0 || col("l_discount") > 1.0, 1L)
         .otherwise(0L)).as("c2"),
@@ -89,15 +94,18 @@ object DataQuality {
         .as("c4"),
       sum(when(!col("l_linestatus").isin("O", "F"), 1L).otherwise(0L))
         .as("c5"),
-      sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("c6"),
+      sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("c6"))
+    val liDup = li.agg(
       (count(lit(1)) -
         count_distinct(col("l_orderkey"), col("l_linenumber"))).as("c7"))
+    val liWide = liSums.crossJoin(liDup)
     val ord = Tables.orders(s, dir)
     val ordWide = ord.agg(
       sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L))
         .as("c8"),
-      sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("c9"),
-      (count(lit(1)) - count_distinct(col("o_orderkey"))).as("c10"))
+      sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("c9"))
+      .crossJoin(ord.agg(
+        (count(lit(1)) - count_distinct(col("o_orderkey"))).as("c10")))
     val liLong = liWide.selectExpr(
       """stack(7,
         |'lineitem.quantity_positive', c1,

@@ -936,20 +936,81 @@ object Relational {
     * identical deciles; DESC NULLS LAST is spelled on both sides
     * (engines disagree on DESC null placement by default).
     */
-  def q45DecileLift(s: SparkSession, dir: String): DataFrame = {
+  /** Row count up to which the decile ranking runs as a plain
+    * unpartitioned window (ntile over three narrow columns through one
+    * task — the right plan while the scored frame is executor-sized);
+    * past it, the rank reconstruction below keeps every stage parallel.
+    */
+  private val DecileWindowRowCap = 20000000L
+
+  def q45DecileLift(s: SparkSession, dir: String,
+                    windowRowCap: Long = DecileWindowRowCap): DataFrame = {
     val enc = Features.targetEncodeLoo(s, dir)
     val o = Tables.orders(s, dir).select("o_orderkey", "o_totalprice")
     val scored = enc.join(o, "o_orderkey")
     val overall = scored.agg(avg("o_totalprice").as("overall_avg"))
-    scored
-      .withColumn("decile", ntile(10).over(
-        Window.orderBy(col("loo_price").desc_nulls_last, col("o_orderkey"))))
-      .groupBy("decile")
-      .agg(count(lit(1)).as("n"),
-        round(avg("o_totalprice"), 2).as("avg_actual"))
-      .crossJoin(broadcast(overall))
-      .select(col("decile"), col("n"), col("avg_actual"),
-        round(col("avg_actual") / col("overall_avg"), 6).as("lift"))
+    // scored is 1:1 with orders (key-preserving broadcast-encode join),
+    // so the regime picker is one parquet-metadata count, not a pass
+    // over the scored frame
+    if (Tables.orders(s, dir).count() <= windowRowCap) {
+      return scored
+        .withColumn("decile", ntile(10).over(
+          Window.orderBy(col("loo_price").desc_nulls_last, col("o_orderkey"))))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n"),
+          round(avg("o_totalprice"), 2).as("avg_actual"))
+        .crossJoin(broadcast(overall))
+        .select(col("decile"), col("n"), col("avg_actual"),
+          round(col("avg_actual") / col("overall_avg"), 6).as("lift"))
+    }
+    // DISTRIBUTED exact ntile: `ntile(10) OVER (ORDER BY ...)` plans an
+    // unpartitioned window — every row through ONE task, the classic
+    // global-sort scale trap. Instead: range-partition on the sort key
+    // (parallel local sorts), read each row's in-partition rank off
+    // monotonically_increasing_id (partition-ordered by construction:
+    // rank = id − (pid << 33), no window pass at all), then lift local
+    // ranks to GLOBAL ranks with the per-partition size prefix sums —
+    // partition-count-sized driver state, exact at any scale because the
+    // global rank only depends on the total order, not on where the
+    // sampled range boundaries fell. The ntile bucket is then pure
+    // arithmetic on (rank, N): the first N%10 buckets take ⌈N/10⌉ rows.
+    // AnalyticsOpsSpec pins both paths bucket-for-bucket on the same fixture.
+    val ranked = scored
+      .repartitionByRange(s.sparkContext.defaultParallelism,
+        col("loo_price").desc_nulls_last, col("o_orderkey"))
+      .sortWithinPartitions(col("loo_price").desc_nulls_last, col("o_orderkey"))
+      .withColumn("mid", monotonically_increasing_id())
+      .withColumn("pid", shiftright(col("mid"), 33).cast("int"))
+      .withColumn("lrn", (col("mid") - shiftleft(shiftright(col("mid"), 33), 33)
+        + lit(1L)).as("lrn"))
+      .persist()
+    try {
+      val sizes = ranked.groupBy("pid").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      val n = sizes.map(_._2).sum
+      val offsets = sizes.map(_._1).zip(
+        sizes.map(_._2).scanLeft(0L)(_ + _).dropRight(1))
+      val offDf = s.createDataFrame(offsets.toSeq)
+        .toDF("pid", "off")
+      val szSmall = n / 10
+      val nBig = n % 10
+      val bigSpan = (szSmall + 1) * nBig
+      val decile = when(lit(szSmall) === 0L || col("rn") <= bigSpan,
+        ceil(col("rn") / lit((szSmall + 1).toDouble)))
+        .otherwise(lit(nBig) +
+          ceil((col("rn") - lit(bigSpan)) / lit(szSmall.toDouble)))
+        .cast("int")
+      val out = ranked.join(broadcast(offDf), Seq("pid"))
+        .withColumn("rn", col("lrn") + col("off"))
+        .withColumn("decile", decile)
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n"),
+          round(avg("o_totalprice"), 2).as("avg_actual"))
+        .crossJoin(broadcast(overall))
+        .select(col("decile"), col("n"), col("avg_actual"),
+          round(col("avg_actual") / col("overall_avg"), 6).as("lift"))
+      CacheLifecycle.materialize(out)
+    } finally ranked.unpersist(blocking = false)
   }
 
   /** Rolling 7-day distinct actives (the WAU curve) — distinct-count

@@ -265,6 +265,19 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getDouble(3) > 0))
   }
 
+  test("decile lift: window and distributed-rank regimes agree exactly") {
+    // windowRowCap=0 forces the range-partition + rank-reconstruction
+    // path on the same fixture the window path serves — identical
+    // (decile, n, avg_actual, lift) rows pin the regime split as a
+    // purely physical choice
+    val viaWindow = Relational.q45DecileLift(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val viaRanks = Relational.q45DecileLift(spark, sf, windowRowCap = 0L)
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaRanks.nonEmpty)
+    assert(viaRanks == viaWindow)
+  }
+
   test("chi-square cells reconcile: totals, nonnegative contribs, summed stat") {
     val rows = Drift.chiSquare(spark, sf).collect()
     assert(rows.nonEmpty)
