@@ -193,18 +193,21 @@ object Lake {
       val a = readVersion(s, table, 1).select(col("doc_id"), col("text").as("t1"))
       val b = readVersion(s, table, 2).select(col("doc_id"), col("text").as("t2"))
       val j = a.join(b, Seq("doc_id"), "full_outer")
-      val feed = j.filter(col("t1").isNull)
-        .select(col("doc_id"), lit("insert").as("change_type"), col("t2").as("text"))
-        .unionByName(j.filter(col("t2").isNull)
-          .select(col("doc_id"), lit("delete").as("change_type"), col("t1").as("text")))
-        .unionByName(j.filter(col("t1").isNotNull && col("t2").isNotNull &&
-            col("t1") =!= col("t2"))
-          .select(col("doc_id"), lit("update_preimage").as("change_type"),
-            col("t1").as("text")))
-        .unionByName(j.filter(col("t1").isNotNull && col("t2").isNotNull &&
-            col("t1") =!= col("t2"))
-          .select(col("doc_id"), lit("update_postimage").as("change_type"),
-            col("t2").as("text")))
+      // ONE pass over the version join: each row conditionally expands to
+      // its 0/1/2 change rows through an array+explode projection — the
+      // union-of-filters form re-computed the full-outer join once per
+      // change type (4 scans of both versions)
+      val feed = j.select(col("doc_id"), explode(
+          when(col("t1").isNull,
+            array(struct(lit("insert").as("change_type"), col("t2").as("text"))))
+          .when(col("t2").isNull,
+            array(struct(lit("delete").as("change_type"), col("t1").as("text"))))
+          .when(col("t1") =!= col("t2"), array(
+            struct(lit("update_preimage").as("change_type"), col("t1").as("text")),
+            struct(lit("update_postimage").as("change_type"), col("t2").as("text"))))
+          .otherwise(array().cast("array<struct<change_type:string,text:string>>")))
+          .as("c"))
+        .select(col("doc_id"), col("c.change_type"), col("c.text"))
       // materialize before the temp table is deleted
       CacheLifecycle.materialize(feed)
     } finally {

@@ -62,7 +62,22 @@ object ClusterSmoke {
     // reads across JVMs, and the group-aware hash split's determinism
     // under multi-executor partitioning
     "lake_vacuum_orphans",
-    "ml_split_group")
+    "ml_split_group",
+    // r7 additions: star-edge contraction's iterative checkpoints across
+    // JVMs, and the distributed exact-ntile regime (range partitioner +
+    // monotonically_increasing_id rank reconstruction under real
+    // multi-executor partition ids)
+    "graph_components",
+    "q45_decile_lift_dist")
+
+  /** Regime-forcing entries that the public `SparkEntry.queries` map
+    * (rightly) serves through their fixture-scale fast path — the smoke
+    * must exercise the DISTRIBUTED path on real executor boundaries.
+    */
+  private val Forced: Map[String, (SparkSession, String) =>
+      org.apache.spark.sql.DataFrame] = Map(
+    "q45_decile_lift_dist" -> ((s, d) =>
+      graft.operators.Relational.q45DecileLift(s, d, windowRowCap = 0L)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
@@ -95,7 +110,8 @@ object ClusterSmoke {
     Slice.foreach { name =>
       val t0 = System.nanoTime()
       try {
-        val n = graft.SparkEntry.queries(name)(spark, sfDir).count()
+        val n = Forced.getOrElse(name, graft.SparkEntry.queries(name))(
+          spark, sfDir).count()
         println(f"[smoke] PASS $name%-22s rows=$n%-8d ${(System.nanoTime() - t0) / 1e9}%6.2f s")
       } catch {
         case e: Throwable =>
