@@ -81,10 +81,16 @@ class Batch44Spec extends AnyFunSuite {
     }
   }
 
-  test("dq_constraints is one scan per table and cross-checks recomputation") {
+  test("dq_constraints avoids the distinct Expand and cross-checks recomputation") {
     val p = planOf(DataQuality.constraints(spark, sf))
-    assert(lineitemScans(p) == 1,
-      s"constraint suite must fold into one lineitem scan:\n${p.take(2000)}")
+    // two scans per table BY DESIGN (r7): the conditional sums and the
+    // key-uniqueness distinct run as separate aggregates — folding them
+    // into one made Catalyst plan an Expand that doubled every fact row
+    // through the shuffle. The split plan must contain no Expand at all.
+    assert(lineitemScans(p) == 2,
+      s"constraint suite should split sums + distinct scans:\n${p.take(2000)}")
+    assert(!p.contains("Expand"),
+      s"mixed distinct aggregate reintroduced an Expand:\n${p.take(2000)}")
     val got = DataQuality.constraints(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got.size == 10)
