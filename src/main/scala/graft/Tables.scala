@@ -58,6 +58,7 @@ object Tables {
   def invalidate(): Unit = {
     planCache.synchronized(planCache.clear())
     schemaCache.clear()
+    graft.streaming.StreamOps.maxEventTs.clear()
   }
 
   /** Schema-only resolution, memoized per (path, nanos-conf) — used by the

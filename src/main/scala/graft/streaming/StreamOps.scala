@@ -12,6 +12,12 @@ object StreamOps {
 
   private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Per-corpus max event time (see stageEventsWithHeartbeats) — cleared
+    * by [[graft.Tables.invalidate]] when fixtures are rewritten in place.
+    */
+  private[graft] val maxEventTs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.time.Instant]()
+
   /** Stateful streaming operators allocate one state store PER shuffle
     * partition PER stateful operator; with local micro-batches of fixture
     * size, store initialization dominates wall time, so the streaming
@@ -893,8 +899,16 @@ object StreamOps {
     val srcFile = java.nio.file.Paths.get(dir, "events.parquet")
     val raw = ss.read.parquet(srcFile.toString)
     val rawTs = raw.schema("ts").dataType
-    val maxTs = graft.Tables.normalizeTs(raw)
-      .agg(max("ts")).collect()(0).getTimestamp(0).toInstant
+    // max event time is FIXTURE METADATA (one value per corpus dir), not
+    // per-query state: every heartbeat-staged streaming query needs it,
+    // and each was paying a full events scan for the same scalar. Cached
+    // per canonical dir (session-independent — the value is a property of
+    // the files); Tables.invalidate() clears it alongside the plan cache
+    // when a fixture is rewritten in place.
+    val maxTs = StreamOps.maxEventTs.computeIfAbsent(
+      srcFile.toRealPath().toString,
+      _ => graft.Tables.normalizeTs(raw)
+        .agg(max("ts")).collect()(0).getTimestamp(0).toInstant)
     // batch 1 is the source file VERBATIM — a byte copy, not a
     // decode→re-encode rewrite. The rewrite was the one staging cost that
     // grew linearly with data (single-threaded coalesce(1) encode) and
