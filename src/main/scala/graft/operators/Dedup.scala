@@ -569,7 +569,12 @@ object Dedup {
     */
   def simhashPairsPortable(s: SparkSession, dir: String,
                            maxBucket: Int = 100000): DataFrame =
-    simhashPairs(s, dir, maxBucket, portableTokenHash)
+    // family-memoized: BOTH the dedup_simhash_portable entry and the
+    // precision/recall audit (dedupEvalMetrics' arm) consume this exact
+    // pair set — without memoization whichever runs second re-hashed the
+    // whole corpus with the ~2× md5 tax
+    FamilyCache.get(s, dir, s"simhash_portable_$maxBucket")(
+      simhashPairs(s, dir, maxBucket, portableTokenHash))
 
   /** Fuzzy string join — entity-resolution flavor of near-dup detection:
     * per-part summary of other parts whose name is within edit distance
