@@ -51,7 +51,12 @@ object StatFunctions {
                      maxCollect: Int = 262144): Array[Double] = {
     val c = col(column).cast("double")
     val n = df.agg(count(c)).collect()(0).getLong(0)
-    require(n > 0, s"exactQuantiles over empty $column")
+    // quantiles of an empty column don't exist — return NaN per requested
+    // q (SQL's quantile_cont returns NULL on zero rows; NaN is the Array
+    // [Double] analog). Callers bucket/compare against the boundaries,
+    // and every comparison with NaN is false — so an empty input flows
+    // through to an empty result instead of aborting the whole job
+    if (n == 0) return qs.map(_ => Double.NaN).toArray
     val positions = qs.map(q => (n - 1) * q)
     val ranks = positions.flatMap(p =>
       Seq(math.floor(p).toLong, math.ceil(p).toLong)).distinct.sorted

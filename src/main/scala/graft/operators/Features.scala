@@ -294,7 +294,8 @@ object Features {
     val nDocs = t("count")(docs.count())
     val rules = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     val pairTotals = scala.collection.mutable.ArrayBuffer.empty[Long]
-    for (_ <- 1 to rounds) {
+    var exhausted = false
+    for (_ <- 1 to rounds if !exhausted) {
       // adjacent pairs via slice + arrays_zip — fully codegen'd (both are
       // ordinary array expressions, not CodegenFallback higher-order
       // lambdas), beating even the compiled scala UDF by skipping the
@@ -309,15 +310,22 @@ object Features {
         .agg(min(struct((-col("c")).as("nc"), col("tok"), col("nxt"))).as("m"),
           sum(col("c")).as("s"))
         .head())
-      val m = aggRow.getStruct(0)
-      val (a, b, c) = (m.getString(1), m.getString(2), -m.getLong(0))
-      pairTotals += aggRow.getLong(1)
-      rules += ((a, b, c))
-      docs = docs
-        .select(col("doc_id"), mergeKernel(a, b)(col("toks")).as("toks"))
+      // a corpus can run out of adjacent pairs before `rounds` (every doc
+      // merged to a single token, or empty/degenerate input): the global
+      // aggregate still returns its one row, but with null min/sum —
+      // training is complete, stop learning rules rather than NPE
+      if (aggRow.isNullAt(0)) exhausted = true
+      else {
+        val m = aggRow.getStruct(0)
+        val (a, b, c) = (m.getString(1), m.getString(2), -m.getLong(0))
+        pairTotals += aggRow.getLong(1)
+        rules += ((a, b, c))
+        docs = docs
+          .select(col("doc_id"), mergeKernel(a, b)(col("toks")).as("toks"))
+      }
     }
-    val finalTotal = t("final-sum")(
-      docs.agg(sum(size(col("toks")))).head().getLong(0))
+    val finalRow = t("final-sum")(docs.agg(sum(size(col("toks")))).head())
+    val finalTotal = if (finalRow.isNullAt(0)) 0L else finalRow.getLong(0)
     // corpus size after round r = pair total counted BY round r+1 + |D|
     val learned = rules.zipWithIndex.map { case ((a, b, c), i) =>
       val total =

@@ -315,10 +315,18 @@ object Similarity {
       .filter(col("vec_id") < math.max(numCells, ksub))
       .orderBy("vec_id").select("v")
       .collect().map(_.getAs[scala.collection.Seq[Float]](0).toArray)
+    // an empty corpus has no seed vectors — no index, no queries, empty
+    // result (schema intact); a sub-ksub corpus just gets a smaller
+    // codebook (recall degrades gracefully, correctness is the rerank's)
+    if (seeds.isEmpty)
+      return s.range(0).select(col("id").as("query_id"),
+        col("id").as("neighbor_id"), lit(0.0).as("cosine"),
+        lit(0).cast("int").as("rank"))
     val centroids = seeds.take(numCells).map(_.map(_.toDouble))
     // codebooks(m)(c) = seed c's m-th subvector, widened once
+    val ksubEff = math.min(ksub, seeds.length)
     val codebooks: Array[Array[Array[Double]]] = Array.tabulate(numSub) { m =>
-      Array.tabulate(ksub) { c =>
+      Array.tabulate(ksubEff) { c =>
         seeds(c).slice(m * dsub, (m + 1) * dsub).map(_.toDouble)
       }
     }
@@ -853,6 +861,11 @@ object Similarity {
   def pcaProject(s: SparkSession, dir: String, nDims: Int = 8,
                  k: Int = 2): DataFrame = {
     val cells = covarianceMatrix(s, dir, nDims).collect()
+    // covar_samp is null below 2 vectors — the PCA fit doesn't exist, so
+    // the projection is the empty frame (schema intact), not a crash
+    if (cells.exists(_.isNullAt(2)))
+      return s.range(0).select(col("id").as("vec_id") +:
+        (1 to k).map(j => lit(0.0).as(s"pc$j")): _*)
     val m = Array.ofDim[Double](nDims, nDims)
     cells.foreach { r =>
       val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))

@@ -554,7 +554,14 @@ object TextOps {
     val hashed = evalShingles.select(xxhash64(col("sh")).as("h"))
     // expected-items sizing needs the dictionary cardinality — one small
     // aggregation over the EVAL side only (the small side by definition)
-    val nEval = math.max(hashed.count(), 1L)
+    val nEvalRaw = hashed.count()
+    // empty eval dictionary: nothing can be contaminated, and Spark's
+    // distributed bloom build returns a null filter over zero rows —
+    // answer directly instead of serializing it
+    if (nEvalRaw == 0)
+      return train.select(col("doc_id"), lit(0L).as("n_shared"),
+        lit(false).as("contaminated"))
+    val nEval = math.max(nEvalRaw, 1L)
     val bloom = hashed.stat.bloomFilter("h", nEval, fpp)
     val bytes = {
       val bos = new java.io.ByteArrayOutputStream()

@@ -585,8 +585,12 @@ object StreamOps {
     val watch = stage.resolve("watch")
     java.nio.file.Files.createDirectory(watch)
     try {
-      val heartbeatTs = ev.agg(max("ts")).collect()(0).getTimestamp(0)
-        .toInstant.plus(java.time.Duration.ofDays(20))
+      // empty corpus: anchor the heartbeat at the epoch (same contract as
+      // stageEventsWithHeartbeats) — the audit then drains to zero rows
+      val hbRow = ev.agg(max("ts")).collect()(0)
+      val heartbeatTs = (if (hbRow.isNullAt(0)) java.time.Instant.EPOCH
+                         else hbRow.getTimestamp(0).toInstant)
+        .plus(java.time.Duration.ofDays(20))
       def stageFile(df: DataFrame, n: Int): Unit = {
         val tmp = stage.resolve(s"tmp$n")
         df.coalesce(1).write.parquet(tmp.toString)
@@ -907,8 +911,15 @@ object StreamOps {
     // when a fixture is rewritten in place.
     val maxTs = StreamOps.maxEventTs.computeIfAbsent(
       srcFile.toRealPath().toString,
-      _ => graft.Tables.normalizeTs(raw)
-        .agg(max("ts")).collect()(0).getTimestamp(0).toInstant)
+      _ => {
+        // empty corpus (a stream that hasn't received data yet): max(ts)
+        // is null — anchor heartbeats at the epoch so staging still
+        // produces schema-complete batches and the query drains to an
+        // empty result instead of NPEing on the driver
+        val r = graft.Tables.normalizeTs(raw).agg(max("ts")).collect()(0)
+        if (r.isNullAt(0)) java.time.Instant.EPOCH
+        else r.getTimestamp(0).toInstant
+      })
     // batch 1 is the source file VERBATIM — a byte copy, not a
     // decode→re-encode rewrite. The rewrite was the one staging cost that
     // grew linearly with data (single-threaded coalesce(1) encode) and

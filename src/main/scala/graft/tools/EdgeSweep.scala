@@ -1,0 +1,106 @@
+package graft.tools
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+
+/** Degenerate-input robustness sweep: runs EVERY SparkEntry query against
+  * a fixture whose tables are empty (0 rows) or tiny (3 rows), and reports
+  * per-query outcome. At cluster scale both shapes are routine — a filter
+  * that drops everything, a fresh corpus, a partition with one straggler
+  * row — and an operator that NPEs on them (the q25RangeJoinPrefix bug
+  * ADVICE r6 caught: a driver-side stats collect whose min/max come back
+  * null) takes the whole pipeline down, not just one partition.
+  *
+  * The sweep fixture preserves the exact fixture contract (ONE flat
+  * parquet file per table named <t>.parquet — the streaming stagers
+  * byte-copy that file) by writing each truncated table through a temp
+  * directory and renaming the single part file into place. `events.ts`
+  * round-trips through the nanos-as-long legacy read as a plain INT64
+  * column, which Tables.normalizeTs already converts on every consumer
+  * path.
+  *
+  * Usage: EdgeSweep <srcSfDir> <empty|tiny> [nameSubstringFilter]
+  * Exit code = number of failing queries (0 = fully robust).
+  */
+object EdgeSweep {
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val mode = if (args.length > 1) args(1) else "empty"
+    val filter = if (args.length > 2) Some(args(2)) else None
+    val n = mode match {
+      case "empty" => 0
+      case "tiny"  => 3
+      case other   => sys.error(s"mode must be empty|tiny, got $other")
+    }
+    val spark = graft.GraftSession.builder(s"graft-edgesweep-$mode", "8")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      val dir = buildFixture(spark, src, n)
+      val failures = sweep(spark, dir.toString, filter)
+      println(s"[edgesweep] mode=$mode failures=${failures.size}")
+      failures.foreach { case (q, e) => println(s"[edgesweep] FAIL $q : $e") }
+      if (failures.nonEmpty) sys.exit(failures.size.min(100))
+    } finally spark.stop()
+  }
+
+  /** Truncate every fixture table to `n` rows under a temp dir, keeping
+    * the one-flat-file-per-table contract.
+    */
+  def buildFixture(s: SparkSession, src: String, n: Int): java.nio.file.Path = {
+    val dst = java.nio.file.Files.createTempDirectory(s"graft_edge_${n}_")
+    // events ts is TIMESTAMP(NANOS) in the driver fixtures — readable
+    // only under the legacy conf (as long); all consumers normalize
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for (t <- graft.Tables.names) {
+      val df = s.read.parquet(s"$src/$t.parquet").limit(n)
+      val tmp = dst.resolve(s"_stage_$t")
+      df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).iterator()
+      var moved = false
+      while (part.hasNext && !moved) {
+        val p = part.next()
+        if (p.getFileName.toString.endsWith(".parquet")) {
+          java.nio.file.Files.move(p, dst.resolve(s"$t.parquet"))
+          moved = true
+        }
+      }
+      require(moved, s"no part file produced for $t")
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+    dst
+  }
+
+  /** Run every query against `dir`, forcing with count(); returns the
+    * failing (name, error) pairs.
+    */
+  def sweep(s: SparkSession, dir: String,
+            filter: Option[String] = None): Seq[(String, String)] = {
+    val selected = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (k, _) => filter.forall(k.contains) }
+    val bad = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    for ((name, fn) <- selected) {
+      val t0 = System.nanoTime()
+      try {
+        val rows = fn(s, dir).count()
+        val ms = (System.nanoTime() - t0) / 1000000
+        println(f"[edgesweep] OK   $name%-28s rows=$rows%-6d ${ms}ms")
+      } catch {
+        case e: Throwable =>
+          val root = rootCause(e)
+          val msg = s"${root.getClass.getSimpleName}: " +
+            Option(root.getMessage).getOrElse("").linesIterator
+              .take(1).mkString.take(160)
+          println(s"[edgesweep] FAIL $name : $msg")
+          bad += name -> msg
+      }
+    }
+    bad.toSeq
+  }
+
+  private def rootCause(e: Throwable): Throwable = {
+    var c = e
+    while (c.getCause != null && c.getCause != c) c = c.getCause
+    c
+  }
+}

@@ -1,0 +1,38 @@
+package graft.tools
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SparkTestSession.{sf, spark}
+
+/** Degenerate-input contract: every operator must survive an EMPTY corpus
+  * (and by the full `tools.EdgeSweep` runs, a 3-row one) — at cluster
+  * scale a filter that drops everything or a fresh stream with no data
+  * yet is routine, and a driver-side NPE there takes down the whole
+  * pipeline. This spec replays the sweep for the operator families the
+  * r7 sweep actually caught crashing (null max-event-time heartbeat
+  * anchors, null BPE argmax, null bloom build, empty quantile axis, null
+  * covariance fit, empty PQ seed set) plus the q25 prefix form ADVICE r6
+  * flagged — the fast canary slice; `runMain graft.tools.EdgeSweep <dir>
+  * empty|tiny` covers all 206.
+  */
+class EdgeSweepSpec extends AnyFunSuite {
+
+  private val canaries = Seq(
+    "ann_ivf_pq", "emb_pca_project", "q41_quantile_bucket",
+    "q25_range_join", "text_decontaminate_bloom",
+    "tok_bpe_train", "tok_bpe_encode",
+    "stream_sessionize", "stream_late_audit")
+
+  test("canary operators survive a fully empty corpus") {
+    val dir = EdgeSweep.buildFixture(spark, sf, 0).toString
+    for (name <- canaries) {
+      val rows = graft.SparkEntry.queries(name)(spark, dir).count()
+      // empty in → empty out for every canary (none synthesizes rows)
+      assert(rows === 0, s"$name returned $rows rows on an empty corpus")
+    }
+    // fixture dirs are temp-dir scoped; Tables caches them per dir key,
+    // so no invalidation is needed — but drop the streaming metadata
+    // cache entry to keep the shared-session state clean for other specs
+    graft.Tables.invalidate()
+  }
+}
