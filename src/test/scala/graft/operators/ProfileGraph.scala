@@ -61,16 +61,25 @@ object ProfileGraph {
     }
     val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
 
-    // ---- common neighbors stages
-    val byCenter = edges.join(broadcast(deg), col("src") === col("node"))
-      .filter(col("dst") % 4 === 0)
-      .select(col("src").as("b"), col("dst").as("n"), col("deg").as("db"))
+    // ---- common neighbors stages (grouped-array wedge form, r7)
+    val byCenter = time("cn byCenter") {
+      val b = edges.filter(col("dst") % 4 === 0)
+        .groupBy(col("src").as("b"))
+        .agg(sort_array(collect_set(col("dst"))).as("ns"))
+        .filter(size(col("ns")) >= 2)
+        .join(broadcast(deg), col("b") === col("node"))
+        .select((lit(1.0) / log(col("deg"))).as("w"), col("ns"))
+        .persist()
+      println(s"  centers=${b.count()}"); b
+    }
     val cn = time("cn wedge agg") {
-      val c = byCenter.as("x").join(broadcast(byCenter.as("y")),
-          col("x.b") === col("y.b") && col("x.n") < col("y.n"))
-        .groupBy(col("x.n").as("a"), col("y.n").as("c"))
-        .agg(count(lit(1)).as("cn"),
-          round(sum(lit(1.0) / log(col("x.db"))), 6).as("aa"))
+      val c = byCenter
+        .select(col("w"), col("ns"), explode(col("ns")).as("a"))
+        .select(col("w"), col("a"), explode(col("ns")).as("c"))
+        .filter(col("a") < col("c"))
+        .repartition(col("a"))
+        .groupBy(col("a"), col("c"))
+        .agg(count(lit(1)).as("cn"), round(sum(col("w")), 6).as("aa"))
         .filter(col("cn") >= 2).persist()
       println(s"  cn-pairs=${c.count()}"); c
     }
