@@ -48,6 +48,7 @@ object SparkEntry {
     "q19_percentiles" -> (Relational.q19Percentiles _),
     "q20_approx_agg" -> (Relational.q20ApproxAgg _),
     "q24_asof_join" -> (Relational.q24AsofJoin _),
+    "q24_asof_join_native" -> (Relational.q24AsofJoinNative _),
     // the headline range join runs the linear prefix-sum form; the
     // match-materializing binned equi-join stays gated as its own entry
     "q25_range_join" -> (Relational.q25RangeJoinPrefix _),
@@ -1817,6 +1818,16 @@ object SparkEntry {
     // the asof oracle is DuckDB's NATIVE ASOF JOIN — an independent
     // implementation of the same semantics, not a transcription of ours
     "q24_asof_join" ->
+      """WITH c0 AS (SELECT user_id, ts, max(event_id) AS click_id FROM events
+        |            WHERE event_type = 'click' GROUP BY 1, 2),
+        |c AS (SELECT c0.user_id, c0.ts, c0.click_id, e.value AS click_value
+        |      FROM c0 JOIN events e ON e.event_id = c0.click_id),
+        |err AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'error')
+        |SELECT err.event_id, err.user_id, c.click_id, c.ts AS click_ts, c.click_value
+        |FROM err ASOF LEFT JOIN c ON err.user_id = c.user_id AND err.ts >= c.ts""".stripMargin,
+    // the NATIVE-operator twin (graft.plans.AsOfJoinExec) answers the
+    // identical question — same independent DuckDB ASOF JOIN oracle
+    "q24_asof_join_native" ->
       """WITH c0 AS (SELECT user_id, ts, max(event_id) AS click_id FROM events
         |            WHERE event_type = 'click' GROUP BY 1, 2),
         |c AS (SELECT c0.user_id, c0.ts, c0.click_id, e.value AS click_value

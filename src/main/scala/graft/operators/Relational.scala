@@ -299,6 +299,30 @@ object Relational {
       .select("event_id", "user_id", "click_id", "click_ts", "click_value")
   }
 
+  /** [[q24AsofJoin]] through the NATIVE as-of operator
+    * (`graft.plans.AsOfJoinExec` — custom LogicalPlan + Strategy +
+    * physical merge, the whole-operator extension tier): same clicks
+    * dedup, same output, same oracle; the plan replaces the tagged
+    * union + carry-forward window with one streaming merge per
+    * key-clustered sorted partition. Spec-pinned row-identical to the
+    * composed form; the oracle value-checks both.
+    */
+  def q24AsofJoinNative(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .groupBy("user_id", "ts")
+      .agg(max(struct(col("event_id"), col("value"))).as("m"))
+      .select(col("user_id").as("r_uid"), col("ts").as("click_ts"),
+        col("m.event_id").as("click_id"), col("m.value").as("click_value"))
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    graft.plans.AsOfJoin.joinAsOf(errors, clicks,
+        keys = Seq("user_id" -> "r_uid"),
+        leftTsCol = "ts", rightTsCol = "click_ts")
+      .select(col("event_id"), col("user_id"), col("click_id"),
+        col("click_ts"), col("click_value"))
+  }
+
   /** Range (interval) join (beyond the reference): events whose value falls
     * in a per-supplier band, aggregated per supplier. A naive inequality
     * join is a nested loop; the scale form bins the value axis — each

@@ -1,0 +1,186 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftSqlShims, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Native as-of join — the whole-operator extension tier: a custom
+  * LogicalPlan + planner Strategy + physical SparkPlan, registered either
+  * programmatically ([[AsOfJoin.register]]) or through
+  * `spark.sql.extensions=graft.plans.GraftExtensions`.
+  *
+  * Semantics (pandas merge_asof backward-inclusive / kdb aj): for every
+  * left row, append the LATEST right row of the same key whose timestamp
+  * is at-or-before the left's; no match → null right columns (left
+  * outer). Ties on the right timestamp resolve to the last row in the
+  * right's (keys, ts) sort order — pre-deduplicate the right per
+  * (key, ts) when that order is not unique, as q24 does.
+  *
+  * Why an operator instead of composition: the composed form (tagged
+  * union + `last(_, ignoreNulls)` window, `Relational.q24AsofJoin`) is
+  * already shuffle-minimal — it funnels both sides through ONE union
+  * exchange and one window sort. The native exec is the classical
+  * database plan: both sides hash-clustered on the key and sorted
+  * (key, ts), then a streaming merge holding exactly one buffered right
+  * row — no null-padded row widening, no window frame state, memory
+  * O(1) per partition regardless of how many right rows precede a left
+  * row. Measured honestly (sweeps=3 medians on the ×10 fixture): the
+  * composed form wins at fixture scale (0.34 s vs 0.87 s) because the
+  * native plan schedules one more shuffle stage than the union and the
+  * inputs are small; the native shape's advantage is structural — per-
+  * side sorts parallelize independently, and the merge never widens
+  * rows — not a fixture-scale wall-clock win. Both stay oracle-gated.
+  *
+  * 100 TB shape: identical to a sort-merge join — hash-partition both
+  * sides on the key, sort within partitions, merge streams. Skew answers
+  * the same way it does for SMJ (AQE skew handling operates on the
+  * exchanges below this node).
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTs: Expression, rightTs: Expression)
+  extends BinaryNode {
+  require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
+    "as-of join needs matching non-empty key lists")
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoinPlan]] to [[AsOfJoinExec]]; everything else falls
+  * through to the built-in strategies.
+  */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical as-of merge join. Declares the same child requirements as a
+  * sort-merge join — ClusteredDistribution on the keys (EnsureRequirements
+  * inserts compatible exchanges / reuses existing partitionings) and
+  * (keys, ts) ascending sort — then merges the two sorted streams
+  * partition-by-partition with one buffered right row.
+  */
+case class AsOfJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTs: Expression, rightTs: Expression)
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTs, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTs, Ascending))
+
+  // left rows pass through unchanged and in order
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] =
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTs, Ascending)
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val (lOut, rOut, outAttrs) = (left.output, right.output, output)
+    val (lk, rk, lt, rt) = (leftKeys, rightKeys, leftTs, rightTs)
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      if (!lIter.hasNext) Iterator.empty
+      else new Iterator[InternalRow] {
+        private val lKeyProj = UnsafeProjection.create(lk, lOut)
+        private val rKeyProj = UnsafeProjection.create(rk, rOut)
+        private val lTsProj = UnsafeProjection.create(Seq(lt), lOut)
+        private val rTsProj = UnsafeProjection.create(Seq(rt), rOut)
+        private val keyOrd =
+          RowOrdering.createNaturalAscendingOrdering(lk.map(_.dataType))
+        private val tsOrd =
+          RowOrdering.createNaturalAscendingOrdering(Seq(lt.dataType))
+        private val joined = new JoinedRow
+        private val nullRight = new GenericInternalRow(rOut.length)
+        // bind the right side NULLABLE regardless of the child schema —
+        // unmatched left rows emit the null row, and a non-nullable
+        // binding would read primitive fields without the null check
+        // (nulls silently become 0/0.0)
+        private val resultProj = UnsafeProjection.create(
+          outAttrs, lOut ++ rOut.map(_.withNullability(true)))
+        // single-row right-side state: the latest right row at-or-before
+        // the current left row, and its key. Row iterators reuse their
+        // buffers, so anything held across next() calls is copied.
+        private var rHead: InternalRow =
+          if (rIter.hasNext) rIter.next() else null
+        private var lastRight: InternalRow = null
+        private var lastRightKey: UnsafeRow = null
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val lKey = lKeyProj(l) // valid until the next lKeyProj call
+          val lTsRow = lTsProj(l)
+          if (lastRightKey != null && keyOrd.compare(lastRightKey, lKey) != 0) {
+            lastRight = null; lastRightKey = null
+          }
+          var advancing = true
+          while (advancing && rHead != null) {
+            val c = keyOrd.compare(rKeyProj(rHead), lKey)
+            if (c < 0) { // right group already behind every remaining left
+              rHead = if (rIter.hasNext) rIter.next() else null
+            } else if (c == 0 && tsOrd.compare(rTsProj(rHead), lTsRow) <= 0) {
+              lastRight = rHead.copy()
+              if (lastRightKey == null) lastRightKey = lKey.copy()
+              rHead = if (rIter.hasNext) rIter.next() else null
+            } else advancing = false
+          }
+          joined(l, if (lastRight != null) lastRight else nullRight)
+          resultProj(joined)
+        }
+      }
+    }
+  }
+}
+
+/** User-facing entry point (DataFrame in, DataFrame out). */
+object AsOfJoin {
+
+  /** Make [[AsOfJoinStrategy]] available on `spark` (idempotent). */
+  def register(spark: SparkSession): Unit =
+    GraftSqlShims.addStrategy(spark, AsOfJoinStrategy)
+
+  /** Backward-inclusive as-of join of `left` onto `right` on equal
+    * `keys`, matching the latest `right(rightTsCol)` at-or-before
+    * `left(leftTsCol)`. Column names must be disjoint apart from the
+    * keys; right columns (keys included, under their right-side names)
+    * are appended nullable.
+    */
+  def joinAsOf(left: DataFrame, right: DataFrame, keys: Seq[(String, String)],
+               leftTsCol: String, rightTsCol: String): DataFrame = {
+    val spark = left.sparkSession
+    register(spark)
+    val lPlan = GraftSqlShims.analyzed(left)
+    val rPlan = GraftSqlShims.analyzed(right)
+    def attr(plan: LogicalPlan, name: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not found among ${plan.output.map(_.name)}"))
+    GraftSqlShims.ofRows(spark, AsOfJoinPlan(
+      lPlan, rPlan,
+      keys.map { case (ln, _) => attr(lPlan, ln) },
+      keys.map { case (_, rn) => attr(rPlan, rn) },
+      attr(lPlan, leftTsCol), attr(rPlan, rightTsCol)))
+  }
+}

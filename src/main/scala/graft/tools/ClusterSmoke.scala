@@ -68,7 +68,12 @@ object ClusterSmoke {
     // monotonically_increasing_id rank reconstruction under real
     // multi-executor partition ids)
     "graph_components",
-    "q45_decile_lift_dist")
+    "q45_decile_lift_dist",
+    // native as-of join: custom SparkPlan zipPartitions merge — the
+    // co-partitioning contract (two ClusteredDistribution children) and
+    // the streaming merge's row-buffer copies must hold across real
+    // executor shuffles, not just local[n]'s in-process exchanges
+    "q24_asof_join_native")
 
   /** Regime-forcing entries that the public `SparkEntry.queries` map
     * (rightly) serves through their fixture-scale fast path — the smoke

@@ -1,0 +1,74 @@
+package graft.plans
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SparkTestSession.{sf, spark}
+
+/** The native as-of operator (custom LogicalPlan + Strategy + physical
+  * merge) against three independent anchors: the composed window form on
+  * the real fixture (the DuckDB ASOF JOIN oracle value-checks both in the
+  * driver gate), a hand-computed synthetic corpus covering the edge
+  * semantics, and the physical-plan shape.
+  */
+class AsOfJoinSpec extends AnyFunSuite {
+
+  test("native as-of equals the composed window form on the fixture") {
+    val composed = graft.operators.Relational.q24AsofJoin(spark, sf)
+    val native = graft.operators.Relational.q24AsofJoinNative(spark, sf)
+    assert(composed.count() > 0)
+    assert(composed.exceptAll(native).isEmpty && native.exceptAll(composed).isEmpty,
+      "native and composed as-of joins disagree")
+  }
+
+  test("as-of semantics on a synthetic corpus: backward-inclusive, per-key, null on no-match") {
+    import spark.implicits._
+    def ts(m: Int) = Timestamp.valueOf(f"2026-01-01 00:$m%02d:00")
+    // key 1: quotes at :10 and :20; key 2: quote at :30; key 3: none
+    val right = Seq((1L, ts(10), 100.0), (1L, ts(20), 200.0), (2L, ts(30), 300.0))
+      .toDF("r_k", "r_ts", "px")
+    val left = Seq(
+      (1L, ts(5), "before-any"), (1L, ts(10), "at-equal"),
+      (1L, ts(15), "between"), (1L, ts(25), "after-last"),
+      (2L, ts(30), "other-key"), (3L, ts(40), "no-right-key"))
+      .toDF("k", "ts", "tag")
+    val out = AsOfJoin.joinAsOf(left, right, Seq("k" -> "r_k"), "ts", "r_ts")
+      .select("tag", "px").as[(String, Option[Double])].collect().toMap
+    assert(out("before-any") === None)       // strictly before every right ts
+    assert(out("at-equal") === Some(100.0))  // inclusive at equality
+    assert(out("between") === Some(100.0))   // latest at-or-before, not nearest
+    assert(out("after-last") === Some(200.0))
+    assert(out("other-key") === Some(300.0)) // never crosses keys
+    assert(out("no-right-key") === None)
+  }
+
+  test("empty sides degrade to the left-outer contract") {
+    import spark.implicits._
+    val right = Seq((1L, Timestamp.valueOf("2026-01-01 00:00:00"), 1.0))
+      .toDF("r_k", "r_ts", "px")
+    val noLeft = Seq.empty[(Long, Timestamp, String)].toDF("k", "ts", "tag")
+    assert(AsOfJoin.joinAsOf(noLeft, right, Seq("k" -> "r_k"), "ts", "r_ts")
+      .count() === 0)
+    val left = Seq((1L, Timestamp.valueOf("2026-01-01 00:00:01"), "x"))
+      .toDF("k", "ts", "tag")
+    val noRight = Seq.empty[(Long, Timestamp, Double)].toDF("r_k", "r_ts", "px")
+    val out = AsOfJoin.joinAsOf(left, noRight, Seq("k" -> "r_k"), "ts", "r_ts")
+    assert(out.count() === 1 && out.filter(col("px").isNull).count() === 1)
+  }
+
+  test("the query plans the native exec, key-clustered and sorted") {
+    val native = graft.operators.Relational.q24AsofJoinNative(spark, sf)
+    val p = native.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin"), s"expected AsOfJoinExec in plan:\n$p")
+    // both inputs arrive through exchanges/sorts satisfying the declared
+    // requirements — no per-row lookup structure, no broadcast of a fact.
+    // collect over sparkPlan: AQE's adaptive wrapper reports no children,
+    // so executedPlan.collect can't see inside it
+    val execs = native.queryExecution.sparkPlan.collect {
+      case e: AsOfJoinExec => e
+    }
+    assert(execs.length === 1)
+  }
+}
