@@ -94,5 +94,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         BottomKAgg(children.head, children(1), k)
       }))
+    // whole-operator tier: the native as-of join's planner strategy, so
+    // config-driven sessions can plan AsOfJoinPlan without any driver
+    // code (the programmatic mirror is AsOfJoin.register)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

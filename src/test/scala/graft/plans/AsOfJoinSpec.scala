@@ -58,6 +58,18 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out.count() === 1 && out.filter(col("px").isNull).count() === 1)
   }
 
+  test("GraftExtensions injects the as-of planner strategy") {
+    // spark.sql.extensions is a static conf; apply the extensions object
+    // directly and read back its strategy list (builder is private[sql]
+    // in Scala but public in bytecode — the DotProductSpec pattern)
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val m = classOf[org.apache.spark.sql.SparkSessionExtensions].getMethods
+      .find(_.getName == "buildPlannerStrategies").get
+    val strategies = m.invoke(ext, spark).asInstanceOf[Seq[_]]
+    assert(strategies.contains(AsOfJoinStrategy))
+  }
+
   test("the query plans the native exec, key-clustered and sorted") {
     val native = graft.operators.Relational.q24AsofJoinNative(spark, sf)
     val p = native.queryExecution.executedPlan.toString
