@@ -2199,7 +2199,7 @@ object SparkEntry {
     "q38_histogram" ->
       """WITH b AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem),
         |x AS (SELECT l_returnflag,
-        |  LEAST(CAST(floor(((l_extendedprice - lo) * 20.0) / (hi - lo)) AS INTEGER) + 1, 20) AS bucket,
+        |  LEAST(CAST(floor(((l_extendedprice - lo) * 20.0) / GREATEST(hi - lo, 1e-12)) AS INTEGER) + 1, 20) AS bucket,
         |  lo, hi FROM lineitem, b)
         |SELECT l_returnflag, bucket, count(*) AS cnt,
         |  round(lo + (bucket - 1) * ((hi - lo) / 20.0), 4) AS bin_lo
@@ -2302,7 +2302,7 @@ object SparkEntry {
         |  stddev_samp(value) AS sigma FROM events GROUP BY 1)
         |SELECT event_id, e.event_type, round((value - mu) / sigma, 4) AS z
         |FROM events e JOIN s USING (event_type)
-        |WHERE abs((value - mu) / sigma) > 3.0""".stripMargin,
+        |WHERE sigma > 0 AND abs((value - mu) / sigma) > 3.0""".stripMargin,
     "emb_covariance" ->
       """WITH d AS (SELECT unnest(range(0, 8)) AS i),
         |pairs AS (SELECT CAST(a.i AS INTEGER) AS i, CAST(b.i AS INTEGER) AS j
@@ -2464,7 +2464,7 @@ object SparkEntry {
       """WITH d AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS x FROM documents),
         |b AS (SELECT min(x) AS lo, max(x) AS hi FROM d),
         |bk AS (SELECT CAST(doc_id % 2 = 0 AS INTEGER) AS is_ref,
-        |  LEAST(CAST(floor((x - lo) * 10 / (hi - lo)) AS INTEGER) + 1, 10) AS bucket
+        |  LEAST(CAST(floor((x - lo) * 10 / GREATEST(hi - lo, 1e-12)) AS INTEGER) + 1, 10) AS bucket
         |  FROM d, b),
         |cnt AS (SELECT bucket, CAST(sum(is_ref) AS BIGINT) AS n_ref,
         |  CAST(sum(1 - is_ref) AS BIGINT) AS n_cur FROM bk GROUP BY 1),

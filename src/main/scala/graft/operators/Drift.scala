@@ -58,9 +58,13 @@ object Drift {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), col("n_chars").cast("double").as("x"))
     val bounds = docs.agg(min("x").as("lo"), max("x").as("hi"))
+    // degenerate axis (every doc the same length → hi == lo) collapses
+    // to bucket 1 instead of an ANSI divide-by-zero; inert on any real
+    // spread, mirrored in the oracle
     val bucketed = docs.crossJoin(broadcast(bounds))
       .select((col("doc_id") % 2 === 0).cast("int").as("is_ref"),
-        least(floor((col("x") - col("lo")) * nb / (col("hi") - col("lo")))
+        least(floor((col("x") - col("lo")) * nb /
+          greatest(col("hi") - col("lo"), lit(1e-12)))
           .cast("int") + 1, lit(nb)).as("bucket"))
     val cnt = bucketed.groupBy("bucket")
       .agg(sum(col("is_ref")).as("n_ref"),

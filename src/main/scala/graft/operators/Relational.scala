@@ -1147,10 +1147,14 @@ object Relational {
     val li = Tables.lineitem(s, dir)
     val bounds = li.agg(min("l_extendedprice").as("lo"),
       max("l_extendedprice").as("hi"))
+    // degenerate axis (all values equal → hi == lo) puts every row in
+    // bucket 1 instead of dividing by zero (ANSI throws); the guard is
+    // inert on any real spread and mirrored verbatim in the oracle
     li.crossJoin(broadcast(bounds))
       .select(col("l_returnflag"),
         least(floor(((col("l_extendedprice") - col("lo")) * nb.toDouble) /
-          (col("hi") - col("lo"))).cast("int") + 1, lit(nb)).as("bucket"),
+          greatest(col("hi") - col("lo"), lit(1e-12))).cast("int") + 1,
+          lit(nb)).as("bucket"),
         col("lo"), col("hi"))
       .groupBy("l_returnflag", "bucket")
       .agg(count(lit(1)).as("cnt"),

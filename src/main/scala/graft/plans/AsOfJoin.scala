@@ -165,7 +165,10 @@ object AsOfJoin {
     * `keys`, matching the latest `right(rightTsCol)` at-or-before
     * `left(leftTsCol)`. Column names must be disjoint apart from the
     * keys; right columns (keys included, under their right-side names)
-    * are appended nullable.
+    * are appended nullable. NULL keys group together (window-partition
+    * semantics, matching the composed form) — unlike a SQL equi-join,
+    * where null never equals null; filter them out beforehand if SQL
+    * semantics are required.
     */
   def joinAsOf(left: DataFrame, right: DataFrame, keys: Seq[(String, String)],
                leftTsCol: String, rightTsCol: String): DataFrame = {

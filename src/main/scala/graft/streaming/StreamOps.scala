@@ -263,6 +263,10 @@ object StreamOps {
       .option("pathGlobFilter", "events.parquet").parquet(dir)
       .select("event_id", "event_type", "value")
       .join(broadcast(stats), Seq("event_type"))
+      // zero-variance types (every value identical) have no anomalies by
+      // definition — and dividing by their sigma is an ANSI error; a
+      // null sigma (single-row type) already null-filters below
+      .filter(col("sigma") > 0)
       .withColumn("z", (col("value") - col("mu")) / col("sigma"))
       .filter(abs(col("z")) > lit(threshold))
       .select(col("event_id"), col("event_type"), round(col("z"), 4).as("z"))

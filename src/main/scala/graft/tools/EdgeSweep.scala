@@ -18,7 +18,15 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   * column, which Tables.normalizeTs already converts on every consumer
   * path.
   *
-  * Usage: EdgeSweep <srcSfDir> <empty|tiny> [nameSubstringFilter]
+  * A third mode, `uniform`, keeps 256 rows per table but collapses every
+  * measure to a CONSTANT (one timestamp, one value, one text, one
+  * embedding): zero variance, zero-width histogram ranges, all-tied
+  * ranks, 100%-duplicate corpora — the degenerate statistics a skewed
+  * 100 TB slice actually produces, and the shape that flushes out
+  * division-by-zero under Spark 4 ANSI mode (which throws instead of
+  * returning null/inf).
+  *
+  * Usage: EdgeSweep <srcSfDir> <empty|tiny|uniform> [nameSubstringFilter]
   * Exit code = number of failing queries (0 = fully robust).
   */
 object EdgeSweep {
@@ -28,15 +36,16 @@ object EdgeSweep {
     val mode = if (args.length > 1) args(1) else "empty"
     val filter = if (args.length > 2) Some(args(2)) else None
     val n = mode match {
-      case "empty" => 0
-      case "tiny"  => 3
-      case other   => sys.error(s"mode must be empty|tiny, got $other")
+      case "empty"   => 0
+      case "tiny"    => 3
+      case "uniform" => 256
+      case other     => sys.error(s"mode must be empty|tiny|uniform, got $other")
     }
     val spark = graft.GraftSession.builder(s"graft-edgesweep-$mode", "8")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     try {
-      val dir = buildFixture(spark, src, n)
+      val dir = buildFixture(spark, src, n, uniform = mode == "uniform")
       val failures = sweep(spark, dir.toString, filter)
       println(s"[edgesweep] mode=$mode failures=${failures.size}")
       failures.foreach { case (q, e) => println(s"[edgesweep] FAIL $q : $e") }
@@ -44,16 +53,51 @@ object EdgeSweep {
     } finally spark.stop()
   }
 
+  /** Per-table constant-collapse for `uniform` mode: one timestamp, one
+    * measure value, one document text, one embedding vector — keys and
+    * categorical columns keep their real distribution so joins and
+    * group-bys still exercise real paths.
+    */
+  private val uniformOverrides: Map[String, Seq[(String, org.apache.spark.sql.Column)]] = {
+    import org.apache.spark.sql.functions._
+    Map(
+      "events" -> Seq(
+        "ts" -> to_timestamp(lit("2026-01-01 00:00:00")),
+        "value" -> lit(1.0)),
+      "lineitem" -> Seq(
+        "l_extendedprice" -> lit(100.0),
+        "l_quantity" -> lit(1.0),
+        "l_discount" -> lit(0.05),
+        "l_tax" -> lit(0.02)),
+      "orders" -> Seq("o_totalprice" -> lit(100.0)),
+      "supplier" -> Seq("s_acctbal" -> lit(50.0)),
+      "customer" -> Seq("c_acctbal" -> lit(50.0)),
+      "part" -> Seq("p_retailprice" -> lit(10.0)),
+      "documents" -> Seq(
+        "text" -> lit("the same document text repeated verbatim in every row"),
+        // applied AFTER the text override (fold order), so it stays true
+        "n_chars" -> expr("cast(length(text) as bigint)")),
+      "embeddings" -> Seq(
+        "embedding" -> expr("transform(embedding, x -> cast(0.5 as float))")))
+  }
+
   /** Truncate every fixture table to `n` rows under a temp dir, keeping
     * the one-flat-file-per-table contract.
     */
-  def buildFixture(s: SparkSession, src: String, n: Int): java.nio.file.Path = {
+  def buildFixture(s: SparkSession, src: String, n: Int,
+                   uniform: Boolean = false): java.nio.file.Path = {
     val dst = java.nio.file.Files.createTempDirectory(s"graft_edge_${n}_")
     // events ts is TIMESTAMP(NANOS) in the driver fixtures — readable
     // only under the legacy conf (as long); all consumers normalize
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     for (t <- graft.Tables.names) {
-      val df = s.read.parquet(s"$src/$t.parquet").limit(n)
+      val base = s.read.parquet(s"$src/$t.parquet").limit(n)
+      val df =
+        if (!uniform) base
+        else uniformOverrides.getOrElse(t, Nil).foldLeft(base) {
+          case (d, (c, v)) =>
+            if (d.columns.contains(c)) d.withColumn(c, v) else d
+        }
       val tmp = dst.resolve(s"_stage_$t")
       df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
       val part = java.nio.file.Files.list(tmp).iterator()

@@ -35,4 +35,15 @@ class EdgeSweepSpec extends AnyFunSuite {
     // cache entry to keep the shared-session state clean for other specs
     graft.Tables.invalidate()
   }
+
+  test("zero-variance canaries survive an all-constant corpus") {
+    // the shapes the r7 uniform sweep caught dividing by zero under ANSI
+    // mode: zero-width histogram/PSI axes and a zero-sigma z-score
+    val dir = EdgeSweep.buildFixture(spark, sf, 256, uniform = true).toString
+    for (name <- Seq("q38_histogram", "doc_drift_psi", "stream_anomaly")) {
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      assert(df.count() >= 0, s"$name failed on a constant corpus")
+    }
+    graft.Tables.invalidate()
+  }
 }
