@@ -20,12 +20,16 @@ object Multimodal {
     * typed (mime, n_bytes).
     */
   def asBinaryPayload(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).select(
-      col("doc_id"),
-      col("text").cast("binary").as("payload"),
-      struct(
-        lit("text/plain").as("mime"),
-        length(col("text").cast("binary")).as("n_bytes")).as("meta"))
+    // ingest hygiene: a record with no payload bytes can't be decoded —
+    // drop it at the boundary (mirrors corpusVectors' null-vector rule)
+    Tables.documents(s, dir)
+      .filter(col("text").isNotNull)
+      .select(
+        col("doc_id"),
+        col("text").cast("binary").as("payload"),
+        struct(
+          lit("text/plain").as("mime"),
+          length(col("text").cast("binary")).as("n_bytes")).as("meta"))
 
   /** ======= STUB: deterministic fake "decode + feature extract" =======
     * A real implementation would decode payload bytes (JPEG/WAV/...) and

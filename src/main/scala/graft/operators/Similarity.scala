@@ -48,8 +48,13 @@ object Similarity {
     */
   private[operators] def corpusVectors(s: SparkSession, dir: String): DataFrame = {
     DotProduct.register(s)
+    // index-ingest hygiene: a null embedding (failed upstream encode) is
+    // not a vector — exclude it here, the boundary every vector operator
+    // shares, instead of null-guarding every kernel and driver collect.
+    // Inert on the pristine fixtures; the nulls EdgeSweep exercises it.
     FamilyCache.get(s, dir, "vectors")(
       Tables.embeddings(s, dir)
+        .filter(col("embedding").isNotNull)
         .select(col("vec_id"), col("embedding").as("v"))
         .withColumn("nrm", sqrt(call_function("graft_dot", col("v"), col("v")))))
   }

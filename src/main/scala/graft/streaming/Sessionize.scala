@@ -127,7 +127,12 @@ object Sessionize {
         .parquet(watch.toString)
         .transform(graft.Tables.normalizeTs) // staged bytes are the raw fixture
         .withWatermark("ts", "10 minutes")
-        .select(col("user_id"), col("ts"), col("value"))
+        // the typed state row carries a primitive Double; a null value
+        // (failed upstream parse) folds as a zero contribution — the
+        // same total SQL's null-skipping sum produces, and the event
+        // still counts toward n_events exactly like the batch form
+        .select(col("user_id"), col("ts"),
+          coalesce(col("value"), lit(0.0)).as("value"))
         .as[Ev]
         .groupByKey(_.user_id)
         .flatMapGroupsWithState(OutputMode.Append,

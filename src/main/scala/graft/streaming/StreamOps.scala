@@ -311,14 +311,16 @@ object StreamOps {
     val path = s"$dir/embeddings.parquet"
     val schema = graft.Tables.schemaOf(ss, path)
     val name = s"graft_stream_${counter.incrementAndGet()}"
+    // null embeddings are excluded on BOTH sides — corpusVectors' index
+    // ingest-hygiene rule, applied to the streaming source too
     val corpus = ss.read.parquet(path)
-      .filter(col("vec_id") % 2 === 0)
+      .filter(col("vec_id") % 2 === 0 && col("embedding").isNotNull)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
       .withColumn("bucket", bucketOf(col("nv")))
       .withColumn("nn", sqrt(call_function("graft_dot", col("nv"), col("nv"))))
     val stream = ss.readStream.schema(schema)
       .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
-      .filter(col("vec_id") % 2 === 1)
+      .filter(col("vec_id") % 2 === 1 && col("embedding").isNotNull)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       .withColumn("bucket", bucketOf(col("qv")))
       .withColumn("qn", sqrt(call_function("graft_dot", col("qv"), col("qv"))))
@@ -813,8 +815,12 @@ object StreamOps {
         .option("latestFirst", "false")
     val q = reader.parquet(watchDir)
       .transform(graft.Tables.normalizeTs)
+      // typed state carries a primitive Double; an op with a null value
+      // (missing payload) folds as a zero-value upsert rather than
+      // killing the encoder — it still advances the version and counts
+      // toward n_ops, the contract a real materializer wants
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
-        col("value"))
+        coalesce(col("value"), lit(0.0)).as("value"))
       .as[CdcOp]
       .groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(CdcLogic.fn _)

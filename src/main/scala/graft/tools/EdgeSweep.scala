@@ -26,8 +26,14 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   * division-by-zero under Spark 4 ANSI mode (which throws instead of
   * returning null/inf).
   *
-  * Usage: EdgeSweep <srcSfDir> <empty|tiny|uniform> [nameSubstringFilter]
-  * Exit code = number of failing queries (0 = fully robust).
+  * A fourth mode, `nulls`, keeps 256 rows but nulls every fourth row's
+  * measure columns (value, text, embedding, prices) — the shape a real
+  * ingest produces (failed parses, missing fields) that the pristine
+  * synthetic fixtures never exercise.
+  *
+  * Usage: EdgeSweep <srcSfDir> <empty|tiny|uniform|nulls>
+  * [nameSubstringFilter]. Exit code = number of failing queries
+  * (0 = fully robust).
   */
 object EdgeSweep {
 
@@ -39,13 +45,15 @@ object EdgeSweep {
       case "empty"   => 0
       case "tiny"    => 3
       case "uniform" => 256
-      case other     => sys.error(s"mode must be empty|tiny|uniform, got $other")
+      case "nulls"   => 256
+      case other     =>
+        sys.error(s"mode must be empty|tiny|uniform|nulls, got $other")
     }
     val spark = graft.GraftSession.builder(s"graft-edgesweep-$mode", "8")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     try {
-      val dir = buildFixture(spark, src, n, uniform = mode == "uniform")
+      val dir = buildFixture(spark, src, n, mode = mode)
       val failures = sweep(spark, dir.toString, filter)
       println(s"[edgesweep] mode=$mode failures=${failures.size}")
       failures.foreach { case (q, e) => println(s"[edgesweep] FAIL $q : $e") }
@@ -84,20 +92,44 @@ object EdgeSweep {
   /** Truncate every fixture table to `n` rows under a temp dir, keeping
     * the one-flat-file-per-table contract.
     */
+  /** Measure columns per table for `nulls` mode — keys, categorical and
+    * timestamp columns stay intact so joins/windows still run; the
+    * payload a flaky ingest would lose goes null on every fourth row.
+    */
+  private val nullableMeasures: Map[String, Seq[String]] = Map(
+    "events" -> Seq("value", "props"),
+    "lineitem" -> Seq("l_extendedprice", "l_quantity", "l_discount", "l_tax"),
+    "orders" -> Seq("o_totalprice"),
+    "supplier" -> Seq("s_acctbal"),
+    "customer" -> Seq("c_acctbal"),
+    "part" -> Seq("p_retailprice"),
+    "documents" -> Seq("text"),
+    "embeddings" -> Seq("embedding"))
+
   def buildFixture(s: SparkSession, src: String, n: Int,
-                   uniform: Boolean = false): java.nio.file.Path = {
+                   mode: String = "truncate"): java.nio.file.Path = {
+    import org.apache.spark.sql.functions.{col, when, lit}
     val dst = java.nio.file.Files.createTempDirectory(s"graft_edge_${n}_")
     // events ts is TIMESTAMP(NANOS) in the driver fixtures — readable
     // only under the legacy conf (as long); all consumers normalize
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     for (t <- graft.Tables.names) {
       val base = s.read.parquet(s"$src/$t.parquet").limit(n)
-      val df =
-        if (!uniform) base
-        else uniformOverrides.getOrElse(t, Nil).foldLeft(base) {
+      val df = mode match {
+        case "uniform" => uniformOverrides.getOrElse(t, Nil).foldLeft(base) {
           case (d, (c, v)) =>
             if (d.columns.contains(c)) d.withColumn(c, v) else d
         }
+        case "nulls" =>
+          val key = base.columns.head // every fixture leads with its id
+          nullableMeasures.getOrElse(t, Nil).foldLeft(base) { (d, c) =>
+            if (d.columns.contains(c))
+              d.withColumn(c, when(col(key) % 4 === 0, lit(null))
+                .otherwise(col(c)))
+            else d
+          }
+        case _ => base
+      }
       val tmp = dst.resolve(s"_stage_$t")
       df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
       val part = java.nio.file.Files.list(tmp).iterator()

@@ -36,10 +36,23 @@ class EdgeSweepSpec extends AnyFunSuite {
     graft.Tables.invalidate()
   }
 
+  test("null-measure canaries survive a corpus with missing payloads") {
+    // the shapes the r7 nulls sweep caught: null embeddings reaching the
+    // vector kernels / driver collects, null text reaching the binary
+    // payload, and null values killing the typed streaming encoders
+    val dir = EdgeSweep.buildFixture(spark, sf, 256, mode = "nulls").toString
+    for (name <- Seq("ann_ivf_pq", "emb_sample_diverse", "mm_scene_cuts",
+        "stream_cdc_apply", "stream_sessionize")) {
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      assert(df.count() >= 0, s"$name failed on a null-measure corpus")
+    }
+    graft.Tables.invalidate()
+  }
+
   test("zero-variance canaries survive an all-constant corpus") {
     // the shapes the r7 uniform sweep caught dividing by zero under ANSI
     // mode: zero-width histogram/PSI axes and a zero-sigma z-score
-    val dir = EdgeSweep.buildFixture(spark, sf, 256, uniform = true).toString
+    val dir = EdgeSweep.buildFixture(spark, sf, 256, mode = "uniform").toString
     for (name <- Seq("q38_histogram", "doc_drift_psi", "stream_anomaly")) {
       val df = graft.SparkEntry.queries(name)(spark, dir)
       assert(df.count() >= 0, s"$name failed on a constant corpus")
