@@ -31,7 +31,13 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   * ingest produces (failed parses, missing fields) that the pristine
   * synthetic fixtures never exercise.
   *
-  * Usage: EdgeSweep <srcSfDir> <empty|tiny|uniform|nulls>
+  * A fifth mode, `hotkey`, keeps 256 rows but collapses every GROUPING
+  * key to one value (one user, one customer, one part, one source, one
+  * label): the maximum-skew shape — single-group windows, a
+  * single-node co-purchase graph, one stratum to split, one class to
+  * balance — that a hot key produces at scale.
+  *
+  * Usage: EdgeSweep <srcSfDir> <empty|tiny|uniform|nulls|hotkey>
   * [nameSubstringFilter]. Exit code = number of failing queries
   * (0 = fully robust).
   */
@@ -46,8 +52,9 @@ object EdgeSweep {
       case "tiny"    => 3
       case "uniform" => 256
       case "nulls"   => 256
+      case "hotkey"  => 256
       case other     =>
-        sys.error(s"mode must be empty|tiny|uniform|nulls, got $other")
+        sys.error(s"mode must be empty|tiny|uniform|nulls|hotkey, got $other")
     }
     val spark = graft.GraftSession.builder(s"graft-edgesweep-$mode", "8")
       .getOrCreate()
@@ -106,6 +113,22 @@ object EdgeSweep {
     "documents" -> Seq("text"),
     "embeddings" -> Seq("embedding"))
 
+  /** Grouping keys per table for `hotkey` mode — every row lands on one
+    * key; ids/timestamps/measures keep their real distribution.
+    */
+  private val hotkeyOverrides: Map[String, Seq[(String, org.apache.spark.sql.Column)]] = {
+    import org.apache.spark.sql.functions._
+    Map(
+      "events" -> Seq("user_id" -> lit(1L), "event_type" -> lit("click")),
+      "lineitem" -> Seq("l_partkey" -> lit(1L), "l_suppkey" -> lit(1L),
+        "l_returnflag" -> lit("N")),
+      "orders" -> Seq("o_custkey" -> lit(1L), "o_orderpriority" -> lit("1-URGENT")),
+      "customer" -> Seq("c_nationkey" -> lit(0L)),
+      "supplier" -> Seq("s_nationkey" -> lit(0L)),
+      "documents" -> Seq("source" -> lit("web"), "lang" -> lit("en")),
+      "embeddings" -> Seq("label" -> lit(0)))
+  }
+
   def buildFixture(s: SparkSession, src: String, n: Int,
                    mode: String = "truncate"): java.nio.file.Path = {
     import org.apache.spark.sql.functions.{col, when, lit}
@@ -115,11 +138,14 @@ object EdgeSweep {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     for (t <- graft.Tables.names) {
       val base = s.read.parquet(s"$src/$t.parquet").limit(n)
-      val df = mode match {
-        case "uniform" => uniformOverrides.getOrElse(t, Nil).foldLeft(base) {
-          case (d, (c, v)) =>
-            if (d.columns.contains(c)) d.withColumn(c, v) else d
+      def applyOverrides(
+          m: Map[String, Seq[(String, org.apache.spark.sql.Column)]]) =
+        m.getOrElse(t, Nil).foldLeft(base) { case (d, (c, v)) =>
+          if (d.columns.contains(c)) d.withColumn(c, v) else d
         }
+      val df = mode match {
+        case "uniform" => applyOverrides(uniformOverrides)
+        case "hotkey"  => applyOverrides(hotkeyOverrides)
         case "nulls" =>
           val key = base.columns.head // every fixture leads with its id
           nullableMeasures.getOrElse(t, Nil).foldLeft(base) { (d, c) =>
