@@ -53,9 +53,12 @@ object StatFunctions {
     val n = df.agg(count(c)).collect()(0).getLong(0)
     // quantiles of an empty column don't exist — return NaN per requested
     // q (SQL's quantile_cont returns NULL on zero rows; NaN is the Array
-    // [Double] analog). Callers bucket/compare against the boundaries,
-    // and every comparison with NaN is false — so an empty input flows
-    // through to an empty result instead of aborting the whole job
+    // [Double] analog). CONTRACT: only bucket the same frame the
+    // quantiles were computed from (as q41 does) — the empty input then
+    // flows through to an empty result. Do NOT bucket a non-empty frame
+    // against NaN boundaries: Spark's nan-safe ordering ranks NaN
+    // GREATER than every numeric value, so `col <= NaN` is true and
+    // every row would land in the first bucket.
     if (n == 0) return qs.map(_ => Double.NaN).toArray
     val positions = qs.map(q => (n - 1) * q)
     val ranks = positions.flatMap(p =>

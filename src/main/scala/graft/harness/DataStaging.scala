@@ -29,7 +29,8 @@ object DataStaging {
     val tgt = Paths.get(targetDir)
     Files.createDirectories(tgt)
     val staged = Seq.newBuilder[String]
-    Files.list(src).forEach { entry =>
+    val listing = Files.list(src) // must close: fd leak otherwise
+    try listing.forEach { entry =>
       val name = entry.getFileName.toString
       if (!patterns.exists(p => matches(p, name))) ()
       else if (Files.exists(tgt.resolve(name)) && !reload)
@@ -39,14 +40,16 @@ object DataStaging {
         println(s"""Staged "$name" from "$sourceDir"""")
         staged += name
       }
-    }
+    } finally listing.close()
     staged.result()
   }
 
   private def copyRecursive(from: Path, to: Path): Unit =
     if (Files.isDirectory(from)) {
       Files.createDirectories(to)
-      Files.list(from).forEach(c => copyRecursive(c, to.resolve(c.getFileName)))
+      val listing = Files.list(from) // must close: fd leak otherwise
+      try listing.forEach(c => copyRecursive(c, to.resolve(c.getFileName)))
+      finally listing.close()
     } else
       Files.copy(from, to, StandardCopyOption.REPLACE_EXISTING)
 

@@ -38,13 +38,16 @@ object Lake {
              carryForward: Seq[String] = Nil): Unit = {
     val dataDir = table.resolve(s"files/v$version")
     df.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
-    val newFiles = Files.list(dataDir).iterator()
+    val listing = Files.list(dataDir) // must close: fd leak otherwise
     val names = scala.collection.mutable.ArrayBuffer.empty[String]
-    while (newFiles.hasNext) {
-      val p = newFiles.next()
-      if (p.getFileName.toString.endsWith(".parquet"))
-        names += table.relativize(p).toString
-    }
+    try {
+      val newFiles = listing.iterator()
+      while (newFiles.hasNext) {
+        val p = newFiles.next()
+        if (p.getFileName.toString.endsWith(".parquet"))
+          names += table.relativize(p).toString
+      }
+    } finally listing.close()
     val all = (carryForward ++ names.sorted).distinct
     val json = all.mkString("[\"", "\",\"", "\"]")
     val tmp = Files.createTempFile(table, s"_manifest_v$version", ".tmp")

@@ -561,8 +561,7 @@ object TextOps {
     if (nEvalRaw == 0)
       return train.select(col("doc_id"), lit(0L).as("n_shared"),
         lit(false).as("contaminated"))
-    val nEval = math.max(nEvalRaw, 1L)
-    val bloom = hashed.stat.bloomFilter("h", nEval, fpp)
+    val bloom = hashed.stat.bloomFilter("h", nEvalRaw, fpp)
     val bytes = {
       val bos = new java.io.ByteArrayOutputStream()
       bloom.writeTo(bos)

@@ -47,6 +47,16 @@ case class AsOfJoinPlan(
   extends BinaryNode {
   require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
     "as-of join needs matching non-empty key lists")
+  // the physical merge compares raw UnsafeRow fields and hash-partitions
+  // each side by its own keys — mismatched types would silently route
+  // equal logical keys to different partitions / mis-order timestamps
+  // rather than fail, so reject them at construction
+  leftKeys.zip(rightKeys).zipWithIndex.foreach { case ((l, r), i) =>
+    require(l.dataType == r.dataType,
+      s"as-of key $i type mismatch: ${l.dataType} vs ${r.dataType}")
+  }
+  require(leftTs.dataType == rightTs.dataType,
+    s"as-of timestamp type mismatch: ${leftTs.dataType} vs ${rightTs.dataType}")
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -135,10 +145,24 @@ case class AsOfJoinExec(
           if (lastRightKey != null && keyOrd.compare(lastRightKey, lKey) != 0) {
             lastRight = null; lastRightKey = null
           }
+          // SQL comparison semantics for null timestamps (the oracle's
+          // `lts >= rts` is UNKNOWN on null): a null-ts left row matches
+          // nothing, a null-ts right row is never a match candidate —
+          // NOT the nulls-first natural ordering, which would otherwise
+          // rank null at-or-before everything
+          if (lTsRow.isNullAt(0)) {
+            joined(l, nullRight)
+            return resultProj(joined)
+          }
           var advancing = true
           while (advancing && rHead != null) {
-            val c = keyOrd.compare(rKeyProj(rHead), lKey)
+            val rKey = rKeyProj(rHead)
+            val c = keyOrd.compare(rKey, lKey)
             if (c < 0) { // right group already behind every remaining left
+              rHead = if (rIter.hasNext) rIter.next() else null
+            } else if (c == 0 && rTsProj(rHead).isNullAt(0)) {
+              // null right ts: consume and discard (sorted nulls-first,
+              // so these precede every real candidate of the key)
               rHead = if (rIter.hasNext) rIter.next() else null
             } else if (c == 0 && tsOrd.compare(rTsProj(rHead), lTsRow) <= 0) {
               lastRight = rHead.copy()
@@ -168,7 +192,9 @@ object AsOfJoin {
     * are appended nullable. NULL keys group together (window-partition
     * semantics, matching the composed form) — unlike a SQL equi-join,
     * where null never equals null; filter them out beforehand if SQL
-    * semantics are required.
+    * semantics are required. NULL timestamps follow SQL comparison
+    * semantics on both sides: a null-ts left row matches nothing (but is
+    * kept, left-outer), a null-ts right row is never a candidate.
     */
   def joinAsOf(left: DataFrame, right: DataFrame, keys: Seq[(String, String)],
                leftTsCol: String, rightTsCol: String): DataFrame = {

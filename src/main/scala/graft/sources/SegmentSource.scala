@@ -163,10 +163,13 @@ class SegmentBatchWrite(path: String, truncate: Boolean)
     if (truncate) {
       // readers resolve through the sidecar, so removing orphans is
       // cleanup, not correctness
-      val old = Files.list(dir).iterator().asScala
-        .filter(p => p.getFileName.toString.startsWith("segment-") &&
-          !keep.contains(p.getFileName.toString))
-        .toList
+      val listing = Files.list(dir) // must close: fd leak otherwise
+      val old =
+        try listing.iterator().asScala
+          .filter(p => p.getFileName.toString.startsWith("segment-") &&
+            !keep.contains(p.getFileName.toString))
+          .toList
+        finally listing.close()
       old.foreach(Files.deleteIfExists(_))
     }
     val stats = all.map { case (f, lo, hi) => s"$f\t$lo\t$hi" }
@@ -360,11 +363,15 @@ object SegmentSource {
   /** Committed generation numbers, ascending. */
   private[sources] def generations(dir: Path): Seq[Int] =
     if (!Files.isDirectory(dir)) Nil
-    else Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case n if n.startsWith("_stats_v") && n.endsWith(".tsv") =>
-        n.stripPrefix("_stats_v").stripSuffix(".tsv").toInt }
-      .toSeq.sorted
+    else {
+      val listing = Files.list(dir) // must close: fd leak otherwise
+      try listing.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case n if n.startsWith("_stats_v") && n.endsWith(".tsv") =>
+          n.stripPrefix("_stats_v").stripSuffix(".tsv").toInt }
+        .toSeq.sorted
+      finally listing.close()
+    }
 
   private[sources] def readStatsGen(dir: Path, v: Int): Array[(String, Long, Long)] =
     parseStats(Files.readAllLines(dir.resolve(s"_stats_v$v.tsv"),

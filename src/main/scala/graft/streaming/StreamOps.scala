@@ -12,6 +12,24 @@ object StreamOps {
 
   private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** The single parquet part file under a just-written staging dir.
+    * Files.list returns a stream that must be CLOSED — the open-ended
+    * iterator form leaked one directory fd per staged micro-batch file.
+    */
+  private def partFileOf(tmp: java.nio.file.Path): java.nio.file.Path = {
+    val listing = java.nio.file.Files.list(tmp)
+    try {
+      val it = listing.iterator()
+      var found: java.nio.file.Path = null
+      while (it.hasNext) {
+        val p = it.next()
+        if (p.getFileName.toString.endsWith(".parquet")) found = p
+      }
+      require(found != null, s"no part file under $tmp")
+      found
+    } finally listing.close()
+  }
+
   /** Per-corpus max event time (see stageEventsWithHeartbeats) — cleared
     * by [[graft.Tables.invalidate]] when fixtures are rewritten in place.
     */
@@ -600,12 +618,7 @@ object StreamOps {
       def stageFile(df: DataFrame, n: Int): Unit = {
         val tmp = stage.resolve(s"tmp$n")
         df.coalesce(1).write.parquet(tmp.toString)
-        val part = java.nio.file.Files.list(tmp).iterator()
-        var src: java.nio.file.Path = null
-        while (part.hasNext) {
-          val p = part.next()
-          if (p.getFileName.toString.endsWith(".parquet")) src = p
-        }
+        val src = partFileOf(tmp)
         val dst = watch.resolve(f"batch$n%04d.parquet")
         java.nio.file.Files.move(src, dst)
         java.nio.file.Files.setLastModifiedTime(dst,
@@ -948,27 +961,15 @@ object StreamOps {
     } else {
       val tmp = stage.resolve("tmp1")
       raw.coalesce(1).write.parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp).iterator()
-      var p1: java.nio.file.Path = null
-      while (part.hasNext) {
-        val p = part.next()
-        if (p.getFileName.toString.endsWith(".parquet")) p1 = p
-      }
-      java.nio.file.Files.move(p1, first)
+      java.nio.file.Files.move(partFileOf(tmp), first)
       java.nio.file.Files.setLastModifiedTime(first,
         java.nio.file.attribute.FileTime.fromMillis(1000000L + 10000L))
     }
     def stageFile(df: DataFrame, n: Int): Unit = {
       val tmp = stage.resolve(s"tmp$n")
       df.coalesce(1).write.parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp).iterator()
-      var src: java.nio.file.Path = null
-      while (part.hasNext) {
-        val p = part.next()
-        if (p.getFileName.toString.endsWith(".parquet")) src = p
-      }
       val dst = watch.resolve(f"batch$n%04d.parquet")
-      java.nio.file.Files.move(src, dst)
+      java.nio.file.Files.move(partFileOf(tmp), dst)
       java.nio.file.Files.setLastModifiedTime(dst,
         java.nio.file.attribute.FileTime.fromMillis(1000000L + n * 10000L))
     }

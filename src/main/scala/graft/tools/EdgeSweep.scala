@@ -59,13 +59,16 @@ object EdgeSweep {
     val spark = graft.GraftSession.builder(s"graft-edgesweep-$mode", "8")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    try {
-      val dir = buildFixture(spark, src, n, mode = mode)
-      val failures = sweep(spark, dir.toString, filter)
-      println(s"[edgesweep] mode=$mode failures=${failures.size}")
-      failures.foreach { case (q, e) => println(s"[edgesweep] FAIL $q : $e") }
-      if (failures.nonEmpty) sys.exit(failures.size.min(100))
-    } finally spark.stop()
+    // exit AFTER the session stops — System.exit does not unwind the
+    // stack, so a sys.exit inside the try would skip the finally
+    val failures =
+      try {
+        val dir = buildFixture(spark, src, n, mode = mode)
+        sweep(spark, dir.toString, filter)
+      } finally spark.stop()
+    println(s"[edgesweep] mode=$mode failures=${failures.size}")
+    failures.foreach { case (q, e) => println(s"[edgesweep] FAIL $q : $e") }
+    if (failures.nonEmpty) sys.exit(failures.size.min(100))
   }
 
   /** Per-table constant-collapse for `uniform` mode: one timestamp, one
@@ -96,9 +99,6 @@ object EdgeSweep {
         "embedding" -> expr("transform(embedding, x -> cast(0.5 as float))")))
   }
 
-  /** Truncate every fixture table to `n` rows under a temp dir, keeping
-    * the one-flat-file-per-table contract.
-    */
   /** Measure columns per table for `nulls` mode — keys, categorical and
     * timestamp columns stay intact so joins/windows still run; the
     * payload a flaky ingest would lose goes null on every fourth row.
@@ -129,6 +129,10 @@ object EdgeSweep {
       "embeddings" -> Seq("label" -> lit(0)))
   }
 
+  /** Truncate every fixture table to `n` rows (plus the mode's column
+    * overrides) under a temp dir, keeping the one-flat-file-per-table
+    * contract.
+    */
   def buildFixture(s: SparkSession, src: String, n: Int,
                    mode: String = "truncate"): java.nio.file.Path = {
     import org.apache.spark.sql.functions.{col, when, lit}
@@ -158,15 +162,21 @@ object EdgeSweep {
       }
       val tmp = dst.resolve(s"_stage_$t")
       df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp).iterator()
-      var moved = false
-      while (part.hasNext && !moved) {
-        val p = part.next()
-        if (p.getFileName.toString.endsWith(".parquet")) {
-          java.nio.file.Files.move(p, dst.resolve(s"$t.parquet"))
-          moved = true
-        }
-      }
+      // Files.list returns a stream that must be closed (fd leak otherwise)
+      val listing = java.nio.file.Files.list(tmp)
+      val moved =
+        try {
+          val part = listing.iterator()
+          var done = false
+          while (part.hasNext && !done) {
+            val p = part.next()
+            if (p.getFileName.toString.endsWith(".parquet")) {
+              java.nio.file.Files.move(p, dst.resolve(s"$t.parquet"))
+              done = true
+            }
+          }
+          done
+        } finally listing.close()
       require(moved, s"no part file produced for $t")
       org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     }

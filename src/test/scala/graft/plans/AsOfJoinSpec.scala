@@ -44,6 +44,24 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out("no-right-key") === None)
   }
 
+  test("null timestamps follow SQL semantics: no match either direction, key types validated") {
+    import spark.implicits._
+    def ts(m: Int) = Timestamp.valueOf(f"2026-01-01 00:$m%02d:00")
+    val right = Seq((1L, Some(ts(10)), 100.0), (1L, None, 999.0))
+      .toDF("r_k", "r_ts", "px")
+    val left = Seq((1L, Some(ts(15)), "real"), (1L, None, "null-ts"))
+      .toDF("k", "ts", "tag")
+    val out = AsOfJoin.joinAsOf(left, right, Seq("k" -> "r_k"), "ts", "r_ts")
+      .select("tag", "px").as[(String, Option[Double])].collect().toMap
+    assert(out("real") === Some(100.0))  // null-ts right row never matches
+    assert(out("null-ts") === None)      // null-ts left row matches nothing
+    // mismatched key types are rejected at construction, not mis-joined
+    val badRight = Seq((1, ts(10), 1.0)).toDF("r_k", "r_ts", "px") // Int key
+    intercept[IllegalArgumentException] {
+      AsOfJoin.joinAsOf(left, badRight, Seq("k" -> "r_k"), "ts", "r_ts")
+    }
+  }
+
   test("empty sides degrade to the left-outer contract") {
     import spark.implicits._
     val right = Seq((1L, Timestamp.valueOf("2026-01-01 00:00:00"), 1.0))
