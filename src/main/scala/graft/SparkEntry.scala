@@ -49,6 +49,7 @@ object SparkEntry {
     "q20_approx_agg" -> (Relational.q20ApproxAgg _),
     "q24_asof_join" -> (Relational.q24AsofJoin _),
     "q24_asof_join_native" -> (Relational.q24AsofJoinNative _),
+    "q24_asof_join_forward" -> (Relational.q24AsofJoinForward _),
     // the headline range join runs the linear prefix-sum form; the
     // match-materializing binned equi-join stays gated as its own entry
     "q25_range_join" -> (Relational.q25RangeJoinPrefix _),
@@ -1835,6 +1836,16 @@ object SparkEntry {
         |err AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'error')
         |SELECT err.event_id, err.user_id, c.click_id, c.ts AS click_ts, c.click_value
         |FROM err ASOF LEFT JOIN c ON err.user_id = c.user_id AND err.ts >= c.ts""".stripMargin,
+    // forward direction: the SAME independent ASOF oracle with the
+    // inequality flipped (earliest click at-or-after each error)
+    "q24_asof_join_forward" ->
+      """WITH c0 AS (SELECT user_id, ts, max(event_id) AS click_id FROM events
+        |            WHERE event_type = 'click' GROUP BY 1, 2),
+        |c AS (SELECT c0.user_id, c0.ts, c0.click_id, e.value AS click_value
+        |      FROM c0 JOIN events e ON e.event_id = c0.click_id),
+        |err AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'error')
+        |SELECT err.event_id, err.user_id, c.click_id, c.ts AS click_ts, c.click_value
+        |FROM err ASOF LEFT JOIN c ON err.user_id = c.user_id AND err.ts <= c.ts""".stripMargin,
     "q25_range_join" ->
       """WITH r AS (SELECT s_suppkey, abs(s_acctbal) % 500 - 10 AS lo,
         |                  abs(s_acctbal) % 500 + 10 AS hi FROM supplier)

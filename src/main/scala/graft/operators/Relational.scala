@@ -323,6 +323,27 @@ object Relational {
         col("click_ts"), col("click_value"))
   }
 
+  /** FORWARD as-of through the same native operator: attribute each
+    * error to the user's NEXT click at-or-after it (the "what did the
+    * user do about it" direction — merge_asof direction='forward').
+    * Oracle is DuckDB's native ASOF with the inequality flipped.
+    */
+  def q24AsofJoinForward(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .groupBy("user_id", "ts")
+      .agg(max(struct(col("event_id"), col("value"))).as("m"))
+      .select(col("user_id").as("r_uid"), col("ts").as("click_ts"),
+        col("m.event_id").as("click_id"), col("m.value").as("click_value"))
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    graft.plans.AsOfJoin.joinAsOf(errors, clicks,
+        keys = Seq("user_id" -> "r_uid"),
+        leftTsCol = "ts", rightTsCol = "click_ts", forward = true)
+      .select(col("event_id"), col("user_id"), col("click_id"),
+        col("click_ts"), col("click_value"))
+  }
+
   /** Range (interval) join (beyond the reference): events whose value falls
     * in a per-supplier band, aggregated per supplier. A naive inequality
     * join is a nested loop; the scale form bins the value axis — each

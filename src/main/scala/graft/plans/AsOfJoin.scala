@@ -43,7 +43,8 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
-    leftTs: Expression, rightTs: Expression)
+    leftTs: Expression, rightTs: Expression,
+    forward: Boolean = false)
   extends BinaryNode {
   require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
     "as-of join needs matching non-empty key lists")
@@ -69,8 +70,8 @@ case class AsOfJoinPlan(
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, fwd) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, fwd) :: Nil
     case _ => Nil
   }
 }
@@ -84,7 +85,8 @@ object AsOfJoinStrategy extends SparkStrategy {
 case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
-    leftTs: Expression, rightTs: Expression)
+    leftTs: Expression, rightTs: Expression,
+    forward: Boolean = false)
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -109,6 +111,7 @@ case class AsOfJoinExec(
   protected override def doExecute(): RDD[InternalRow] = {
     val (lOut, rOut, outAttrs) = (left.output, right.output, output)
     val (lk, rk, lt, rt) = (leftKeys, rightKeys, leftTs, rightTs)
+    val fwd = forward
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       if (!lIter.hasNext) Iterator.empty
       else new Iterator[InternalRow] {
@@ -154,23 +157,44 @@ case class AsOfJoinExec(
             joined(l, nullRight)
             return resultProj(joined)
           }
-          var advancing = true
-          while (advancing && rHead != null) {
-            val rKey = rKeyProj(rHead)
-            val c = keyOrd.compare(rKey, lKey)
-            if (c < 0) { // right group already behind every remaining left
-              rHead = if (rIter.hasNext) rIter.next() else null
-            } else if (c == 0 && rTsProj(rHead).isNullAt(0)) {
-              // null right ts: consume and discard (sorted nulls-first,
-              // so these precede every real candidate of the key)
-              rHead = if (rIter.hasNext) rIter.next() else null
-            } else if (c == 0 && tsOrd.compare(rTsProj(rHead), lTsRow) <= 0) {
-              lastRight = rHead.copy()
-              if (lastRightKey == null) lastRightKey = lKey.copy()
-              rHead = if (rIter.hasNext) rIter.next() else null
-            } else advancing = false
+          if (fwd) {
+            // FORWARD: rights with rts < lts are useless for this and
+            // every later left of the key (lts is non-decreasing within
+            // a key) — discard them; the match is then the right head
+            // itself when it sits on the same key with rts >= lts (ties
+            // take the first row in sort order). The head IS the state —
+            // no buffering, no copies.
+            var advancing = true
+            while (advancing && rHead != null) {
+              val c = keyOrd.compare(rKeyProj(rHead), lKey)
+              if (c < 0 ||
+                  (c == 0 && (rTsProj(rHead).isNullAt(0) ||
+                    tsOrd.compare(rTsProj(rHead), lTsRow) < 0))) {
+                rHead = if (rIter.hasNext) rIter.next() else null
+              } else advancing = false
+            }
+            val matched =
+              rHead != null && keyOrd.compare(rKeyProj(rHead), lKey) == 0
+            joined(l, if (matched) rHead else nullRight)
+          } else {
+            var advancing = true
+            while (advancing && rHead != null) {
+              val rKey = rKeyProj(rHead)
+              val c = keyOrd.compare(rKey, lKey)
+              if (c < 0) { // right group already behind every remaining left
+                rHead = if (rIter.hasNext) rIter.next() else null
+              } else if (c == 0 && rTsProj(rHead).isNullAt(0)) {
+                // null right ts: consume and discard (sorted nulls-first,
+                // so these precede every real candidate of the key)
+                rHead = if (rIter.hasNext) rIter.next() else null
+              } else if (c == 0 && tsOrd.compare(rTsProj(rHead), lTsRow) <= 0) {
+                lastRight = rHead.copy()
+                if (lastRightKey == null) lastRightKey = lKey.copy()
+                rHead = if (rIter.hasNext) rIter.next() else null
+              } else advancing = false
+            }
+            joined(l, if (lastRight != null) lastRight else nullRight)
           }
-          joined(l, if (lastRight != null) lastRight else nullRight)
           resultProj(joined)
         }
       }
@@ -195,9 +219,14 @@ object AsOfJoin {
     * semantics are required. NULL timestamps follow SQL comparison
     * semantics on both sides: a null-ts left row matches nothing (but is
     * kept, left-outer), a null-ts right row is never a candidate.
+    * `forward = true` flips the direction: match the EARLIEST right
+    * at-or-after the left timestamp (merge_asof direction='forward');
+    * the merge then needs no buffered state at all — the right head is
+    * the candidate.
     */
   def joinAsOf(left: DataFrame, right: DataFrame, keys: Seq[(String, String)],
-               leftTsCol: String, rightTsCol: String): DataFrame = {
+               leftTsCol: String, rightTsCol: String,
+               forward: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     register(spark)
     val lPlan = GraftSqlShims.analyzed(left)
@@ -210,6 +239,6 @@ object AsOfJoin {
       lPlan, rPlan,
       keys.map { case (ln, _) => attr(lPlan, ln) },
       keys.map { case (_, rn) => attr(rPlan, rn) },
-      attr(lPlan, leftTsCol), attr(rPlan, rightTsCol)))
+      attr(lPlan, leftTsCol), attr(rPlan, rightTsCol), forward))
   }
 }

@@ -44,6 +44,27 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out("no-right-key") === None)
   }
 
+  test("forward direction matches the earliest right at-or-after, per key") {
+    import spark.implicits._
+    def ts(m: Int) = Timestamp.valueOf(f"2026-01-01 00:$m%02d:00")
+    val right = Seq((1L, ts(10), 100.0), (1L, ts(20), 200.0), (2L, ts(30), 300.0))
+      .toDF("r_k", "r_ts", "px")
+    val left = Seq(
+      (1L, ts(5), "before-any"), (1L, ts(10), "at-equal"),
+      (1L, ts(15), "between"), (1L, ts(25), "after-last"),
+      (2L, ts(30), "other-key"), (3L, ts(40), "no-right-key"))
+      .toDF("k", "ts", "tag")
+    val out = AsOfJoin.joinAsOf(left, right, Seq("k" -> "r_k"), "ts", "r_ts",
+        forward = true)
+      .select("tag", "px").as[(String, Option[Double])].collect().toMap
+    assert(out("before-any") === Some(100.0)) // earliest at-or-after
+    assert(out("at-equal") === Some(100.0))   // inclusive at equality
+    assert(out("between") === Some(200.0))
+    assert(out("after-last") === None)        // nothing later exists
+    assert(out("other-key") === Some(300.0))
+    assert(out("no-right-key") === None)
+  }
+
   test("null timestamps follow SQL semantics: no match either direction, key types validated") {
     import spark.implicits._
     def ts(m: Int) = Timestamp.valueOf(f"2026-01-01 00:$m%02d:00")
