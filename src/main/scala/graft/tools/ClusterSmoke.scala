@@ -73,7 +73,8 @@ object ClusterSmoke {
     // co-partitioning contract (two ClusteredDistribution children) and
     // the streaming merge's row-buffer copies must hold across real
     // executor shuffles, not just local[n]'s in-process exchanges
-    "q24_asof_join_native")
+    "q24_asof_join_native",
+    "q24_asof_join_forward")
 
   /** Regime-forcing entries that the public `SparkEntry.queries` map
     * (rightly) serves through their fixture-scale fast path — the smoke
