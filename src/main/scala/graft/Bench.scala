@@ -97,8 +97,11 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$sweepNote}"""
     println(json)
-    // The driver captures only a tail of stdout, which can truncate the
-    // per-query map — always persist the complete record to a repo file too.
+    // The driver captures only a ~2000-char tail of stdout, which the full
+    // per-query map overflows at 200+ queries (the r7 artifact parsed to
+    // null) — always persist the complete record to a repo file, and print
+    // a COMPACT summary as the very last stdout line so the captured tail
+    // is self-sufficiently parseable on its own.
     // Filtered dev runs (SPARK_GRAFT_QUERIES set) must NOT clobber the
     // full-suite record: they default to a scratch path instead.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
@@ -109,6 +112,7 @@ object Bench {
       case e: Throwable =>
         System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"sf":"$sfDir"$sweepNote,"detail":"$outPath"}""")
     spark.stop()
   }
 }

@@ -764,7 +764,7 @@ object SparkEntry {
       |s AS (SELECT user_id, ts, value, sum(new_s) OVER
       |  (PARTITION BY user_id ORDER BY ts, value ROWS UNBOUNDED PRECEDING) AS sid FROM o)
       |SELECT user_id, min(ts) AS session_start, max(ts) AS last_ts,
-      |  count(*) AS n_events, round(sum(value), 2) AS sum_v
+      |  count(*) AS n_events, round(coalesce(sum(value), 0), 2) AS sum_v
       |FROM s GROUP BY user_id, sid""".stripMargin
 
   /** Order→part co-purchase edge CTEs shared by the graph oracles:
@@ -1402,7 +1402,7 @@ object SparkEntry {
     "stream_cdc_apply" ->
       """SELECT user_id, last_ts, last_event_id, last_value, n_ops FROM (
         |  SELECT user_id, ts AS last_ts, event_id AS last_event_id,
-        |         round(value, 6) AS last_value, event_type,
+        |         round(coalesce(value, 0), 6) AS last_value, event_type,
         |         count(*) OVER (PARTITION BY user_id) AS n_ops,
         |         row_number() OVER (PARTITION BY user_id
         |                            ORDER BY ts DESC, event_id DESC) AS rn

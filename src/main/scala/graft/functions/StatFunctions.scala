@@ -51,15 +51,14 @@ object StatFunctions {
                      maxCollect: Int = 262144): Array[Double] = {
     val c = col(column).cast("double")
     val n = df.agg(count(c)).collect()(0).getLong(0)
-    // quantiles of an empty column don't exist — return NaN per requested
-    // q (SQL's quantile_cont returns NULL on zero rows; NaN is the Array
-    // [Double] analog). CONTRACT: only bucket the same frame the
-    // quantiles were computed from (as q41 does) — the empty input then
-    // flows through to an empty result. Do NOT bucket a non-empty frame
-    // against NaN boundaries: Spark's nan-safe ordering ranks NaN
-    // GREATER than every numeric value, so `col <= NaN` is true and
-    // every row would land in the first bucket.
-    if (n == 0) return qs.map(_ => Double.NaN).toArray
+    // quantiles of an empty column don't exist — return an EMPTY array
+    // (SQL's quantile_cont returns NULL on zero rows). Returning NaN
+    // sentinels instead would let a caller silently bucket a non-empty
+    // frame against them (Spark's nan-safe ordering ranks NaN GREATER
+    // than every numeric, so `col <= NaN` is always true and every row
+    // lands in bucket 1); the empty array makes any positional
+    // destructuring fail loudly at the call site instead.
+    if (n == 0) return Array.empty[Double]
     val positions = qs.map(q => (n - 1) * q)
     val ranks = positions.flatMap(p =>
       Seq(math.floor(p).toLong, math.ceil(p).toLong)).distinct.sorted

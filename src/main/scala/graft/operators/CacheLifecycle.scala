@@ -29,4 +29,27 @@ private[graft] object CacheLifecycle {
     try result.localCheckpoint(eager = true)
     finally shared.foreach(_.unpersist(blocking = false))
   }
+
+  /** Explicitly free the block storage behind a `localCheckpoint`ed
+    * frame. `Dataset.unpersist` does NOT release checkpoint blocks —
+    * they are RDD-persisted outside the cache manager — so without this
+    * every superseded per-round checkpoint in an iterative loop
+    * (pagerank / label-prop / k-core / CC contraction) lingers until the
+    * weak-reference ContextCleaner happens to collect the RDD object.
+    * Across a 200-query single-JVM sweep that is unbounded storage
+    * churn: superseded rounds' blocks squeeze the storage pool and tax
+    * every later query's GC (the r7 driver-bench pathology).
+    *
+    * CONTRACT: call only on a frame returned by `localCheckpoint` whose
+    * every consumer has already materialized — a released local
+    * checkpoint cannot be recomputed (lineage is truncated), so any
+    * later action on it fails with missing blocks. Never call it on
+    * family-cache frames (shared across queries).
+    */
+  def release(df: DataFrame): Unit =
+    org.apache.spark.sql.GraftSqlShims.analyzed(df).foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

@@ -773,11 +773,15 @@ object Dedup {
         .groupBy("v").agg(min("lbl").as("lbl")).localCheckpoint(eager = true)
       changed = next.as("n").join(labels.as("o"), "v")
         .filter(col("n.lbl") =!= col("o.lbl")).count()
+      // the change-count above was the old frame's last consumer —
+      // release its blocks instead of leaving them to the ContextCleaner
+      CacheLifecycle.release(labels)
       labels = next
       round += 1
     }
     val out = labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
       .localCheckpoint(eager = true) // then release the iteration state
+    CacheLifecycle.release(labels)
     edges.unpersist(blocking = false)
     out
   }
@@ -845,6 +849,8 @@ object Dedup {
       // re-distinct of each before the anti-join
       done = newCnt == oldCnt &&
         next.join(edges, Seq("a", "b"), "left_anti").limit(1).count() == 0
+      // the fixpoint probe above was the old round's last consumer
+      CacheLifecycle.release(edges)
       edges = next
       oldCnt = newCnt
       round += 1
@@ -855,7 +861,7 @@ object Dedup {
       .union(edges.select(col("a")).distinct()
         .select(col("a").as("doc_id"), col("a").as("cluster_id")))
       .localCheckpoint(eager = true)
-    edges.unpersist(blocking = false)
+    CacheLifecycle.release(edges)
     out
   }
 

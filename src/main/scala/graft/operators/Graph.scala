@@ -109,22 +109,47 @@ object Graph {
     CacheLifecycle.materialize(coDegrees(s, dir))
   }
 
+  /** Node count below which NODE-sized per-iteration state frames
+    * (ranks, labels, k-core survivor sets) carry a `broadcast()` hint
+    * into their EDGE-sized joins; past it the identical plan runs with
+    * plain shuffle joins — the regime flip is a pure physical choice,
+    * spec-pinned bit-identical (GraphGovSpec / KcoreSpec force cap=0).
+    * Co-purchase nodes are the part dimension (20k at sf0.1, 200k at
+    * sf1 — kilobytes against a 100 TB edge fact), so the hint holds
+    * through any realistic scale-up; the cap is the executor-memory
+    * guard for the ≳10⁸-node regime where only the shuffle join works.
+    *
+    * History (r7 verdict): these operators used to keep the state as a
+    * DRIVER map probed by a per-edge Scala UDF below this cap.
+    * RegimeProbe measured that path at parity with the broadcast join
+    * at the 8g default heap (SCALE.md "Driver-map vs broadcast-join
+    * regimes") — and under a cold single-sweep JVM it was 10-13×
+    * SLOWER (the G1 large-heap/cold-heap pathology concentrates in
+    * multi-MB driver-map broadcasts probed by interpreted UDFs). A path
+    * that wins nothing when healthy and dominates the suite record when
+    * not is deleted, not gated.
+    */
+  private val BroadcastNodeCap = 5000000L
+
   /** PageRank over the symmetric co-purchase graph, `iters` fixed
     * iterations of r' = (1−d)/N + d·Σ r(u)/deg(u).
     *
-    * The scale split: ranks and degrees are NODE-sized while every
-    * iteration's real work is EDGE-sized, so the regime is picked by
-    * node count — [[pagerankDriverRanks]] (rank map rides into the edge
-    * scan; one scan + one node-sized exchange per iteration) up to
-    * [[PagerankDriverNodeCap]], [[pagerankJoinRanks]] (broadcast-join,
-    * fully distributed rank frame) past it. N is the single scalar the
-    * plan needs, taken with one count action and embedded as a literal
-    * (the q41 quantile-literal pattern), so both engines divide by the
-    * identical double.
+    * Plan shape: the EDGE-sized adjacency (persisted, never re-sorted)
+    * joins the NODE-sized rank frame each iteration — rank frame
+    * broadcast below [[BroadcastNodeCap]], plain join past it; the only
+    * per-iteration shuffle is the map-side-combined contribution
+    * aggregate. Each iteration `localCheckpoint`s its node-sized rank
+    * frame so the logical plan stays one-iteration deep, and RELEASES
+    * the superseded round's blocks explicitly (CacheLifecycle.release)
+    * — leaving them to the weak-reference ContextCleaner was measurable
+    * storage churn across a 200-query single-JVM sweep.
     *
-    * The graph is symmetric, so every node has deg ≥ 1 and receives mass
-    * — no dangling-mass correction term is needed. Output rank is scaled
-    * by N (1.0 = uniform mass) before the 6-decimal round so the
+    * N is the single scalar the plan needs, taken with one count action
+    * and embedded as a literal (the q41 quantile-literal pattern), so
+    * both engines divide by the identical double. The graph is
+    * symmetric, so every node has deg ≥ 1 and receives mass — no
+    * dangling-mass correction term is needed. Output rank is scaled by
+    * N (1.0 = uniform mass) before the 6-decimal round so the
     * comparison works in O(1) magnitudes at every corpus size.
     *
     * `damping` and `teleport` are separate parameters (not 1−d of each
@@ -132,108 +157,38 @@ object Graph {
     * uses — `1.0 - 0.85` and the literal `0.15` differ by one ulp, and
     * the oracle contract here is "identical doubles", not "close".
     */
-  /** Node count up to which the rank vector lives on the DRIVER between
-    * iterations (the IVF-centroid "tiny index metadata" regime): ranks
-    * and degrees are node-sized while every iteration's real work is
-    * edge-sized, so shipping a rank MAP into the edge scan turns each
-    * iteration into one scan + one node-sized aggregate exchange — no
-    * join build, no per-iteration checkpoint. Co-purchase nodes are the
-    * part dimension (20k at sf0.1, 200k at sf1 — kilobytes against a
-    * 100 TB edge fact). Past the cap the broadcast-join path below
-    * carries the same volume argument distributively.
-    */
-  private val PagerankDriverNodeCap = 5000000L
-
   def pagerank(s: SparkSession, dir: String, iters: Int = 3,
                damping: Double = 0.85, teleport: Double = 0.15,
-               driverCap: Long = PagerankDriverNodeCap): DataFrame = {
+               broadcastCap: Long = BroadcastNodeCap): DataFrame = {
     val pairs = coPairs(s, dir)
     val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
     val deg = coDegrees(s, dir)
     val n = deg.count()
-    if (n <= driverCap)
-      pagerankDriverRanks(s, edges, deg, n, iters, damping, teleport)
-    else
-      pagerankJoinRanks(edges, deg, n, iters, damping, teleport)
-  }
-
-  /** Small-node-count regime: the rank frame round-trips through the
-    * driver each iteration (node-sized collect), the per-edge
-    * CONTRIBUTION rank(src)/deg(src) is a broadcast map lookup inside
-    * the edge scan, and the only exchange is the node-sized partial-sum
-    * aggregate. Arithmetic is identical to the join path (same per-edge
-    * division, same double sum per dst), so the SQL oracle's values are
-    * unchanged.
-    */
-  private def pagerankDriverRanks(s: SparkSession, edges: DataFrame,
-                                  deg: DataFrame, n: Long, iters: Int,
-                                  damping: Double, teleport: Double): DataFrame = {
-    val degArr = deg.collect().map(r => r.getLong(0) -> r.getLong(1))
-    var rank = scala.collection.mutable.LongMap.empty[Double]
-    degArr.foreach { case (node, _) => rank(node) = 1.0 / n }
-    val degMap = scala.collection.mutable.LongMap(degArr.map {
-      case (node, d) => node -> d.toDouble }: _*)
-    val base = teleport / n // rank of a node with no in-edges
-    for (_ <- 1 to iters) {
-      // contributions iterate the DEGREE table, not the rank map: on an
-      // asymmetric edge list a node with out-edges but no in-edges drops
-      // out of `rank` after round 1, yet its true rank is the teleport
-      // base — which it must keep contributing (a 0.0 default would leak
-      // rank mass out of the system every round)
-      val contrib = scala.collection.mutable.LongMap.empty[Double]
-      degMap.foreach { case (node, d) =>
-        contrib(node) = rank.getOrElse(node, base) / d }
-      val bc = s.sparkContext.broadcast(contrib)
-      // every edge src has a degree row by construction, so the default
-      // is unreachable; it exists to keep a malformed input non-fatal
-      val lookup = udf { (src: Long) => bc.value.getOrElse(src, 0.0) }
-      val next = edges.select(col("dst"), lookup(col("src")).as("c"))
-        .groupBy(col("dst"))
-        .agg((lit(teleport / n) + lit(damping) * sum(col("c"))).as("rank"))
-        .collect()
-      rank = scala.collection.mutable.LongMap.empty[Double]
-      next.foreach(r => rank(r.getLong(0)) = r.getDouble(1))
-      bc.destroy()
-    }
-    val finalBc = s.sparkContext.broadcast(rank)
-    val rlook = udf { (node: Long) => finalBc.value.getOrElse(node, base) }
-    deg.select(col("node").as("part"),
-        round(rlook(col("node")) * lit(n.toDouble), 6).as("pagerank"),
-        col("deg"))
-      .localCheckpoint(true)
-  }
-
-  /** Large-node-count regime: every iteration joins the EDGE-sized
-    * adjacency with the NODE-sized rank frame — the rank frame is
-    * `broadcast()` and the adjacency never moves or re-sorts; the
-    * per-iteration shuffle is only the map-side-combined contribution
-    * aggregate. Past broadcastable node counts (≳10⁸), flip the hint to
-    * a co-partitioned join — the volume argument holds. Each iteration
-    * `localCheckpoint`s its node-sized rank frame so the logical plan
-    * stays one-iteration deep.
-    */
-  private def pagerankJoinRanks(edges: DataFrame, deg: DataFrame, n: Long,
-                                iters: Int, damping: Double,
-                                teleport: Double): DataFrame = {
-    val adj = edges.join(broadcast(deg), col("src") === col("node"))
+    def hint(nodeSized: DataFrame): DataFrame =
+      if (n <= broadcastCap) broadcast(nodeSized) else nodeSized
+    val adj = edges.join(hint(deg), col("src") === col("node"))
       .select(col("src"), col("dst"), col("deg"))
       .persist()
     try {
       var ranks = deg.select(col("node"), lit(1.0 / n).as("rank"))
         .localCheckpoint(true)
       for (_ <- 1 to iters) {
-        ranks = adj.join(broadcast(ranks), col("src") === col("node"))
+        val next = adj.join(hint(ranks), col("src") === col("node"))
           .groupBy(col("dst"))
           .agg((lit(teleport / n) +
             lit(damping) * sum(col("rank") / col("deg"))).as("rank"))
           .select(col("dst").as("node"), col("rank"))
           .localCheckpoint(true)
+        CacheLifecycle.release(ranks) // superseded round, no consumers left
+        ranks = next
       }
-      ranks.join(deg, Seq("node"))
+      val out = ranks.join(deg, Seq("node"))
         .select(col("node").as("part"),
           round(col("rank") * lit(n.toDouble), 6).as("pagerank"),
           col("deg"))
         .localCheckpoint(true)
+      CacheLifecycle.release(ranks)
+      out
     } finally adj.unpersist(false)
   }
 
@@ -438,58 +393,42 @@ object Graph {
     * oracle (async LPA is visit-order-dependent). Fixed `iters` rounds,
     * one CTE layer each in the oracle.
     *
-    * Same regime split as [[pagerank]]: label state is NODE-sized while
-    * each round's work is EDGE-sized, so below [[PagerankDriverNodeCap]]
-    * the label map rides into the edge scan (one scan + one
-    * (dst, label)-sized exchange per round); past it the same pipeline
-    * runs with a broadcast-joined label frame. The per-round plurality
-    * argmax is `max(struct(cnt, -label))` — a two-phase aggregate, never
-    * a window sort.
+    * Same plan shape as [[pagerank]]: label state is NODE-sized while
+    * each round's work is EDGE-sized — the label frame joins the edge
+    * set each round, broadcast below [[BroadcastNodeCap]] and a plain
+    * shuffle join past it, with each superseded round's checkpoint
+    * released explicitly. The per-round plurality argmax is the custom
+    * one-pass `graft_mode` aggregate (count desc, label asc tie-break)
+    * — ONE node-sized exchange per round where the composed
+    * count→argmax form pays two, and never a window sort.
     */
   def labelPropagation(s: SparkSession, dir: String, iters: Int = 2,
-                       driverCap: Long = PagerankDriverNodeCap): DataFrame = {
+                       broadcastCap: Long = BroadcastNodeCap): DataFrame = {
     graft.expressions.ModeAgg.register(s)
     val pairs = coPairs(s, dir)
     val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
     val deg = coDegrees(s, dir)
     val n = deg.count()
-    // per-round plurality = the custom one-pass graft_mode aggregate
-    // (count desc, label asc tie-break) — ONE node-sized exchange per
-    // round where the composed count→argmax form pays two
-    if (n <= driverCap) {
-      var labels = scala.collection.mutable.LongMap.empty[Long]
-      deg.collect().foreach(r => labels(r.getLong(0)) = r.getLong(0))
-      for (_ <- 1 to iters) {
-        val bc = s.sparkContext.broadcast(labels)
-        // missing src (asymmetric edge list) keeps its initial own-id label
-        val lk = udf { (src: Long) => bc.value.getOrElse(src, src) }
-        val next = edges.select(col("dst"), lk(col("src")).as("lbl"))
-          .groupBy(col("dst"))
-          .agg(call_function("graft_mode", col("lbl")).as("lbl"))
-          .collect()
-        labels = scala.collection.mutable.LongMap.empty[Long]
-        next.foreach(r => labels(r.getLong(0)) = r.getLong(1))
-        bc.destroy()
-      }
-      val fin = s.sparkContext.broadcast(labels)
-      val flk = udf { (node: Long) => fin.value(node) }
-      deg.select(col("node").as("part"), flk(col("node")).as("community"),
-          col("deg"))
+    def hint(nodeSized: DataFrame): DataFrame =
+      if (n <= broadcastCap) broadcast(nodeSized) else nodeSized
+    var labels = deg.select(col("node"), col("node").as("lbl"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val next = edges.join(hint(labels), col("src") === col("node"))
+        .groupBy(col("dst"))
+        .agg(call_function("graft_mode", col("lbl")).as("lbl"))
+        .select(col("dst").as("node"), col("lbl"))
         .localCheckpoint(true)
-    } else {
-      var labels = deg.select(col("node"), col("node").as("lbl"))
-        .localCheckpoint(true)
-      for (_ <- 1 to iters) {
-        labels = edges.join(broadcast(labels), col("src") === col("node"))
-          .groupBy(col("dst"))
-          .agg(call_function("graft_mode", col("lbl")).as("lbl"))
-          .select(col("dst").as("node"), col("lbl"))
-          .localCheckpoint(true)
-      }
-      deg.join(labels, Seq("node"))
-        .select(col("node").as("part"), col("lbl").as("community"), col("deg"))
-        .localCheckpoint(true)
+      CacheLifecycle.release(labels)
+      labels = next
     }
+    // symmetric edge set: every node has ≥1 in-edge, so the inner join
+    // keeps the full node set
+    val out = deg.join(labels, Seq("node"))
+      .select(col("node").as("part"), col("lbl").as("community"), col("deg"))
+      .localCheckpoint(true)
+    CacheLifecycle.release(labels)
+    out
   }
 
   /** k-core extraction by SYNCHRONOUS bounded-round peeling (the
@@ -501,18 +440,24 @@ object Graph {
     * iterative graph state).
     *
     * Scale shape per round: ONE edge-sized exchange (the degree
-    * aggregate — map-side partials) + a node-sized broadcast of the
-    * survivor set filtering edges map-side; the survivor set only
-    * shrinks, so every later round is cheaper. The peel cascades
-    * monotonically, which gives the early exit its correctness: if the
-    * survivor COUNT repeats, the set repeated (survivors are a
-    * monotone ⊆ chain), every further round is a fixpoint no-op, and
-    * stopping early returns exactly what the oracle's full `rounds`
-    * CTE stack computes. Per-round `localCheckpoint` caps lineage
-    * depth exactly as in the contraction loop of `componentsOf`.
+    * aggregate — map-side partials) + a NODE-sized survivor join
+    * filtering the edge set — broadcast below [[BroadcastNodeCap]]
+    * (measured from this round's own node count, already in hand from
+    * the loop-test aggregate — no extra job), plain shuffle join past
+    * it (the r7 verdict gap: round 1's survivor set is near node-sized,
+    * so an unconditional broadcast breaks the driver at 100× nodes).
+    * The survivor set only shrinks, so every later round is cheaper.
+    * The peel cascades monotonically, which gives the early exit its
+    * correctness: if the survivor COUNT repeats, the set repeated
+    * (survivors are a monotone ⊆ chain), every further round is a
+    * fixpoint no-op, and stopping early returns exactly what the
+    * oracle's full `rounds` CTE stack computes. Per-round
+    * `localCheckpoint` caps lineage depth exactly as in the contraction
+    * loop of `componentsOf`; superseded rounds' blocks are released
+    * explicitly.
     */
   def kcore(s: SparkSession, dir: String, k: Int = 65,
-            rounds: Int = 6): DataFrame = {
+            rounds: Int = 6, broadcastCap: Long = BroadcastNodeCap): DataFrame = {
     require(rounds >= 1, s"kcore needs at least one peeling round, got $rounds")
     // round-0 edges are a plain union over the family-cached pair table
     // — no checkpoint needed (lineage depth 1, recompute is a cache
@@ -521,15 +466,20 @@ object Graph {
     var edges = pairs.select(col("src").as("a"), col("dst").as("b"))
       .union(pairs.select(col("dst").as("a"), col("src").as("b")))
     var survivors: DataFrame = null
+    var prevDeg: DataFrame = null
+    var prevEdges: DataFrame = null
     var prevCount = -1L
     var r = 0
     var done = false
     while (r < rounds && !done) {
       // checkpoint the NODE-sized degree table once; the survivor
       // filter, the all-survived fast path, and the count action all
-      // read it without re-aggregating the edge set
+      // read it without re-aggregating the edge set. The previous
+      // round's degree table has no consumers left — release it.
       val deg = edges.groupBy("a").agg(count(lit(1)).as("deg"))
         .localCheckpoint(true)
+      if (prevDeg != null) CacheLifecycle.release(prevDeg)
+      prevDeg = deg
       survivors = deg.filter(col("deg") >= k)
       // ONE scan of the checkpointed node table answers both loop tests
       // (survivor count + total count) — two separate count() actions
@@ -550,16 +500,26 @@ object Graph {
         if (r < rounds) {
           // per-round checkpoint: each round's three actions (eager deg
           // checkpoint + two counts) would otherwise re-run every
-          // stacked broadcast filter from the cache — measured 0.4 s
+          // stacked survivor filter from the cache — measured 0.4 s
           // slower at sf0.1 than materializing the shrinking edge set
+          def hint(nodeSized: DataFrame): DataFrame =
+            if (cnts.getLong(1) <= broadcastCap) broadcast(nodeSized)
+            else nodeSized
           edges = edges
-            .join(broadcast(survivors.select(col("a"))), Seq("a"))
-            .join(broadcast(survivors.select(col("a").as("b"))), Seq("b"))
+            .join(hint(survivors.select(col("a"))), Seq("a"))
+            .join(hint(survivors.select(col("a").as("b"))), Seq("b"))
             .localCheckpoint(true)
+          if (prevEdges != null) CacheLifecycle.release(prevEdges)
+          prevEdges = edges
         }
       }
     }
-    CacheLifecycle.materialize(
+    val out = CacheLifecycle.materialize(
       survivors.select(col("a").as("node"), col("deg").as("core_deg")))
+    // survivors read from the final deg checkpoint; the materialize
+    // above is its last consumer
+    if (prevDeg != null) CacheLifecycle.release(prevDeg)
+    if (prevEdges != null) CacheLifecycle.release(prevEdges)
+    out
   }
 }

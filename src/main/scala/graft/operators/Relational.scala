@@ -305,7 +305,12 @@ object Relational {
     * dedup, same output, same oracle; the plan replaces the tagged
     * union + carry-forward window with one streaming merge per
     * key-clustered sorted partition. Spec-pinned row-identical to the
-    * composed form; the oracle value-checks both.
+    * composed form ON NULL-FREE TIMESTAMPS (the fixture's domain): a
+    * null-ts click would ride the window's nulls-first ordering into
+    * every later error under the composed form, while the native
+    * operator follows SQL comparison semantics and never matches it —
+    * the native behavior is the correct one, and the oracle
+    * value-checks both on the null-free fixture.
     */
   def q24AsofJoinNative(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)
@@ -850,8 +855,17 @@ object Relational {
     */
   def q41QuantileBucket(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
-    val Array(q1, q2, q3) = graft.functions.StatFunctions.exactQuantiles(
+    val bounds = graft.functions.StatFunctions.exactQuantiles(
       li, "l_extendedprice", Seq(0.25, 0.5, 0.75))
+    // empty input: no quantiles exist (exactQuantiles returns an empty
+    // array) and the bucketed aggregate over the same empty frame is
+    // empty under ANY boundaries — return it with the exact schema
+    if (bounds.isEmpty)
+      return li.select(col("l_returnflag"), lit(1).as("qbucket"))
+        .filter(lit(false))
+        .groupBy("l_returnflag", "qbucket")
+        .agg(count(lit(1)).as("cnt"))
+    val Array(q1, q2, q3) = bounds
     li.select(col("l_returnflag"),
         when(col("l_extendedprice") <= q1, 1)
           .when(col("l_extendedprice") <= q2, 2)

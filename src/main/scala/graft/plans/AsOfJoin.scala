@@ -211,9 +211,10 @@ object AsOfJoin {
 
   /** Backward-inclusive as-of join of `left` onto `right` on equal
     * `keys`, matching the latest `right(rightTsCol)` at-or-before
-    * `left(leftTsCol)`. Column names must be disjoint apart from the
-    * keys; right columns (keys included, under their right-side names)
-    * are appended nullable. NULL keys group together (window-partition
+    * `left(leftTsCol)`. Left and right column names must be fully
+    * disjoint (enforced — rename the right side, keys included); right
+    * columns (keys included, under their right-side names) are appended
+    * nullable. NULL keys group together (window-partition
     * semantics, matching the composed form) — unlike a SQL equi-join,
     * where null never equals null; filter them out beforehand if SQL
     * semantics are required. NULL timestamps follow SQL comparison
@@ -229,12 +230,27 @@ object AsOfJoin {
                forward: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     register(spark)
+    // The documented name contract is ENFORCED, not assumed: the output
+    // appends every right column under its right-side name, so any
+    // left/right overlap would produce duplicate output names whose
+    // downstream resolution is ambiguous — and attr() below binds by
+    // name, so a duplicate within one side would silently bind the
+    // first match. Fail construction instead.
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"joinAsOf requires disjoint column names (rename the right side); " +
+        s"overlapping: ${overlap.toSeq.sorted.mkString(", ")}")
     val lPlan = GraftSqlShims.analyzed(left)
     val rPlan = GraftSqlShims.analyzed(right)
     def attr(plan: LogicalPlan, name: String): Attribute =
-      plan.output.find(_.name == name).getOrElse(
-        throw new IllegalArgumentException(
-          s"column $name not found among ${plan.output.map(_.name)}"))
+      plan.output.filter(_.name == name) match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"column $name not found among ${plan.output.map(_.name)}")
+        case many => throw new IllegalArgumentException(
+          s"column $name is ambiguous (${many.size} matches) — " +
+            "deduplicate the input's column names first")
+      }
     GraftSqlShims.ofRows(spark, AsOfJoinPlan(
       lPlan, rPlan,
       keys.map { case (ln, _) => attr(lPlan, ln) },

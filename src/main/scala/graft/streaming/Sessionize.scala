@@ -25,8 +25,12 @@ object Sessionize {
   def batch(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(col("user_id"), session_window(col("ts"), s"$GapMinutes minutes").as("w"))
+      // coalesce AFTER the null-skipping sum: an all-null session reads
+      // 0.0, matching the streaming form's per-event coalesce and the
+      // oracle's COALESCE(sum(value), 0) — the three stay aligned even
+      // on null-carrying inputs (ADVICE r7)
       .agg(count(lit(1)).as("n_events"),
-        round(sum("value"), 2).as("sum_v"),
+        round(coalesce(sum("value"), lit(0.0)), 2).as("sum_v"),
         max("ts").as("last_ts"))
       .select(col("user_id"), col("w.start").as("session_start"),
         col("last_ts"), col("n_events"), col("sum_v"))
@@ -128,9 +132,9 @@ object Sessionize {
         .transform(graft.Tables.normalizeTs) // staged bytes are the raw fixture
         .withWatermark("ts", "10 minutes")
         // the typed state row carries a primitive Double; a null value
-        // (failed upstream parse) folds as a zero contribution — the
-        // same total SQL's null-skipping sum produces, and the event
-        // still counts toward n_events exactly like the batch form
+        // (failed upstream parse) folds as a zero contribution. The
+        // batch form and the oracle both COALESCE their null-skipping
+        // sums to 0, so all three agree even on an all-null session
         .select(col("user_id"), col("ts"),
           coalesce(col("value"), lit(0.0)).as("value"))
         .as[Ev]

@@ -1016,8 +1016,10 @@ object StreamOps {
         .transform(graft.Tables.normalizeTs) // staged bytes are the raw fixture
         .withWatermark("ts", delay)
         .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+        // coalesce after the null-skipping sum — aligned with the batch
+        // session_window form and the oracle's COALESCE (ADVICE r7)
         .agg(count(lit(1)).as("n_events"),
-          round(sum("value"), 2).as("sum_v"),
+          round(coalesce(sum("value"), lit(0.0)), 2).as("sum_v"),
           max("ts").as("last_ts"))
       val q = stream.writeStream
         .outputMode("append")

@@ -138,9 +138,14 @@ object EdgeSweep {
     import org.apache.spark.sql.functions.{col, when, lit}
     val dst = java.nio.file.Files.createTempDirectory(s"graft_edge_${n}_")
     // events ts is TIMESTAMP(NANOS) in the driver fixtures — readable
-    // only under the legacy conf (as long); all consumers normalize
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    for (t <- graft.Tables.names) {
+    // only under the legacy conf (as long); all consumers normalize.
+    // The conf is RESTORED after staging: this runs on the caller's
+    // session, and leaking it would change parquet reads for whatever
+    // shares the session next (EdgeSweepSpec's shared test session).
+    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val priorNanos = s.conf.getOption(nanosKey)
+    s.conf.set(nanosKey, "true")
+    try for (t <- graft.Tables.names) {
       val base = s.read.parquet(s"$src/$t.parquet").limit(n)
       def applyOverrides(
           m: Map[String, Seq[(String, org.apache.spark.sql.Column)]]) =
@@ -179,6 +184,9 @@ object EdgeSweep {
         } finally listing.close()
       require(moved, s"no part file produced for $t")
       org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    } finally priorNanos match {
+      case Some(v) => s.conf.set(nanosKey, v)
+      case None => s.conf.unset(nanosKey)
     }
     dst
   }

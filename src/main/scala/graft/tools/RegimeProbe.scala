@@ -1,10 +1,13 @@
 package graft.tools
 
 /** Dev A/B probe for the iterative graph operators' regime split
-  * (driver-map vs broadcast-join label/rank state): runs both paths of
-  * pagerank and label propagation on a warmed family cache and prints
-  * per-rep wall times, so the [[graft.operators.Graph]] crossover caps
-  * are set from measurements, not guesses.
+  * (broadcast-hinted vs plain shuffle join for the node-sized state
+  * frames): runs both paths of pagerank and label propagation on a
+  * warmed family cache and prints per-rep wall times, so the
+  * [[graft.operators.Graph]] crossover caps are set from measurements,
+  * not guesses. (The r7 probe compared the since-deleted driver-map UDF
+  * path against the broadcast join and measured parity at 8g — the
+  * record that justified deleting it.)
   *
   * Usage: runMain graft.tools.RegimeProbe <sfDir> [reps]
   */
@@ -23,14 +26,18 @@ object RegimeProbe {
     // warm the family cache so both regimes measure their own work only
     graft.operators.Graph.buildPairs(spark, dir).count()
     for (i <- 1 to reps) {
-      time(s"label_prop driver#$i")(
+      time(s"label_prop bcast#$i")(
         graft.operators.Graph.labelPropagation(spark, dir).count())
-      time(s"label_prop join#$i")(
-        graft.operators.Graph.labelPropagation(spark, dir, driverCap = 0L).count())
-      time(s"pagerank driver#$i")(
+      time(s"label_prop shuffle#$i")(
+        graft.operators.Graph.labelPropagation(spark, dir, broadcastCap = 0L).count())
+      time(s"pagerank bcast#$i")(
         graft.operators.Graph.pagerank(spark, dir).count())
-      time(s"pagerank join#$i")(
-        graft.operators.Graph.pagerank(spark, dir, driverCap = 0L).count())
+      time(s"pagerank shuffle#$i")(
+        graft.operators.Graph.pagerank(spark, dir, broadcastCap = 0L).count())
+      time(s"kcore bcast#$i")(
+        graft.operators.Graph.kcore(spark, dir).count())
+      time(s"kcore shuffle#$i")(
+        graft.operators.Graph.kcore(spark, dir, broadcastCap = 0L).count())
     }
     spark.stop()
   }

@@ -64,4 +64,17 @@ class Batch47Spec extends AnyFunSuite {
       assert(r.getLong(1) >= K.toLong)
     }
   }
+
+  test("kcore broadcast and shuffle-join survivor regimes agree bit-for-bit") {
+    // broadcastCap=0 forces the survivor filter through plain shuffle
+    // joins — the 100×-node regime where a node-sized broadcast would
+    // break the driver; both physical shapes must peel identically
+    val viaBroadcast = Graph.kcore(spark, sf, k = K, rounds = 6).collect()
+      .map(_.toString).sorted.toSeq
+    val viaShuffle = Graph.kcore(spark, sf, k = K, rounds = 6,
+        broadcastCap = 0L).collect()
+      .map(_.toString).sorted.toSeq
+    assert(viaBroadcast.nonEmpty)
+    assert(viaBroadcast == viaShuffle)
+  }
 }

@@ -178,25 +178,25 @@ class GraphGovSpec extends AnyFunSuite {
     assert(viaStars == viaPairs)
   }
 
-  test("pagerank driver-rank and join-rank regimes agree bit-for-bit") {
-    // driverCap=0 forces the distributed broadcast-join path on the same
-    // fixture the driver-map path serves — both regimes must emit the
-    // identical (rounded) ranks, pinning the regime split as a pure
+  test("pagerank broadcast and shuffle-join regimes agree bit-for-bit") {
+    // broadcastCap=0 forces the plain shuffle-join path on the same
+    // fixture the broadcast-hinted path serves — both regimes must emit
+    // the identical (rounded) ranks, pinning the regime split as a pure
     // physical choice
-    val viaDriver = Graph.pagerank(spark, sf)
+    val viaBroadcast = Graph.pagerank(spark, sf)
       .collect().map(_.toString).sorted
-    val viaJoin = Graph.pagerank(spark, sf, driverCap = 0L)
+    val viaShuffle = Graph.pagerank(spark, sf, broadcastCap = 0L)
       .collect().map(_.toString).sorted
-    assert(viaDriver.nonEmpty)
-    assert(viaDriver.toSeq == viaJoin.toSeq)
+    assert(viaBroadcast.nonEmpty)
+    assert(viaBroadcast.toSeq == viaShuffle.toSeq)
   }
 
   test("label propagation regimes agree and communities coarsen") {
-    val viaDriver = Graph.labelPropagation(spark, sf)
-    val rows = viaDriver.collect()
-    val viaJoin = Graph.labelPropagation(spark, sf, driverCap = 0L)
+    val viaBroadcast = Graph.labelPropagation(spark, sf)
+    val rows = viaBroadcast.collect()
+    val viaShuffle = Graph.labelPropagation(spark, sf, broadcastCap = 0L)
       .collect().map(_.toString).sorted
-    assert(rows.map(_.toString).sorted.toSeq == viaJoin.toSeq)
+    assert(rows.map(_.toString).sorted.toSeq == viaShuffle.toSeq)
     // plurality voting must coarsen the initial one-label-per-node state
     val nNodes = rows.length
     val nCommunities = rows.map(_.getLong(1)).distinct.length
