@@ -202,8 +202,22 @@ object Dedup {
     */
   def incremental(s: SparkSession, dir: String,
                   threshold: Double = JaccardThreshold): DataFrame = {
+    // resolve family-shared deps BEFORE entering the cache thunk
+    // (computeIfAbsent is not re-entrant — the FamilyCache contract)
     val sh = shinglePairs(s, dir)
     val prefixKeyed = corpusPrefix(s, dir) // same index as the batch pipeline
+    // the RESULT is memoized per (session, corpus, τ) like the batch pair
+    // set: it is output-sized and consumed by both the dedup_incremental
+    // entry and the incremental curation pipeline — without this the
+    // pipeline re-paid the whole new×old candidate join (~1.5 s of its
+    // 2.9 s at sf0.1, the r7 verdict's pipeline_curate_incremental item)
+    sharedIntermediate(s, dir, s"incr$threshold") {
+      incrementalUncached(sh, prefixKeyed, threshold)
+    }
+  }
+
+  private def incrementalUncached(sh: DataFrame, prefixKeyed: DataFrame,
+                                  threshold: Double): DataFrame = {
     val alpha = JaccardThreshold / (1 + JaccardThreshold)
     val cands = prefixKeyed.as("a")
       .join(prefixKeyed.as("b"),
@@ -808,30 +822,46 @@ object Dedup {
     // when execution reads the cache; truncating lineage keeps every
     // round's plan shallow. Parallelism follows the data; AQE coalesces
     // when small.
+    //
+    // The input IS checkpointed up front (r8 A/B, negative result
+    // recorded in SCALE.md: skipping the checkpoint read 12.3 s vs
+    // 7.1 s on the components subset — round 0's shuffle stages each
+    // re-executed the raw star subtree where the checkpoint serves
+    // compact materialized blocks) — but NOT distinct'ed: both round-0
+    // min aggregates are duplicate-insensitive, the join fan-out is
+    // bounded by the input's own duplication factor, and the per-round
+    // output distinct canonicalizes everything downstream.
     var edges = pairs
       .select(least(col("id_a"), col("id_b")).as("a"),
         greatest(col("id_a"), col("id_b")).as("b"))
-      .filter(col("a") =!= col("b")).distinct()
+      .filter(col("a") =!= col("b"))
       .localCheckpoint(eager = true)
-    var oldCnt = edges.count()
+    var checkpointed: DataFrame = edges
+    var oldCnt = -1L
     var round = 0
     var done = false
     while (!done && round < maxRounds) {
       // large-star: from the smaller endpoint u of each edge, the larger
       // endpoint v re-links to m(u) = min(Γ(u) ∪ {u}); m ≤ u < v keeps
-      // the (m, v) output canonical with no self-loops
+      // the (m, v) output canonical with no self-loops. Its output flows
+      // into small-star UN-deduplicated (r8): small-star's min aggregate
+      // ignores multiplicity and its join fan-out is bounded by
+      // large-star's duplication, so the intermediate edge-sized
+      // distinct bought nothing but a shuffle.
       val sym = edges.select(col("a").as("u"), col("b").as("v"))
         .union(edges.select(col("b").as("u"), col("a").as("v")))
       val mins = sym.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
       val large = sym.join(mins, "u")
         .filter(col("v") > col("u"))
         .select(col("m").as("a"), col("v").as("b"))
-        .distinct()
       // small-star: from the larger endpoint u, all smaller neighbors and
-      // u itself link to the minimum smaller neighbor m < u
-      val symL = large.select(col("a").as("u"), col("b").as("v"))
-        .union(large.select(col("b").as("u"), col("a").as("v")))
-      val smallNbrs = symL.filter(col("v") < col("u"))
+      // u itself link to the minimum smaller neighbor m < u. Large-star
+      // output is canonically oriented m < v ALWAYS (m ≤ u < v by
+      // construction), so "the smaller neighbors of each larger
+      // endpoint" is exactly the reversed large output — the
+      // symmetrize-then-filter the first cut paid processed the same
+      // rows twice and discarded half (r8).
+      val smallNbrs = large.select(col("b").as("u"), col("a").as("v"))
       val minsS = smallNbrs.groupBy("u").agg(min(col("v")).as("m"))
       val next = smallNbrs.join(minsS, "u")
         .select(col("v").as("x"), col("m"))
@@ -840,19 +870,39 @@ object Dedup {
         .select(col("m").as("a"), col("x").as("b"))
         .distinct()
         .localCheckpoint(eager = true)
-      val newCnt = next.count()
+      // Fixed point = the edge set IS a star forest, tested DIRECTLY
+      // (r8, replacing compare-against-previous-round): (i) every member
+      // b carries exactly one center a, (ii) no center appears as a
+      // member. Both transforms are no-ops exactly on such a set (each
+      // star re-derives itself), and canonical a < b orientation makes
+      // every center its component's minimum, so stopping here returns
+      // the same labels the compare-based exit did — one scan plus (only
+      // when (i) holds) one node-sized semi-join probe, where the old
+      // exit paid a FULL confirmation round (3 shuffles + checkpoint +
+      // count + anti-join) re-deriving an unchanged edge set. The r8
+      // lever chain measured on the components subset (sweeps=3,
+      // sf0.1): 7.1 s baseline → 5.2 (drop the intermediate large-star
+      // distinct) → 4.4 (this direct fixpoint test) → 4.2 (smallNbrs =
+      // reversed large output) → 4.0 (raw-checkpoint the input, no
+      // up-front distinct/count). Explicit broadcast hints on the mins
+      // joins measured NEGATIVE (4.8 — AQE's post-shuffle replan
+      // already converts them and keeps the map-side partials).
+      val st = next.agg(count(lit(1)).as("n"),
+        count_distinct(col("b")).as("nb")).head()
       if (sys.env.contains("GRAFT_CC_DEBUG"))
-        System.err.println(s"[cc] round=$round edges=$oldCnt -> $newCnt")
-      // fixed point: same canonical edge set (counts equal and no new
-      // edges outside the old set). left_anti, not except: both sides
-      // are already distinct by construction, and except would pay a
-      // re-distinct of each before the anti-join
-      done = newCnt == oldCnt &&
-        next.join(edges, Seq("a", "b"), "left_anti").limit(1).count() == 0
-      // the fixpoint probe above was the old round's last consumer
-      CacheLifecycle.release(edges)
+        System.err.println(s"[cc] round=$round edges=$oldCnt -> ${st.getLong(0)}")
+      done = st.getLong(0) == st.getLong(1) &&
+        next.select(col("a")).distinct()
+          .join(next.select(col("b").as("a")), Seq("a"), "left_semi")
+          .limit(1).count() == 0
+      // the probes above were the old round's last consumers — but ONLY
+      // release checkpoints this loop created: round 0's `edges` is the
+      // raw input subtree, whose leaves may include family-cached
+      // (shared) checkpoint frames
+      if (checkpointed != null) CacheLifecycle.release(checkpointed)
+      checkpointed = next
       edges = next
-      oldCnt = newCnt
+      oldCnt = st.getLong(0)
       round += 1
     }
     // star forest: every edge is (component-min, member); the center
@@ -861,7 +911,7 @@ object Dedup {
       .union(edges.select(col("a")).distinct()
         .select(col("a").as("doc_id"), col("a").as("cluster_id")))
       .localCheckpoint(eager = true)
-    CacheLifecycle.release(edges)
+    if (checkpointed != null) CacheLifecycle.release(checkpointed)
     out
   }
 

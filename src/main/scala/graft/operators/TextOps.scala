@@ -498,17 +498,30 @@ object TextOps {
     * form a library user calls with their own corpus and benchmark suite.
     */
   def decontaminateOf(train: DataFrame, eval: DataFrame, k: Int = 3): DataFrame = {
+    // shingles travel as 64-bit xxhash tokens, not ~(8k)-byte strings —
+    // the dedup family's representation (same collision analysis: a
+    // collision can only ADD a spurious shared-gram count, bounded by
+    // d²/2⁶⁵; at larger eval suites widen to a 2×64-bit token). The
+    // dictionary broadcast and the probe join both move 8-byte longs.
     val evalShingles = eval
-      .select(explode(shingles(col("text"), k)).as("sh"))
+      .select(explode(shingles(col("text"), k)).as("sh_str"))
+      .select(xxhash64(col("sh_str")).as("sh"))
       .distinct()
     // ONE corpus scan: explode_outer keeps shingle-less docs in the
-    // stream, the broadcast left join marks eval hits, and count(marker)
-    // counts only matches — per-doc zero counts fall out of the same
-    // aggregation instead of a second scan + re-join of the corpus.
-    // shingles() emits DISTINCT shingles per doc, so the count is the
-    // number of distinct k-grams the doc shares with the eval set.
+    // stream — their hash must stay NULL so they can never match
+    // (xxhash64 is null-SKIPPING, not null-preserving: a bare
+    // xxhash64(null) returns the seed constant, which a real shingle
+    // could collide with), the broadcast left join marks eval hits, and
+    // count(marker) counts only matches — per-doc zero counts fall out
+    // of the same aggregation instead of a second scan + re-join of the
+    // corpus. shingles() emits DISTINCT shingles per doc, so the count
+    // is the number of distinct k-grams the doc shares with the eval
+    // set.
     train
-      .select(col("doc_id"), explode_outer(shingles(col("text"), k)).as("sh"))
+      .select(col("doc_id"),
+        explode_outer(shingles(col("text"), k)).as("sh_str"))
+      .select(col("doc_id"),
+        when(col("sh_str").isNotNull, xxhash64(col("sh_str"))).as("sh"))
       .join(broadcast(evalShingles.withColumn("__hit", lit(1))), Seq("sh"), "left")
       .groupBy("doc_id").agg(count(col("__hit")).as("n_shared"))
       .select(col("doc_id"), col("n_shared"),
@@ -714,17 +727,32 @@ object TextOps {
     val docs = Tables.documents(s, dir)
     val t = tokens(col("text"))
     val newBatch = docs.filter(col("doc_id") % 2 === 1)
-    val quality = newBatch.select(col("doc_id"), col("source"), col("lang"),
+    // ONE batch-text scan serves both admission tests (r8 — the composed
+    // form paid two full tokenize passes): the quality stats ride the
+    // shingle explosion as grouping columns, so the contamination count
+    // and the quality gate fall out of the same aggregate. Same eval
+    // dictionary and hash representation as decontaminateOf; null hash
+    // (shingle-less doc) never matches, exactly as there.
+    val evalDict = docs.filter(col("doc_id") % evalMod === 0)
+      .select(explode(shingles(col("text"), contamK)).as("sh_str"))
+      .select(xxhash64(col("sh_str")).as("sh"))
+      .distinct()
+      .withColumn("__hit", lit(1))
+    val admitted = newBatch
+      .select(col("doc_id"), col("source"), col("lang"),
         size(t).as("n_tokens"),
-        (size(array_distinct(t)) / size(t).cast("double")).as("distinct_ratio"))
+        (size(array_distinct(t)) / size(t).cast("double")).as("distinct_ratio"),
+        explode_outer(shingles(col("text"), contamK)).as("sh_str"))
       .filter(col("n_tokens") >= 20 && col("distinct_ratio") >= 0.3)
-    val contaminated = decontaminateOf(
-        newBatch, docs.filter(col("doc_id") % evalMod === 0), contamK)
-      .filter(col("contaminated")).select("doc_id")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"),
+        when(col("sh_str").isNotNull, xxhash64(col("sh_str"))).as("sh"))
+      .join(broadcast(evalDict), Seq("sh"), "left")
+      .groupBy("doc_id", "source", "lang", "n_tokens")
+      .agg(count(col("__hit")).as("n_shared"))
+      .filter(col("n_shared") === 0)
     val nearDup = Dedup.incremental(s, dir)
       .select(col("id_new").as("doc_id")).distinct()
-    quality
-      .join(contaminated, Seq("doc_id"), "left_anti")
+    admitted
       .join(nearDup, Seq("doc_id"), "left_anti")
       .select("doc_id", "source", "lang", "n_tokens")
   }
