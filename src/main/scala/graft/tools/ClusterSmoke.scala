@@ -113,19 +113,37 @@ object ClusterSmoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     var failed = 0
-    Slice.foreach { name =>
+    def run(tag: String, name: String, dir: String): Unit = {
       val t0 = System.nanoTime()
       try {
         val n = Forced.getOrElse(name, graft.SparkEntry.queries(name))(
-          spark, sfDir).count()
-        println(f"[smoke] PASS $name%-22s rows=$n%-8d ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+          spark, dir).count()
+        println(f"[smoke] PASS $tag$name%-22s rows=$n%-8d ${(System.nanoTime() - t0) / 1e9}%6.2f s")
       } catch {
         case e: Throwable =>
           failed += 1
-          println(s"[smoke] FAIL $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          println(s"[smoke] FAIL $tag$name: ${e.getClass.getSimpleName}: ${e.getMessage}")
       }
     }
-    println(s"[smoke] ${Slice.size - failed}/${Slice.size} passed on local-cluster[2,4,2048]")
+    Slice.foreach(run("", _, sfDir))
+    // Maximum-skew slice (r8): EdgeSweep's hotkey fixture — every
+    // grouping key collapsed to ONE value — on real executor boundaries.
+    // The local EdgeSweep battery proves these queries survive the
+    // shape; this slice proves the survival mechanisms (single hot
+    // shuffle partition, hot-bucket caps in the dedup index, the salted
+    // skew join's salt fan-out, star contraction on a one-component
+    // clique) hold when the skewed partition crosses real JVM shuffles.
+    // A query returning zero rows on the degenerate fixture is a pass —
+    // the gate is no failure, same as EdgeSweep's.
+    val hotkeyDir = EdgeSweep.buildFixture(spark, sfDir, 256, mode = "hotkey")
+    val hotkeySlice = Seq(
+      "q05_multi_agg_skew",    // 15-agg dict over one group
+      "q54_skew_join_salted",  // the salting path with ALL rows hot
+      "dedup_ngram_jaccard",   // hot-bucket-capped inverted index, 100%-dup corpus
+      "graph_components")      // contraction on a single dense component
+    hotkeySlice.foreach(run("hotkey:", _, hotkeyDir.toString))
+    val total = Slice.size + hotkeySlice.size
+    println(s"[smoke] ${total - failed}/$total passed on local-cluster[2,4,2048]")
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

@@ -109,6 +109,92 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(strategies.contains(AsOfJoinStrategy))
   }
 
+  test("the config-driven extensions path (spark.sql.extensions) plans the native exec") {
+    // A FRESH SparkSession over the shared context, created with the
+    // static conf the deployment story documents — no programmatic
+    // register() anywhere on this path. The logical node is built
+    // directly because joinAsOf would inject the strategy itself and
+    // mask what this test gates.
+    import org.apache.spark.sql.SparkSession
+    val sc = spark.sparkContext // ensure the shared context is live
+    // Session builders read spark.sql.extensions from the CONTEXT conf
+    // when reusing a live SparkContext (builder options only reach a
+    // context being created) — so the config lands where a spark-submit
+    // --conf would put it: the live SparkConf, via its private[spark]
+    // accessor (public in bytecode, the buildPlannerStrategies pattern).
+    val liveConf = classOf[org.apache.spark.SparkContext]
+      .getMethod("conf").invoke(sc)
+      .asInstanceOf[org.apache.spark.SparkConf]
+    val prevActive = SparkSession.getActiveSession
+    val prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    liveConf.set("spark.sql.extensions", "graft.plans.GraftExtensions")
+    try {
+      val s2 = SparkSession.builder()
+        .getOrCreate() // reuses the live SparkContext, fresh session state
+      assert(s2 ne spark)
+      import s2.implicits._
+      def ts(m: Int) = Timestamp.valueOf(f"2026-01-01 00:$m%02d:00")
+      val right = Seq((1L, ts(10), 100.0)).toDF("r_k", "r_ts", "px")
+      val left = Seq((1L, ts(15), "x"), (2L, ts(5), "y")).toDF("k", "ts", "tag")
+      val lPlan = org.apache.spark.sql.GraftSqlShims.analyzed(left)
+      val rPlan = org.apache.spark.sql.GraftSqlShims.analyzed(right)
+      def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+               n: String) = p.output.find(_.name == n).get
+      val df = org.apache.spark.sql.GraftSqlShims.ofRows(s2, AsOfJoinPlan(
+        lPlan, rPlan, Seq(attr(lPlan, "k")), Seq(attr(rPlan, "r_k")),
+        attr(lPlan, "ts"), attr(rPlan, "r_ts"), forward = false))
+      val execs = df.queryExecution.sparkPlan.collect { case e: AsOfJoinExec => e }
+      assert(execs.length === 1,
+        s"config-injected strategy did not plan the native exec:\n${df.queryExecution.sparkPlan}")
+      val out = df.select(col("tag"), col("px"))
+        .as[(String, Option[Double])].collect().toMap
+      assert(out === Map("x" -> Some(100.0), "y" -> None))
+    } finally {
+      liveConf.remove("spark.sql.extensions")
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prevActive.foreach(SparkSession.setActiveSession)
+      prevDefault.foreach(SparkSession.setDefaultSession)
+    }
+  }
+
+  test("AQE finalizes the as-of plan with adaptive shuffle reads on a skewed input") {
+    // skewed left (80% of rows on one key) through the native operator
+    // under AQE: the exchanges below AsOfJoinExec become query stages
+    // whose final reads AQE re-plans — the gate is that the adaptive
+    // final plan still contains the native exec AND the output matches
+    // the statically-computable expectation row-for-row (a co-partitioning
+    // violation between the two adaptively-read children would mis-join
+    // the skewed key immediately).
+    val left = spark.range(0, 60000).select(
+      when(col("id") % 5 =!= 0, lit(7L)).otherwise(col("id") % 100).as("k"),
+      timestamp_seconds(col("id") % 1000 + 1).as("ts"),
+      col("id").as("payload"))
+    val right = spark.range(0, 100).select(
+      col("id").as("r_k"),
+      timestamp_seconds(lit(500)).as("r_ts"),
+      (col("id") * 10).as("px"))
+    val out = AsOfJoin.joinAsOf(left, right, Seq("k" -> "r_k"), "ts", "r_ts")
+    // execute THIS QueryExecution (count() would plan its own) so the
+    // adaptive plan below is the finalized one
+    assert(out.collect().length === 60000) // left-outer: every left row survives
+    val planStr = out.queryExecution.executedPlan.toString
+    assert(planStr.contains("isFinalPlan=true"), s"AQE did not finalize:\n$planStr")
+    assert(planStr.contains("AsOfJoin"), s"native exec missing from final plan:\n$planStr")
+    assert(planStr.contains("AQEShuffleRead"),
+      s"expected adaptive shuffle reads below the as-of exec:\n$planStr")
+    // exactly one right candidate per key, so the as-of pick is statically
+    // computable: matched iff r_ts (500 s) <= ts
+    val expected = left.join(right, col("k") === col("r_k"), "left")
+      .select(col("payload"),
+        when(col("ts") >= col("r_ts"), col("px")).as("px"))
+    val got = out.select(col("payload"), col("px"))
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      "as-of result under AQE diverges from the static expectation")
+  }
+
   test("the query plans the native exec, key-clustered and sorted") {
     val native = graft.operators.Relational.q24AsofJoinNative(spark, sf)
     val p = native.queryExecution.executedPlan.toString
