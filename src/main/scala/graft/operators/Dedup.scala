@@ -677,7 +677,8 @@ object Dedup {
   private[operators] def componentsOf(s: SparkSession, pairs: DataFrame,
                                       maxRounds: Int = 20,
                                       driverMaxPairs: Long = 10000000L,
-                                      distributedAlgo: String = "star"): DataFrame = {
+                                      distributedAlgo: String = "star",
+                                      driverFinishCap: Long = 10000000L): DataFrame = {
     // driverMaxPairs == 0 forces the distributed path unconditionally —
     // skip the guard count (a full pass over the pair set) entirely
     val nPairs = if (driverMaxPairs == 0L) 1L else pairs.count()
@@ -690,26 +691,36 @@ object Dedup {
     // regardless of component diameter), or min-label propagation
     // (≤ diameter rounds — fine for the short-chain components near-dup
     // graphs actually produce). Same result on every path, spec-pinned.
-    if (nPairs <= driverMaxPairs) {
-      val parent = scala.collection.mutable.Map.empty[Long, Long]
-      def find(x0: Long): Long = {
-        var x = x0
-        parent.getOrElseUpdate(x, x)
-        while (parent(x) != x) {
-          parent(x) = parent(parent(x)); x = parent(x)
-        }
-        x
-      }
-      pairs.collect().foreach { r =>
-        val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-      }
-      import s.implicits._
-      return parent.keys.toSeq.map(v => (v, find(v)))
-        .toDF("doc_id", "cluster_id")
-    }
-    if (distributedAlgo == "star") ccStarContraction(pairs, maxRounds)
+    if (nPairs <= driverMaxPairs)
+      return driverUnionFind(s, pairs.collect().map(r => (r.getLong(0), r.getLong(1))))
+    if (distributedAlgo == "star") ccStarContraction(pairs, maxRounds, driverFinishCap)
     else ccPropagation(pairs, maxRounds)
+  }
+
+  /** Driver-side union-find over a collected edge list → (doc_id,
+    * cluster_id) labels, cluster_id = component minimum (union-by-min
+    * with path halving). The terminal step of BOTH hybrid CC paths: the
+    * input guard (pair set small enough to skip iteration entirely) and
+    * the contraction finish (edge set shrunk under the guard after k
+    * distributed rounds).
+    */
+  private def driverUnionFind(s: SparkSession,
+                              edges: Array[(Long, Long)]): DataFrame = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      parent.getOrElseUpdate(x, x)
+      while (parent(x) != x) {
+        parent(x) = parent(parent(x)); x = parent(x)
+      }
+      x
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    import s.implicits._
+    parent.keys.toSeq.map(v => (v, find(v))).toDF("doc_id", "cluster_id")
   }
 
   /** The dedup pipeline's actionable output: for every document in a
@@ -816,7 +827,8 @@ object Dedup {
     * At the fixed point every component is a star centered at its minimum
     * vertex, so the (doc_id, cluster_id) labels are the edges themselves.
     */
-  private[operators] def ccStarContraction(pairs: DataFrame, maxRounds: Int): DataFrame = {
+  private[operators] def ccStarContraction(pairs: DataFrame, maxRounds: Int,
+                                           driverFinishCap: Long = 10000000L): DataFrame = {
     // checkpoint (not persist) per round — see ccPropagation: nested
     // round-over-round logical plans blow up driver planning time even
     // when execution reads the cache; truncating lineage keeps every
@@ -891,6 +903,28 @@ object Dedup {
         count_distinct(col("b")).as("nb")).head()
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         System.err.println(s"[cc] round=$round edges=$oldCnt -> ${st.getLong(0)}")
+      // Hybrid finish (r8): contraction rounds exist to SHRINK the edge
+      // set; the moment it fits the same driver guard componentsOf
+      // applies to its input, another full round (≈10 AQE stage-jobs of
+      // shuffles + fixpoint probes on a scheduler-floor-bound frame) is
+      // strictly worse than one collect + union-find — JobCountProbe
+      // measured graph_components at 34 jobs × ~0.11 s/job with the
+      // probes, all scheduler round-trips, not shuffle work. Contraction
+      // preserves the vertex set (every non-isolated vertex stays a
+      // center or member each round — Kiveris et al. §3), so union-find
+      // over the PARTIALLY contracted edges labels every original vertex
+      // with its component minimum, identical to running the loop to its
+      // star-forest fixpoint (spec-pinned: GraphGovSpec forces cap=0 and
+      // compares). At 100 TB the cap never triggers until the rounds
+      // have done their O(log n) work; cap=0 keeps the pure-distributed
+      // path with the direct star-forest fixpoint test.
+      if (driverFinishCap > 0 && st.getLong(0) <= driverFinishCap) {
+        val collected = next.collect().map(r => (r.getLong(0), r.getLong(1)))
+        if ((checkpointed ne null) && (checkpointed ne next))
+          CacheLifecycle.release(checkpointed)
+        CacheLifecycle.release(next)
+        return driverUnionFind(pairs.sparkSession, collected)
+      }
       done = st.getLong(0) == st.getLong(1) &&
         next.select(col("a")).distinct()
           .join(next.select(col("b").as("a")), Seq("a"), "left_semi")

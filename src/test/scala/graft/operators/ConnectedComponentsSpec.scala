@@ -29,9 +29,16 @@ class ConnectedComponentsSpec extends AnyFunSuite {
   private def sparkLabels(algo: String, edges: Seq[(Long, Long)]): Map[Long, Long] = {
     import spark.implicits._
     val pairs = edges.toDF("id_a", "id_b")
-    val df =
-      if (algo == "star") Dedup.ccStarContraction(pairs, maxRounds = 30)
-      else Dedup.ccPropagation(pairs, maxRounds = 100)
+    val df = algo match {
+      // driverFinishCap=0 keeps the PURE distributed loop under test —
+      // these tiny graphs would otherwise driver-finish after round 0
+      // and never exercise the star-forest fixpoint
+      case "star" =>
+        Dedup.ccStarContraction(pairs, maxRounds = 30, driverFinishCap = 0L)
+      case "star-hybrid" =>
+        Dedup.ccStarContraction(pairs, maxRounds = 30)
+      case _ => Dedup.ccPropagation(pairs, maxRounds = 100)
+    }
     df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
@@ -74,5 +81,18 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     val chain = (0L until 64L).sliding(2).map(s => (s(0), s(1))).toSeq
     assert(sparkLabels("star", chain) === referenceComponents(chain))
     assert(referenceComponents(chain).values.toSet === Set(0L))
+  }
+
+  test("hybrid driver finish equals the pure distributed fixpoint") {
+    // default driverFinishCap collects after the first round shrinks the
+    // edge set under the guard; labels must equal both the cap=0 pure
+    // loop and the reference union-find on every adversarial shape
+    val rnd = new scala.util.Random(128L)
+    (1 to 4).foreach { i =>
+      val edges = randomEdges(rnd)
+      val ref = referenceComponents(edges)
+      assert(sparkLabels("star-hybrid", edges) === ref, s"case $i edges=$edges")
+      assert(sparkLabels("star", edges) === ref, s"case $i edges=$edges")
+    }
   }
 }

@@ -149,10 +149,16 @@ class GraphGovSpec extends AnyFunSuite {
     def canon(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toString).sorted.toSeq
     val star = canon(Dedup.componentsOf(spark, pairs, driverMaxPairs = 0))
+    // driverFinishCap=0: the pure distributed loop run to its star-forest
+    // fixpoint, vs the default hybrid that driver-finishes once the edge
+    // set fits the collect guard — both must label identically
+    val starPure = canon(Dedup.componentsOf(spark, pairs, driverMaxPairs = 0,
+      driverFinishCap = 0))
     val prop = canon(Dedup.componentsOf(spark, pairs, driverMaxPairs = 0,
       distributedAlgo = "prop"))
     val driver = canon(Dedup.componentsOf(spark, pairs))
     assert(star.nonEmpty)
+    assert(star == starPure)
     assert(star == prop)
     assert(star == driver)
   }
