@@ -57,6 +57,13 @@ def compare(name, spark_df, duck_df):
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    # Bound DuckDB's allocator: at sf1 the unbounded default (80% RAM)
+    # plus pandas canon-sort spikes can exhaust the box mid-gate (the r6
+    # "allocation errors cascade" failure mode) — a limit makes DuckDB
+    # spill instead. Override with GRAFT_CHECK_MEMLIMIT.
+    import os as _os
+    con.execute(
+        f"SET memory_limit='{_os.environ.get('GRAFT_CHECK_MEMLIMIT', '48GB')}'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
@@ -82,11 +89,13 @@ def main():
             n_fail += 1
             continue
         err = compare(name, spark, duck)
+        n_rows = len(spark)
+        del duck, spark  # release before the next oracle's frames
         if err:
-            print(f"FAIL {name}: {err}")
+            print(f"FAIL {name}: {err}", flush=True)
             n_fail += 1
         else:
-            print(f"PASS {name} ({len(spark)} rows)")
+            print(f"PASS {name} ({n_rows} rows)", flush=True)
             n_pass += 1
     # rows-only checks for queries without oracle
     import os
