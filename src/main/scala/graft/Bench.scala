@@ -106,13 +106,19 @@ object Bench {
     // full-suite record: they default to a scratch path instead.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       if (only.isDefined) "/tmp/bench_subset.json" else "/root/repo/bench_out.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      json.getBytes("UTF-8"))
-    catch {
-      case e: Throwable =>
-        System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
-    }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"sf":"$sfDir"$sweepNote,"detail":"$outPath"}""")
+    // advertise `detail` only if the record actually landed — a tail
+    // parser must not be pointed at a stale or missing file
+    val detailNote =
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+          json.getBytes("UTF-8"))
+        s""","detail":"$outPath""""
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+          s""","detail_error":"write failed""""
+      }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"sf":"$sfDir"$sweepNote$detailNote}""")
     spark.stop()
   }
 }

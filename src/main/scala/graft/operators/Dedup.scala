@@ -202,6 +202,14 @@ object Dedup {
     */
   def incremental(s: SparkSession, dir: String,
                   threshold: Double = JaccardThreshold): DataFrame = {
+    // The family-shared prefix index and the candidate filters below are
+    // built at τ = JaccardThreshold, which bounds RECALL from below: a
+    // caller threshold ≥ that constant only tightens the exact verify
+    // (correct), but a lower one would silently lose pairs the shorter
+    // prefix never indexed — fail loudly instead.
+    require(threshold >= JaccardThreshold,
+      s"incremental dedup's shared prefix index guarantees recall only for " +
+        s"threshold >= $JaccardThreshold, got $threshold")
     // resolve family-shared deps BEFORE entering the cache thunk
     // (computeIfAbsent is not re-entrant — the FamilyCache contract)
     val sh = shinglePairs(s, dir)

@@ -375,8 +375,11 @@ object Graph {
     // the pair graph) is invariant to the swap because cluster ids are
     // component minima.
     // no persist: with driverMaxPairs=0 componentsOf skips its guard
-    // count, so the star subtree is consumed exactly once (the
-    // contraction's initial canonicalizing distinct)
+    // count, so the star subtree is consumed exactly once — by the
+    // contraction's initial input localCheckpoint, which materializes it
+    // before any round executes (do NOT remove that checkpoint: the r8
+    // A/B in SCALE.md measured 12.3 s vs 7.1 s without it, every round-0
+    // stage re-executing this subtree)
     val stars = coSets(s, dir)
       .select(array_min(col("ps")).as("id_a"), explode(col("ps")).as("id_b"))
       .filter(col("id_a") =!= col("id_b"))

@@ -857,12 +857,15 @@ object Relational {
     val li = Tables.lineitem(s, dir)
     val bounds = graft.functions.StatFunctions.exactQuantiles(
       li, "l_extendedprice", Seq(0.25, 0.5, 0.75))
-    // empty input: no quantiles exist (exactQuantiles returns an empty
-    // array) and the bucketed aggregate over the same empty frame is
-    // empty under ANY boundaries — return it with the exact schema
+    // No quantiles exist (empty frame OR all-null measure —
+    // exactQuantiles counts non-null values): every CASE arm in the
+    // oracle compares against a NULL boundary and falls to the ELSE
+    // bucket, so rows (if any) all land in bucket 4. Routing ALL rows to
+    // bucket 4 reproduces both cases: an empty frame aggregates to an
+    // empty result, an all-null measure column yields one bucket-4 row
+    // per l_returnflag — matching DuckDB's NULL-boundary CASE exactly.
     if (bounds.isEmpty)
-      return li.select(col("l_returnflag"), lit(1).as("qbucket"))
-        .filter(lit(false))
+      return li.select(col("l_returnflag"), lit(4).as("qbucket"))
         .groupBy("l_returnflag", "qbucket")
         .agg(count(lit(1)).as("cnt"))
     val Array(q1, q2, q3) = bounds

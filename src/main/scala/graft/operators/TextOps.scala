@@ -479,9 +479,11 @@ object TextOps {
     * so its distinct shingle dictionary is built once and BROADCAST — the
     * contamination check is then a map-side hash probe per training
     * shingle (no shuffle of the corpus), followed by one aggregation on
-    * doc_id. At cluster scale the shingle strings would be 64-bit-hashed
-    * first (`TextFunctions.portableTokenHash`) to shrink the broadcast;
-    * strings are kept here so the SQL oracle replays the join exactly.
+    * doc_id. Shingles travel as 64-bit xxhash tokens (r8 — the 100 TB
+    * broadcast shape: 8-byte probe keys instead of ~40-byte strings);
+    * the oracle replays the same xxhash64 join, exact up to the
+    * documented d²/2⁶⁵ collision bound — zero collisions on the
+    * fixtures, hash-gated.
     *
     * Output: every training doc with its distinct-shared-shingle count
     * and a contaminated flag.

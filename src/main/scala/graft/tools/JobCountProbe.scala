@@ -40,6 +40,9 @@ object JobCountProbe {
         val t0 = System.nanoTime()
         val n = fn(spark, dir).count()
         val secs = (System.nanoTime() - t0) / 1e9
+        // listener events post asynchronously — drain the bus before
+        // reading the counters or the last job's tail events are lost
+        org.apache.spark.GraftSparkShims.drainListenerBus(spark.sparkContext)
         spark.sparkContext.removeSparkListener(listener)
         println(f"[jobcount] $name%-28s rep=$rep rows=$n%-8d jobs=${jobs.get}%-4d stages=${stages.get}%-4d ${secs}%.2f s (${secs / math.max(jobs.get, 1)}%.3f s/job)")
       }

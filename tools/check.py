@@ -60,10 +60,17 @@ def main():
     # Bound DuckDB's allocator: at sf1 the unbounded default (80% RAM)
     # plus pandas canon-sort spikes can exhaust the box mid-gate (the r6
     # "allocation errors cascade" failure mode) — a limit makes DuckDB
-    # spill instead. Override with GRAFT_CHECK_MEMLIMIT.
+    # spill instead. Derived from RAM so the cap only ever TIGHTENS
+    # DuckDB's own default (a flat 48GB would raise it on small hosts).
+    # Override with GRAFT_CHECK_MEMLIMIT.
     import os as _os
+    try:
+        ram_gb = _os.sysconf("SC_PAGE_SIZE") * _os.sysconf("SC_PHYS_PAGES") / 2**30
+        default = f"{max(1, min(48, int(ram_gb * 0.5)))}GB"
+    except (ValueError, OSError):
+        default = "4GB"
     con.execute(
-        f"SET memory_limit='{_os.environ.get('GRAFT_CHECK_MEMLIMIT', '48GB')}'")
+        f"SET memory_limit='{_os.environ.get('GRAFT_CHECK_MEMLIMIT', default)}'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
