@@ -37,7 +37,15 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   * single-node co-purchase graph, one stratum to split, one class to
   * balance — that a hot key produces at scale.
   *
-  * Usage: EdgeSweep <srcSfDir> <empty|tiny|uniform|nulls|hotkey>
+  * A sixth mode, `allnull`, keeps 256 rows but nulls every measure
+  * column in EVERY row — the whole-partition-failed-parse shape `nulls`
+  * only samples: aggregates see zero non-null values on a non-empty
+  * frame (quantile boundaries vanish, sums go null), text/embedding
+  * ingest boundaries drop the entire corpus. Distinct from `empty`
+  * because keys and timestamps still exist, so group-bys and windows
+  * emit rows whose measures are all null (the r8 q41 divergence shape).
+  *
+  * Usage: EdgeSweep <srcSfDir> <empty|tiny|uniform|nulls|hotkey|allnull>
   * [nameSubstringFilter]. Exit code = number of failing queries
   * (0 = fully robust).
   */
@@ -53,8 +61,9 @@ object EdgeSweep {
       case "uniform" => 256
       case "nulls"   => 256
       case "hotkey"  => 256
+      case "allnull" => 256
       case other     =>
-        sys.error(s"mode must be empty|tiny|uniform|nulls|hotkey, got $other")
+        sys.error(s"mode must be empty|tiny|uniform|nulls|hotkey|allnull, got $other")
     }
     val spark = graft.GraftSession.builder(s"graft-edgesweep-$mode", "8")
       .getOrCreate()
@@ -161,6 +170,12 @@ object EdgeSweep {
             if (d.columns.contains(c))
               d.withColumn(c, when(col(key) % 4 === 0, lit(null))
                 .otherwise(col(c)))
+            else d
+          }
+        case "allnull" =>
+          nullableMeasures.getOrElse(t, Nil).foldLeft(base) { (d, c) =>
+            if (d.columns.contains(c))
+              d.withColumn(c, lit(null).cast(d.schema(c).dataType))
             else d
           }
         case _ => base

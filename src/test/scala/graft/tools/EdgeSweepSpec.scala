@@ -59,4 +59,22 @@ class EdgeSweepSpec extends AnyFunSuite {
     }
     graft.Tables.invalidate()
   }
+
+  test("q41 buckets all rows to the ELSE arm when the measure is entirely null") {
+    // the r8 review finding: no quantile boundaries exist on an all-null
+    // (but NON-empty) measure column — the oracle's CASE compares every
+    // row against NULL boundaries and falls to ELSE bucket 4, one row
+    // per l_returnflag. The old guard returned an empty frame here.
+    import org.apache.spark.sql.functions.col
+    val dir = EdgeSweep.buildFixture(spark, sf, 256, mode = "allnull").toString
+    val out = graft.SparkEntry.queries("q41_quantile_bucket")(spark, dir)
+      .collect()
+    assert(out.nonEmpty, "all-null measure must still bucket rows")
+    assert(out.forall(_.getInt(out.head.fieldIndex("qbucket")) === 4))
+    val flags = graft.Tables.lineitem(spark, dir)
+      .select(col("l_returnflag")).distinct().count()
+    assert(out.length === flags, "one bucket-4 row per l_returnflag")
+    assert(out.map(r => r.getLong(r.fieldIndex("cnt"))).sum === 256L)
+    graft.Tables.invalidate()
+  }
 }
