@@ -499,32 +499,41 @@ object TextOps {
     * any k-shingle with `eval` (both frames need doc_id + text) — the
     * form a library user calls with their own corpus and benchmark suite.
     */
-  def decontaminateOf(train: DataFrame, eval: DataFrame, k: Int = 3): DataFrame = {
-    // shingles travel as 64-bit xxhash tokens, not ~(8k)-byte strings —
-    // the dedup family's representation (same collision analysis: a
-    // collision can only ADD a spurious shared-gram count, bounded by
-    // d²/2⁶⁵; at larger eval suites widen to a 2×64-bit token). The
-    // dictionary broadcast and the probe join both move 8-byte longs.
-    val evalShingles = eval
-      .select(explode(shingles(col("text"), k)).as("sh_str"))
+  /** Distinct eval-suite shingle dictionary as 64-bit xxhash tokens with
+    * a probe marker — the broadcast side of every contamination check
+    * (shingles travel as 8-byte longs, not ~(8k)-byte strings — the
+    * dedup family's representation; a collision can only ADD a spurious
+    * shared-gram count, bounded by d²/2⁶⁵ — at larger eval suites widen
+    * to a 2×64-bit token).
+    */
+  private def evalShingleDict(eval: DataFrame, k: Int): DataFrame =
+    eval.select(explode(shingles(col("text"), k)).as("sh_str"))
       .select(xxhash64(col("sh_str")).as("sh"))
       .distinct()
+      .withColumn("__hit", lit(1))
+
+  /** Null-PRESERVING shingle hash for the probe side: xxhash64 is
+    * null-skipping (a bare xxhash64(null) returns the seed constant,
+    * which a real shingle could collide with), so a shingle-less doc's
+    * NULL must be kept NULL to never match the dictionary.
+    */
+  private def hashedOrNull(c: org.apache.spark.sql.Column) =
+    when(c.isNotNull, xxhash64(c))
+
+  def decontaminateOf(train: DataFrame, eval: DataFrame, k: Int = 3): DataFrame = {
+    val evalShingles = evalShingleDict(eval, k)
     // ONE corpus scan: explode_outer keeps shingle-less docs in the
-    // stream — their hash must stay NULL so they can never match
-    // (xxhash64 is null-SKIPPING, not null-preserving: a bare
-    // xxhash64(null) returns the seed constant, which a real shingle
-    // could collide with), the broadcast left join marks eval hits, and
-    // count(marker) counts only matches — per-doc zero counts fall out
-    // of the same aggregation instead of a second scan + re-join of the
-    // corpus. shingles() emits DISTINCT shingles per doc, so the count
-    // is the number of distinct k-grams the doc shares with the eval
-    // set.
+    // stream (hashedOrNull keeps their hash NULL so they never match),
+    // the broadcast left join marks eval hits, and count(marker) counts
+    // only matches — per-doc zero counts fall out of the same
+    // aggregation instead of a second scan + re-join of the corpus.
+    // shingles() emits DISTINCT shingles per doc, so the count is the
+    // number of distinct k-grams the doc shares with the eval set.
     train
       .select(col("doc_id"),
         explode_outer(shingles(col("text"), k)).as("sh_str"))
-      .select(col("doc_id"),
-        when(col("sh_str").isNotNull, xxhash64(col("sh_str"))).as("sh"))
-      .join(broadcast(evalShingles.withColumn("__hit", lit(1))), Seq("sh"), "left")
+      .select(col("doc_id"), hashedOrNull(col("sh_str")).as("sh"))
+      .join(broadcast(evalShingles), Seq("sh"), "left")
       .groupBy("doc_id").agg(count(col("__hit")).as("n_shared"))
       .select(col("doc_id"), col("n_shared"),
         (col("n_shared") > 0).as("contaminated"))
@@ -735,11 +744,8 @@ object TextOps {
     // and the quality gate fall out of the same aggregate. Same eval
     // dictionary and hash representation as decontaminateOf; null hash
     // (shingle-less doc) never matches, exactly as there.
-    val evalDict = docs.filter(col("doc_id") % evalMod === 0)
-      .select(explode(shingles(col("text"), contamK)).as("sh_str"))
-      .select(xxhash64(col("sh_str")).as("sh"))
-      .distinct()
-      .withColumn("__hit", lit(1))
+    val evalDict = evalShingleDict(docs.filter(col("doc_id") % evalMod === 0),
+      contamK)
     val admitted = newBatch
       .select(col("doc_id"), col("source"), col("lang"),
         size(t).as("n_tokens"),
@@ -747,7 +753,7 @@ object TextOps {
         explode_outer(shingles(col("text"), contamK)).as("sh_str"))
       .filter(col("n_tokens") >= 20 && col("distinct_ratio") >= 0.3)
       .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"),
-        when(col("sh_str").isNotNull, xxhash64(col("sh_str"))).as("sh"))
+        hashedOrNull(col("sh_str")).as("sh"))
       .join(broadcast(evalDict), Seq("sh"), "left")
       .groupBy("doc_id", "source", "lang", "n_tokens")
       .agg(count(col("__hit")).as("n_shared"))
