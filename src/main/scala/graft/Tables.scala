@@ -59,6 +59,7 @@ object Tables {
     planCache.synchronized(planCache.clear())
     schemaCache.clear()
     graft.streaming.StreamOps.maxEventTs.clear()
+    graft.streaming.StreamOps.clearStagedHeartbeats()
   }
 
   /** Schema-only resolution, memoized per (path, nanos-conf) — used by the

@@ -118,11 +118,9 @@ object Sessionize {
     // on the shared session (see StreamOps.streamingSession)
     val ss = StreamOps.streamingSession(s)
     import ss.implicits._
-    val stage = java.nio.file.Files.createTempDirectory("graft_fmgws_")
-    val watch = stage.resolve("watch")
-    java.nio.file.Files.createDirectory(watch)
-    try {
-      StreamOps.stageEventsWithHeartbeats(ss, dir, stage, watch)
+    // shared staged fixture (read-only; lives until Tables.invalidate)
+    val watch = StreamOps.stagedHeartbeatDir(ss, dir, nHeartbeats = 2)
+    locally {
       val schema = ss.read.parquet(watch.toString).schema
       val name = s"graft_sessions_${System.nanoTime()}"
       val stream = ss.readStream.schema(schema)
@@ -149,8 +147,6 @@ object Sessionize {
       // skip two driver copies of the session-cardinality output
       ss.table(name).filter(col("user_id") >= 0)
         .withColumn("sum_v", round(col("sum_v"), 2))
-    } finally {
-      org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
     }
   }
 }

@@ -36,6 +36,46 @@ object StreamOps {
   private[graft] val maxEventTs =
     new java.util.concurrent.ConcurrentHashMap[String, java.time.Instant]()
 
+  /** Staged heartbeat fixture dirs, memoized per (canonical events file,
+    * nHeartbeats) — the staged bytes are a pure function of the corpus,
+    * yet each heartbeat-staged query was re-paying the byte copy plus
+    * 2–3 single-file heartbeat writes (Spark jobs) for an identical
+    * directory. The staged dir is READ-ONLY after creation (each query
+    * attaches its own FileStreamSource with its own checkpoint), so
+    * sharing is safe. Cleared — files deleted — by
+    * [[graft.Tables.invalidate]] alongside [[maxEventTs]].
+    */
+  private[graft] val stagedHeartbeats =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), java.nio.file.Path]()
+
+  private[graft] def clearStagedHeartbeats(): Unit = {
+    val it = stagedHeartbeats.values().iterator()
+    while (it.hasNext) {
+      val watch = it.next()
+      // the registry stores the watch dir; its parent is the stage root
+      try org.apache.commons.io.FileUtils.deleteDirectory(watch.getParent.toFile)
+      catch { case _: java.io.IOException => () } // best-effort temp cleanup
+    }
+    stagedHeartbeats.clear()
+  }
+
+  /** The shared watch directory for `dir`'s events staged with
+    * `nHeartbeats` far-future flush rows — built on first use
+    * ([[stageEventsWithHeartbeats]]), byte-identical thereafter.
+    */
+  private[streaming] def stagedHeartbeatDir(ss: SparkSession, dir: String,
+                                            nHeartbeats: Int): java.nio.file.Path = {
+    val key = (java.nio.file.Paths.get(dir, "events.parquet")
+      .toRealPath().toString, nHeartbeats)
+    stagedHeartbeats.computeIfAbsent(key, _ => {
+      val stage = java.nio.file.Files.createTempDirectory(s"graft_hb${nHeartbeats}_")
+      val watch = stage.resolve("watch")
+      java.nio.file.Files.createDirectory(watch)
+      stageEventsWithHeartbeats(ss, dir, stage, watch, nHeartbeats)
+      watch
+    })
+  }
+
   /** Stateful streaming operators allocate one state store PER shuffle
     * partition PER stateful operator; with local micro-batches of fixture
     * size, store initialization dominates wall time, so the streaming
@@ -1002,49 +1042,42 @@ object StreamOps {
                           gap: String = "30 minutes",
                           delay: String = "10 minutes"): DataFrame = {
     val ss = streamingSession(s)
-    val stage = java.nio.file.Files.createTempDirectory("graft_sess_")
-    val watch = stage.resolve("watch")
-    java.nio.file.Files.createDirectory(watch)
-    try {
-      stageEventsWithHeartbeats(ss, dir, stage, watch)
-      val name = s"graft_stream_${counter.incrementAndGet()}"
-      val schema = ss.read.parquet(watch.toString).schema
-      val stream = ss.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .option("latestFirst", "false")
-        .parquet(watch.toString)
-        .transform(graft.Tables.normalizeTs) // staged bytes are the raw fixture
-        .withWatermark("ts", delay)
-        .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
-        // coalesce after the null-skipping sum — aligned with the batch
-        // session_window form and the oracle's COALESCE (ADVICE r7)
-        .agg(count(lit(1)).as("n_events"),
-          round(coalesce(sum("value"), lit(0.0)), 2).as("sum_v"),
-          max("ts").as("last_ts"))
-      val q = stream.writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-      try q.processAllAvailable()
-      finally {
-        if (sys.env.contains("GRAFT_STREAM_DEBUG"))
-          q.recentProgress.foreach(p => println(
-            s"[graft-stream] batch=${p.batchId} rows=${p.numInputRows} durs=${p.durationMs}"))
-        q.stop()
-      }
-      // the memory sink holds the drained rows in the child session's
-      // catalog, independent of the staged files — safe to return lazily
-      // after the staging dir is deleted, and it skips two driver-side
-      // copies of an output that is SESSION-cardinality (≈ event count on
-      // the sparse fixture), which collect()+createDataFrame paid for
-      ss.table(name)
-        .filter(col("user_id") >= 0)
-        .select(col("user_id"), col("w.start").as("session_start"),
-          col("last_ts"), col("n_events"), col("sum_v"))
-    } finally {
-      org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
+    // shared staged fixture (read-only; lives until Tables.invalidate)
+    val watch = stagedHeartbeatDir(ss, dir, nHeartbeats = 2)
+    val name = s"graft_stream_${counter.incrementAndGet()}"
+    val schema = ss.read.parquet(watch.toString).schema
+    val stream = ss.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .parquet(watch.toString)
+      .transform(graft.Tables.normalizeTs) // staged bytes are the raw fixture
+      .withWatermark("ts", delay)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      // coalesce after the null-skipping sum — aligned with the batch
+      // session_window form and the oracle's COALESCE (ADVICE r7)
+      .agg(count(lit(1)).as("n_events"),
+        round(coalesce(sum("value"), lit(0.0)), 2).as("sum_v"),
+        max("ts").as("last_ts"))
+    val q = stream.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally {
+      if (sys.env.contains("GRAFT_STREAM_DEBUG"))
+        q.recentProgress.foreach(p => println(
+          s"[graft-stream] batch=${p.batchId} rows=${p.numInputRows} durs=${p.durationMs}"))
+      q.stop()
     }
+    // the memory sink holds the drained rows in the child session's
+    // catalog, independent of the staged files; it skips two driver-side
+    // copies of an output that is SESSION-cardinality (≈ event count on
+    // the sparse fixture), which collect()+createDataFrame paid for
+    ss.table(name)
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("last_ts"), col("n_events"), col("sum_v"))
   }
 
   /** CHAINED stateful operators — windowed DISTINCT-user counts as
@@ -1069,11 +1102,9 @@ object StreamOps {
                           windowLen: String = "1 hour",
                           delay: String = "10 minutes"): DataFrame = {
     val ss = streamingSession(s)
-    val stage = java.nio.file.Files.createTempDirectory("graft_distinct_")
-    val watch = stage.resolve("watch")
-    java.nio.file.Files.createDirectory(watch)
-    try {
-      stageEventsWithHeartbeats(ss, dir, stage, watch, nHeartbeats = 3)
+    // shared staged fixture (read-only; lives until Tables.invalidate)
+    val watch = stagedHeartbeatDir(ss, dir, nHeartbeats = 3)
+    locally {
       val name = s"graft_stream_${counter.incrementAndGet()}"
       val schema = ss.read.parquet(watch.toString).schema
       val stream = ss.readStream.schema(schema)
@@ -1104,13 +1135,11 @@ object StreamOps {
       val maxReal = ss.read.parquet(s"$dir/events.parquet")
         .transform(graft.Tables.normalizeTs)
         .agg(max("ts")).collect()(0).getTimestamp(0)
-      val result = ss.table(name)
+      // the memory sink is independent of the staged files — return the
+      // window-cardinality view lazily, no driver round-trip
+      ss.table(name)
         .filter(col("w.start") <= lit(maxReal))
         .select(col("w.start").as("win_start"), col("n_users"))
-      val out = result.collect()
-      ss.createDataFrame(java.util.Arrays.asList(out: _*), result.schema)
-    } finally {
-      org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
     }
   }
 
