@@ -94,8 +94,14 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val sweepNote = if (sweeps > 1) s""","sweeps":$sweeps""" else ""
+    // env-supplied paths are interpolated into JSON string literals —
+    // escape them so a quote/backslash in SPARK_GRAFT_BENCH_OUT or
+    // SPARK_GRAFT_SF_DIR cannot emit an invalid record
+    def jstr(raw: String): String =
+      raw.replace("\\", "\\\\").replace("\"", "\\\"")
+    val sfJson = jstr(sfDir)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$sweepNote}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfJson"$sweepNote}"""
     println(json)
     // The driver captures only a ~2000-char tail of stdout, which the full
     // per-query map overflows at 200+ queries (the r7 artifact parsed to
@@ -112,13 +118,13 @@ object Bench {
       try {
         java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
           json.getBytes("UTF-8"))
-        s""","detail":"$outPath""""
+        s""","detail":"${jstr(outPath)}""""
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
           s""","detail_error":"write failed""""
       }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"sf":"$sfDir"$sweepNote$detailNote}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"sf":"$sfJson"$sweepNote$detailNote}""")
     spark.stop()
   }
 }

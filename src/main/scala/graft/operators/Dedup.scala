@@ -199,6 +199,11 @@ object Dedup {
     * deduplicated — and the verify-side arrays are built only for docs
     * appearing in a candidate pair, keeping every stage after the shared
     * index batch-proportional. Emits (id_new, id_old, jaccard ≥ τ).
+    *
+    * API contract: `threshold` must be >= [[JaccardThreshold]], the τ the
+    * family-shared prefix index was built at — a lower value would return
+    * silently incomplete recall, so the call fails loudly instead (this
+    * tightened from low-recall-accepted to IllegalArgumentException in r8).
     */
   def incremental(s: SparkSession, dir: String,
                   threshold: Double = JaccardThreshold): DataFrame = {

@@ -48,6 +48,11 @@ object StreamOps {
   private[graft] val stagedHeartbeats =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), java.nio.file.Path]()
 
+  // Backstop for processes that run streaming queries and exit without
+  // calling Tables.invalidate(): without this the memoized graft_hb* temp
+  // dirs outlive the JVM. Normal in-session lifecycle is unchanged.
+  Runtime.getRuntime.addShutdownHook(new Thread(() => clearStagedHeartbeats()))
+
   private[graft] def clearStagedHeartbeats(): Unit = {
     val it = stagedHeartbeats.values().iterator()
     while (it.hasNext) {
@@ -62,6 +67,11 @@ object StreamOps {
   /** The shared watch directory for `dir`'s events staged with
     * `nHeartbeats` far-future flush rows — built on first use
     * ([[stageEventsWithHeartbeats]]), byte-identical thereafter.
+    *
+    * The memo key is the REALPATH of `events.parquet`, so both deleting
+    * AND rewriting the fixture in place require [[graft.Tables.invalidate]]
+    * first — a rewrite under the same path would otherwise keep serving
+    * the previously staged bytes (same contract as [[maxEventTs]]).
     */
   private[streaming] def stagedHeartbeatDir(ss: SparkSession, dir: String,
                                             nHeartbeats: Int): java.nio.file.Path = {
