@@ -55,11 +55,19 @@ object Bench {
         .filter(col("rank") <= 2).collect()
     }
 
-    // optional dev filter: SPARK_GRAFT_QUERIES=q01_group_count,q12_topk
+    // optional dev filters: SPARK_GRAFT_QUERIES=q01_group_count,q12_topk
+    // (include list), SPARK_GRAFT_EXCLUDE=a,b (drop list — used for the
+    // sf10 record where the two documented super-linear entries are
+    // measured standalone instead of inside the sweeps)
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).toSet)
+    val excluded = sys.env.get("SPARK_GRAFT_EXCLUDE")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     val selected = only.fold(SparkEntry.queries)(f =>
       SparkEntry.queries.filter { case (k, _) => f(k) })
+      .filter { case (k, _) => !excluded(k) }
+    if (excluded.nonEmpty)
+      System.err.println(s"[bench] excluding ${excluded.mkString(",")}")
 
     // Custom-expression warm-up (same contract as above: engine init, not
     // table data): the vector/aggregate expressions compile and JIT on
@@ -160,7 +168,8 @@ object Bench {
     // Filtered dev runs (SPARK_GRAFT_QUERIES set) must NOT clobber the
     // full-suite record: they default to a scratch path instead.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      if (only.isDefined) "/tmp/bench_subset.json" else "/root/repo/bench_out.json")
+      if (only.isDefined || excluded.nonEmpty) "/tmp/bench_subset.json"
+      else "/root/repo/bench_out.json")
     // advertise `detail` only if the record actually landed — a tail
     // parser must not be pointed at a stale or missing file
     val detailNote =

@@ -508,6 +508,35 @@ object SparkEntry {
     s"""WITH $phashPairCtes
        |SELECT id_a, id_b, hamming FROM prs""".stripMargin
 
+  /** Connected-components labels as MATERIALIZED min-label rounds with
+    * pointer doubling — the scalable replacement for the recursive
+    * `reach(v, l)` transitive-closure CTE, whose state is quadratic in
+    * component size (it enumerates every (member, reachable-member)
+    * pair; at sf1 that recursion is the one long-documented oracle
+    * demotion). Each round takes the min over {self, neighbors' labels
+    * (hop), label-of-label (double)}; hop+double halves the remaining
+    * label distance per round, so `rounds` = 16 converges for any
+    * component diameter ≤ 2^16 — far past fixture scale — with
+    * node-sized state per round. Expects an edge CTE `e(a, b)` already
+    * symmetrized; emits `lbl(v, cluster_id)`.
+    */
+  private def ccLabelCtes(rounds: Int = 16): String = {
+    val r0 = "c0 AS MATERIALIZED (SELECT a AS v, least(a, min(b)) AS lab FROM e GROUP BY a)"
+    val steps = (1 to rounds).map { k =>
+      val p = s"c${k - 1}"
+      s"""c$k AS MATERIALIZED (
+         |  SELECT m.v, min(m.l) AS lab FROM (
+         |    SELECT v, lab AS l FROM $p
+         |    UNION ALL
+         |    SELECT e.a AS v, p2.lab AS l FROM e JOIN $p p2 ON e.b = p2.v
+         |    UNION ALL
+         |    SELECT c.v, g2.lab AS l FROM $p c JOIN $p g2 ON c.lab = g2.v
+         |  ) m GROUP BY m.v)""".stripMargin
+    }
+    (r0 +: steps).mkString(",\n") +
+      s",\nlbl AS (SELECT v, lab AS cluster_id FROM c$rounds)"
+  }
+
   /** The mm_decode oracle replays the stub decoder's 64-bit polynomial
     * hash (h = 31·h + byte, wrapping) in SQL via HUGEINT mod-2⁶⁴
     * arithmetic — documents are ASCII, so ord(char) = byte value.
@@ -1992,13 +2021,9 @@ object SparkEntry {
     // transitive closure over the phash pair graph (dedup_clusters'
     // recursive-CTE pattern on the multimodal pair set)
     "mm_phash_clusters" ->
-      s"""WITH RECURSIVE $phashPairCtes,
+      s"""WITH $phashPairCtes,
          |e AS (SELECT id_a AS a, id_b AS b FROM prs UNION SELECT id_b, id_a FROM prs),
-         |reach(v, l) AS (
-         |  SELECT DISTINCT a, a FROM e
-         |  UNION
-         |  SELECT e.a, r.l FROM e JOIN reach r ON e.b = r.v),
-         |lbl AS (SELECT v, min(l) AS cluster_id FROM reach GROUP BY 1)
+         |${ccLabelCtes()}
          |SELECT cluster_id, count(*) AS n_members FROM lbl GROUP BY 1""".stripMargin,
     "mm_binary_features" ->
       """SELECT doc_id, 'text/plain' AS mime, CAST(length(text) AS INTEGER) AS n_bytes,
@@ -2629,9 +2654,10 @@ object SparkEntry {
          |o AS (SELECT CASE WHEN da.deg <= db.deg THEN p.src ELSE p.dst END AS lo,
          |             CASE WHEN da.deg <= db.deg THEN p.dst ELSE p.src END AS hi
          |      FROM p JOIN d da ON p.src = da.node JOIN d db ON p.dst = db.node),
-         |w AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
-         |      FROM o e1 JOIN o e2 ON e1.hi = e2.lo),
-         |t AS (SELECT a, b, c FROM w JOIN o e3 ON w.a = e3.lo AND w.c = e3.hi),
+         |adj AS (SELECT lo, list(hi) AS nbrs FROM o GROUP BY lo),
+         |t AS (SELECT o.lo AS a, o.hi AS b,
+         |             unnest(list_intersect(a1.nbrs, a2.nbrs)) AS c
+         |      FROM o JOIN adj a1 ON o.lo = a1.lo JOIN adj a2 ON o.hi = a2.lo),
          |corn AS (SELECT node, count(*) AS tri FROM
          |  (SELECT a AS node FROM t UNION ALL SELECT b FROM t
          |   UNION ALL SELECT c FROM t) GROUP BY 1)

@@ -54,9 +54,16 @@ def compare(name, spark_df, duck_df):
     return None
 
 
+def _connect(sf_dir, memlimit):
+    con = duckdb.connect()
+    con.execute(f"SET memory_limit='{memlimit}'")
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    con = duckdb.connect()
     # Bound DuckDB's allocator: at sf1 the unbounded default (80% RAM)
     # plus pandas canon-sort spikes can exhaust the box mid-gate (the r6
     # "allocation errors cascade" failure mode) — a limit makes DuckDB
@@ -67,12 +74,17 @@ def main():
     try:
         ram_gb = _os.sysconf("SC_PAGE_SIZE") * _os.sysconf("SC_PHYS_PAGES") / 2**30
         default = f"{max(1, min(48, int(ram_gb * 0.5)))}GB"
+        # standalone-retry cap: the r6/r8 gates both saw exactly one
+        # oracle (graph_pagerank's 10-round CTE replay at sf1) fail under
+        # the shared cap by spilling past the box's free disk, then
+        # value-match when re-run alone with more headroom. The retry
+        # below automates that re-run: fresh connection, ~80% of RAM.
+        retry_limit = f"{max(1, int(ram_gb * 0.8))}GB"
     except (ValueError, OSError):
         default = "4GB"
-    con.execute(
-        f"SET memory_limit='{_os.environ.get('GRAFT_CHECK_MEMLIMIT', default)}'")
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        retry_limit = "8GB"
+    memlimit = _os.environ.get("GRAFT_CHECK_MEMLIMIT", default)
+    con = _connect(sf_dir, memlimit)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     # GRAFT_CHECK_SKIP=a,b demotes named oracles to rows-only checks (dev
     # lever for sf1 runs where a DuckDB-side oracle is O(hours) — e.g. the
@@ -86,9 +98,28 @@ def main():
         try:
             duck = con.execute(sql).fetchdf()
         except Exception as e:
-            print(f"FAIL {name}: oracle error: {e}")
-            n_fail += 1
-            continue
+            # One automatic standalone retry on a FRESH connection at the
+            # raised cap (an errored connection can hold spill files and
+            # partial allocations that poison subsequent oracles too).
+            print(f"RETRY {name}: oracle error under memory_limit="
+                  f"{memlimit}: {e}", flush=True)
+            try:
+                con.close()
+                con = _connect(sf_dir, retry_limit)
+                duck = con.execute(sql).fetchdf()
+            except Exception as e2:
+                print(f"FAIL {name}: oracle error (after standalone retry "
+                      f"at {retry_limit}): {e2}")
+                n_fail += 1
+                con.close()
+                con = _connect(sf_dir, memlimit)
+                continue
+            finally:
+                # back to the shared cap for the remaining oracles
+                try:
+                    con.execute(f"SET memory_limit='{memlimit}'")
+                except Exception:
+                    pass
         try:
             spark = pd.read_parquet(f"{out_dir}/{name}")
         except Exception as e:
