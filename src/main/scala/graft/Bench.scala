@@ -152,10 +152,19 @@ object Bench {
     val total = results.map(_._2).sum
     val sweepNote = if (sweeps > 1) s""","sweeps":$sweeps""" else ""
     // env-supplied paths are interpolated into JSON string literals —
-    // escape them so a quote/backslash in SPARK_GRAFT_BENCH_OUT or
-    // SPARK_GRAFT_SF_DIR cannot emit an invalid record
+    // escape them so a quote, backslash, or control character (newline,
+    // tab) in SPARK_GRAFT_BENCH_OUT or SPARK_GRAFT_SF_DIR cannot emit an
+    // invalid record
     def jstr(raw: String): String =
-      raw.replace("\\", "\\\\").replace("\"", "\\\"")
+      raw.flatMap {
+        case '\\' => "\\\\"
+        case '"'  => "\\\""
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < 0x20 => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
     val sfJson = jstr(sfDir)
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfJson"$sweepNote}"""

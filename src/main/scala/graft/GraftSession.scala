@@ -16,14 +16,14 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // The streaming queries verify through the MEMORY sink (complete
-      // mode), whose final state is collected as task results — at sf10
-      // the sessionization state crosses the 1g default and kills the
-      // query with EXCEEDED_MAX_RESULT_SIZE. This is a ceiling of the
-      // local VERIFICATION sink, not of the operators (production sinks
-      // are files/topics and never drive results through the driver);
-      // size it to the fixture decade instead of failing the bench.
-      .config("spark.driver.maxResultSize", "8g")
+      // spark.driver.maxResultSize stays at the 1g DEFAULT: it is the
+      // guard that catches a runaway driver collect before it buffers
+      // gigabytes. The one workload that used to cross it at sf10 — the
+      // sessionization verification's complete-mode memory sink — now
+      // drains through a parquet FILE sink (Sessionize.streaming), so no
+      // result bytes route through the driver. Dev override, if ever
+      // needed: SPARK_GRAFT_EXTRA_CONF="spark.driver.maxResultSize=8g".
+      //
       // ObjectHashAggregate (collect_set/collect_list/typed aggregates)
       // falls back to SORT-based aggregation after 128 distinct keys per
       // partition by default — pathological for the grouped-array builds

@@ -122,7 +122,6 @@ object Sessionize {
     val watch = StreamOps.stagedHeartbeatDir(ss, dir, nHeartbeats = 2)
     locally {
       val schema = ss.read.parquet(watch.toString).schema
-      val name = s"graft_sessions_${System.nanoTime()}"
       val stream = ss.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("latestFirst", "false")
@@ -139,13 +138,23 @@ object Sessionize {
         .groupByKey(_.user_id)
         .flatMapGroupsWithState(OutputMode.Append,
           GroupStateTimeout.EventTimeTimeout)(SessionLogic.fn _)
+      // FILE sink, not the memory sink: the memory sink routes every
+      // emitted session through the driver as task results, which is a
+      // spark.driver.maxResultSize ceiling that grows with the corpus
+      // (at sf10 the session set crossed the 1g default and forced a
+      // global 8g bump). A parquet sink writes executor-side — the
+      // production shape — so session output never touches the driver
+      // and the default result-size guard stays intact for everyone else.
+      val out = StreamOps.newScratchDir("graft_sessions_out_")
+      val chk = StreamOps.newScratchDir("graft_sessions_chk_")
       val q = stream.toDF().writeStream
-        .outputMode("append").format("memory").queryName(name).start()
+        .outputMode("append").format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", chk.toString)
+        .start()
       try q.processAllAvailable()
       finally q.stop()
-      // memory-sink table is staged-file-independent; return it lazily and
-      // skip two driver copies of the session-cardinality output
-      ss.table(name).filter(col("user_id") >= 0)
+      ss.read.parquet(out.toString).filter(col("user_id") >= 0)
         .withColumn("sum_v", round(col("sum_v"), 2))
     }
   }

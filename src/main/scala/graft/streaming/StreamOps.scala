@@ -51,7 +51,40 @@ object StreamOps {
   // Backstop for processes that run streaming queries and exit without
   // calling Tables.invalidate(): without this the memoized graft_hb* temp
   // dirs outlive the JVM. Normal in-session lifecycle is unchanged.
-  Runtime.getRuntime.addShutdownHook(new Thread(() => clearStagedHeartbeats()))
+  // Registered through Hadoop's ShutdownHookManager at a priority BELOW
+  // SparkContext's (50), so the staged dirs are deleted only after Spark's
+  // own hook has stopped any still-draining file-source streams — a plain
+  // Runtime hook has no ordering and a drain could hit deleted paths.
+  // Wrapped: if this object is first loaded DURING shutdown, registration
+  // itself throws IllegalStateException; cleanup is best-effort anyway.
+  try org.apache.hadoop.util.ShutdownHookManager.get().addShutdownHook(
+    new Runnable { def run(): Unit = { clearStagedHeartbeats(); clearScratchDirs() } }, 10)
+  catch { case _: IllegalStateException => () }
+
+  /** Per-call scratch dirs backing file-sink verification outputs (e.g.
+    * [[Sessionize.streaming]]'s parquet sink). Unlike the memoized staged
+    * fixtures these are WRITE-ONCE results a caller may still be lazily
+    * reading, so they are only reclaimed at JVM exit (above) — the
+    * file-sink path exists precisely so result bytes never buffer in the
+    * driver, and its disk cost is output-sized, not corpus-sized.
+    */
+  private val scratchDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+
+  private[streaming] def newScratchDir(prefix: String): java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    scratchDirs.add(p)
+    p
+  }
+
+  private[graft] def clearScratchDirs(): Unit = {
+    val it = scratchDirs.iterator()
+    while (it.hasNext) {
+      try org.apache.commons.io.FileUtils.deleteDirectory(it.next().toFile)
+      catch { case _: java.io.IOException => () } // best-effort temp cleanup
+    }
+    scratchDirs.clear()
+  }
 
   private[graft] def clearStagedHeartbeats(): Unit = {
     val it = stagedHeartbeats.values().iterator()

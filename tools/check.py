@@ -84,6 +84,13 @@ def main():
         default = "4GB"
         retry_limit = "8GB"
     memlimit = _os.environ.get("GRAFT_CHECK_MEMLIMIT", default)
+    # When the operator EXPLICITLY capped DuckDB (shared box), the
+    # automatic retry must not burst past that cap — retry at the same
+    # limit (a fresh connection alone often clears spill-file poisoning).
+    # GRAFT_CHECK_RETRY_MEMLIMIT overrides the retry cap either way.
+    if "GRAFT_CHECK_MEMLIMIT" in _os.environ:
+        retry_limit = memlimit
+    retry_limit = _os.environ.get("GRAFT_CHECK_RETRY_MEMLIMIT", retry_limit)
     con = _connect(sf_dir, memlimit)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     # GRAFT_CHECK_SKIP=a,b demotes named oracles to rows-only checks (dev

@@ -20,10 +20,17 @@ def main():
     flagged = []
     print(f"{'query':34s} {'sf0.1':>7s} {'sf1':>7s} {'sf10':>8s} "
           f"{'e1':>6s} {'e2':>6s}")
+    def exp(t_small, t_big):
+        # guard BOTH operands: a zero/negative recorded time on either
+        # side (clock quantization, a hand-edited record) must print nan,
+        # not crash the tool with a log-domain ValueError
+        return (math.log10(t_big / t_small)
+                if t_small > 0 and t_big > 0 else float("nan"))
+
     for n in common:
         t1, t2, t3 = a[n], b[n], c[n]
-        e1 = math.log10(t2 / t1) if t1 > 0 else float("nan")
-        e2 = math.log10(t3 / t2) if t2 > 0 else float("nan")
+        e1 = exp(t1, t2)
+        e2 = exp(t2, t3)
         # e2 ~ 1.0 is the healthy asymptote: once fixed costs amortize, a
         # work-bound query grows with its data. The 100x risk is e2
         # MATERIALLY above 1 (superlinear work or a regime that stopped
@@ -35,7 +42,7 @@ def main():
               + ("  <-- superlinear" if bend else ""))
     ta, tb, tc = (sum(d[n] for n in common) for d in (a, b, c))
     print(f"\n{'TOTAL (common set)':34s} {ta:7.1f} {tb:7.1f} {tc:8.1f} "
-          f"{math.log10(tb/ta):6.2f} {math.log10(tc/tb):6.2f}")
+          f"{exp(ta, tb):6.2f} {exp(tb, tc):6.2f}")
     print(f"\n{len(flagged)} queries superlinear in the second decade "
           f"(e2 > 1.05, t > 1 s):")
     for n, t1, t2, t3, e1, e2 in sorted(flagged, key=lambda r: -r[5]):
