@@ -17,7 +17,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
-    val spark = GraftSession.builder("graft-bench", cpus).getOrCreate()
+    val spark = GraftSession.builder("graft-bench", cpus, sfDir).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // generic warm-up: JVM/codegen/parquet-reader init, not table data
@@ -57,17 +57,31 @@ object Bench {
 
     // optional dev filters: SPARK_GRAFT_QUERIES=q01_group_count,q12_topk
     // (include list), SPARK_GRAFT_EXCLUDE=a,b (drop list — used for the
-    // sf10 record where the two documented super-linear entries are
-    // measured standalone instead of inside the sweeps)
+    // sf10 record where dedup_embedding_cosine, documented super-linear,
+    // is measured standalone instead of inside the sweeps)
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).toSet)
-    val excluded = sys.env.get("SPARK_GRAFT_EXCLUDE")
+    // q25_range_join_binned is DEMOTED from the default sweep (r9 verdict
+    // item 6): its cost is Θ(matches) by construction — a certified
+    // negative exemplar whose aggregate question the suite answers
+    // linearly via q25_range_join (the prefix form, the default entry).
+    // It stays in the CORRECTNESS gate (Verify runs every queries()
+    // entry) and is re-included here by naming it in SPARK_GRAFT_QUERIES
+    // or SPARK_GRAFT_INCLUDE. Logged, never silent.
+    val reIncluded = sys.env.get("SPARK_GRAFT_INCLUDE")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    val demoted = Set("q25_range_join_binned") --
+      reIncluded -- only.getOrElse(Set.empty)
+    val excluded = sys.env.get("SPARK_GRAFT_EXCLUDE")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String]) ++
+      demoted
     val selected = only.fold(SparkEntry.queries)(f =>
       SparkEntry.queries.filter { case (k, _) => f(k) })
       .filter { case (k, _) => !excluded(k) }
     if (excluded.nonEmpty)
-      System.err.println(s"[bench] excluding ${excluded.mkString(",")}")
+      System.err.println(s"[bench] excluding ${excluded.mkString(",")}" +
+        (if (demoted.nonEmpty)
+          s" (default-demoted: ${demoted.mkString(",")})" else ""))
 
     // Custom-expression warm-up (same contract as above: engine init, not
     // table data): the vector/aggregate expressions compile and JIT on
@@ -128,15 +142,46 @@ object Bench {
     // per-query repetition would measure warm memoized state instead.
     // The driver runs the default single sweep.
     val sweeps = sys.env.get("SPARK_GRAFT_BENCH_SWEEPS").map(_.toInt).getOrElse(1)
+    // SPARK_GRAFT_BENCH_SPILL=1: per-query spill attribution IN-SUITE —
+    // the round-close instrument behind the r10 shingle-family closure
+    // (standalone probes run in a different memory regime than a suite
+    // JVM carrying family caches, so in-suite spill is its own fact).
+    val spillCounters = if (sys.env.get("SPARK_GRAFT_BENCH_SPILL").contains("1")) {
+      val mem = new java.util.concurrent.atomic.AtomicLong(0)
+      val dsk = new java.util.concurrent.atomic.AtomicLong(0)
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val m = s.stageInfo.taskMetrics
+            if (m != null) {
+              mem.addAndGet(m.memoryBytesSpilled)
+              dsk.addAndGet(m.diskBytesSpilled)
+            }
+          }
+        })
+      Some((mem, dsk))
+    } else None
     val sweepResults = (1 to sweeps).map { _ =>
       val r = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
+        val spill0 = spillCounters.map { case (m, d) => (m.get(), d.get()) }
         try fn(spark, sfDir).count()
         catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        name -> (System.nanoTime() - t0) / 1e9
+        val secs = (System.nanoTime() - t0) / 1e9
+        spillCounters.foreach { case (m, d) =>
+          // listener events post asynchronously; drain so the counters
+          // attribute this query's tail stages to this query
+          org.apache.spark.GraftSparkShims.drainListenerBus(spark.sparkContext)
+          val (m0, d0) = spill0.get
+          val (dm, dd) = ((m.get() - m0) >> 20, (d.get() - d0) >> 20)
+          if (dm > 0 || dd > 0)
+            System.err.println(f"[bench-spill] $name%-28s memSp=${dm}%6d MB dskSp=${dd}%6d MB ${secs}%7.2f s")
+        }
+        name -> secs
       }
       // drop memoized pairs + family-shared corpus intermediates so the
       // next sweep pays the builds again (and the JVM exits clean)
@@ -175,9 +220,12 @@ object Bench {
     // a COMPACT summary as the very last stdout line so the captured tail
     // is self-sufficiently parseable on its own.
     // Filtered dev runs (SPARK_GRAFT_QUERIES set) must NOT clobber the
-    // full-suite record: they default to a scratch path instead.
+    // full-suite record: they default to a scratch path instead. The
+    // default-demoted set IS the canonical full suite, so it alone does
+    // not make a run a subset.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      if (only.isDefined || excluded.nonEmpty) "/tmp/bench_subset.json"
+      if (only.isDefined || (excluded -- demoted).nonEmpty)
+        "/tmp/bench_subset.json"
       else "/root/repo/bench_out.json")
     // advertise `detail` only if the record actually landed — a tail
     // parser must not be pointed at a stale or missing file

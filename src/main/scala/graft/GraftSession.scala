@@ -8,6 +8,46 @@ import org.apache.spark.sql.SparkSession
   * measure a different engine than the bench.
   */
 object GraftSession {
+
+  /** Data-proportional shuffle parallelism (the r10 decade-2 closure —
+    * SCALE.md "partitions ∝ data substitutes for memory ∝ data"): one
+    * shuffle partition per ~5 MB of fixture parquet, floored at the core
+    * count. At sf ≤ 1 this resolves to exactly `cpus` (no behavior
+    * change vs every prior record); at sf10 it resolves to ~325, which
+    * the measured A/B (configs A–D, SpillProbe) showed turns 67 GB
+    * spills and OOMs into spill-free runs at the DEFAULT 8g heap. On a
+    * real cluster this mirrors the default geometry — task count tracks
+    * cluster size while per-task memory stays fixed; locally the core
+    * count never moves, so the partition count must carry the decade.
+    */
+  private[graft] def dataPartitions(cpus: String, dataDir: String): Int = {
+    val files = Option(new java.io.File(dataDir).listFiles()).getOrElse(Array.empty)
+    val bytes = files.filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    math.max(cpus.toInt, (bytes / (5L << 20)).toInt)
+  }
+
+  /** Fixture-aware builder: sizes shuffle parallelism from the data
+    * directory. When the data demands MORE partitions than cores, AQE's
+    * byte-based partition coalescing is disabled for the session: its
+    * parallelism floor is `defaultParallelism` (= cores locally — on a
+    * cluster it grows with the cluster, which is why the default is safe
+    * there), so it would coalesce the scaled shuffles right back to the
+    * starved counts (measured: config C/D in SCALE.md r10 — the shingle
+    * verify stages amplify ~10-50× from shuffle bytes to working set,
+    * so input-byte coalescing targets re-create the spill).
+    */
+  def builder(appName: String, cpus: String, dataDir: String): SparkSession.Builder = {
+    val parts = dataPartitions(cpus, dataDir)
+    val b = builder(appName, cpus)
+      .config("spark.sql.shuffle.partitions", parts.toString)
+    // SPARK_GRAFT_EXTRA_CONF re-applies LAST so the dev overlay still
+    // wins over the data-derived sizing (the base builder applied it
+    // before this method's overrides)
+    (if (parts > cpus.toInt)
+      b.config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    else b).config(extraConf)
+  }
+
   def builder(appName: String, cpus: String): SparkSession.Builder =
     SparkSession.builder()
       .master(s"local[$cpus]")
@@ -29,14 +69,24 @@ object GraftSession {
       // partition by default — pathological for the grouped-array builds
       // (co-purchase pair-gen, adjacency lists, minhash signatures) whose
       // per-key state is small but key counts are corpus-sized. Raise the
-      // threshold so the hash path holds; per-key state here is bounded
-      // (schema-bounded order arrays, capped signatures), so memory stays
-      // partial-aggregate-sized.
+      // threshold so the hash path holds where the map FITS — but the
+      // threshold bounds PER-TASK MEMORY (keys × object state × concurrent
+      // tasks), so it must NOT track the corpus: the r9 value of 10M let a
+      // pre-shuffle partial aggregate hold 10M ArrayBuffer entries in
+      // every one of 32 concurrent tasks at sf10 (~48 GB of live objects
+      // — the OOM the decade blamed on "needs a 96g heap"). 500k × ~150 B
+      // × 32 tasks ≈ 2.4 GB worst case at the 8g default; beyond it the
+      // sort-based fallback spills gracefully, which is the correct
+      // behavior past memory, and post-shuffle aggregates (key counts ∝
+      // 1/partitions) never reach it at any measured scale.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        "10000000")
+        "500000")
       // dev knob: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" overlays arbitrary conf
       // for config experiments without editing builders
-      .config(sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
-        .flatMap(_.split(";")).filter(_.contains("="))
-        .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap)
+      .config(extraConf)
+
+  private def extraConf: Map[String, String] =
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
+      .flatMap(_.split(";")).filter(_.contains("="))
+      .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap
 }

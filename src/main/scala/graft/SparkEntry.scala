@@ -1918,18 +1918,22 @@ object SparkEntry {
         |GROUP BY 1, 2
         |HAVING count(*) >= 2""".stripMargin,
     // mean smoothed bigram probability, summed IN POSITION ORDER (the
-    // ordered list_sum replay); prefix counts c(w1 ·) = sum of bigram
-    // counts over w1, vocabulary = distinct tokens corpus-wide
+    // ordered list_sum replay); the model keeps only bigrams with count
+    // >= 2 (TextOps.LmMinCount — hapax pruning, the 100 TB model-size
+    // lever; pruned/unseen bigrams score (0+1)/(c1+V)); prefix counts
+    // c(w1 ·) stay EXACT from the occurrence stream, vocabulary =
+    // distinct tokens corpus-wide
     "text_lm_score" ->
       """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
         |           FROM documents WHERE length(trim(text)) > 0),
         |bg AS (SELECT doc_id, i AS pos, w[i] AS w1, w[i+1] AS w2
         |       FROM w, UNNEST(range(1, len(w))) AS u(i) WHERE len(w) >= 2),
-        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
-        |c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2 HAVING count(*) >= 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
         |v AS (SELECT count(DISTINCT t) AS v FROM (SELECT unnest(w) AS t FROM w)),
-        |p AS (SELECT bg.doc_id, bg.pos, (c2.c2 + 1.0) / CAST(c1.c1 + v.v AS DOUBLE) AS p
-        |      FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v)
+        |p AS (SELECT bg.doc_id, bg.pos,
+        |        (coalesce(c2.c2, 0) + 1.0) / CAST(c1.c1 + v.v AS DOUBLE) AS p
+        |      FROM bg LEFT JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v)
         |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_bigrams,
         |  round(list_sum(list(p ORDER BY pos)) / count(*), 6) AS score
         |FROM p GROUP BY doc_id""".stripMargin,

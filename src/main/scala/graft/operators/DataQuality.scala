@@ -126,19 +126,42 @@ object DataQuality {
 
   /** FK orphan audit over every edge of the star schema. Per edge: the
     * fact side aggregates to (key, row_count) FIRST — the anti-join then
-    * probes key-cardinality rows, not fact rows — and the dimension key
-    * set broadcasts (dimension keys are node-sized at any scale; were a
-    * dimension ever fact-sized, the same plan degrades gracefully to a
-    * shuffled anti-join). Output is one row per edge: rows and distinct
-    * keys that reference a missing parent.
+    * probes key-cardinality rows, not fact rows.
+    *
+    * Dimension-side regime (the r9→r10 scale fix): a FORCED broadcast of
+    * the parent key set is only sound when the parent is schema-bounded
+    * (nation/region — dozens of rows at ANY corpus size). The big
+    * parents (orders/part/supplier/customer) grow WITH the data — at
+    * sf10 the old `broadcast(orders.keys.distinct)` collected ~15M keys
+    * through the driver every run (a maxResultSize ceiling and a
+    * per-executor rebuild cost that both scale with the corpus; measured
+    * e2 = 1.14). Those edges now anti-join WITHOUT a hint: AQE still
+    * picks a broadcast join while the key set is runtime-small, and
+    * degrades to a shuffled sort-merge anti-join — linear, spillable,
+    * partition-parallel — once it isn't. The pre-`distinct` goes with
+    * the hint (a left_anti ignores right-side duplicates, so the
+    * distinct was a full extra shuffle purely to shrink the broadcast).
+    *
+    * A Bloom pre-filter (`expressions.BloomProbe`) was evaluated for
+    * these passes and rejected — SCALE.md r10 records the argument: a
+    * Bloom over parent keys splits probe keys into definite-orphans and
+    * maybes, but false positives land ORPHANS in the maybe set, so exact
+    * counts still need the full maybe-side join, and in a referential
+    * audit the probe side mostly HITS (nearly every child key has a
+    * parent — the opposite of decontaminate_bloom, where the probe
+    * mostly misses and the filter pays for itself).
     */
   def referential(s: SparkSession, dir: String): DataFrame = {
     def edge(name: String, fact: DataFrame, fk: String,
-             dim: DataFrame, pk: String): DataFrame = {
+             dim: DataFrame, pk: String, dimBounded: Boolean): DataFrame = {
       val keyCounts = fact.groupBy(col(fk).as("k"))
         .agg(count(lit(1)).as("n"))
-      keyCounts.join(broadcast(dim.select(col(pk).as("k")).distinct()),
-          Seq("k"), "left_anti")
+      val dimKeys = dim.select(col(pk).as("k"))
+      val orphans =
+        if (dimBounded)
+          keyCounts.join(broadcast(dimKeys.distinct()), Seq("k"), "left_anti")
+        else keyCounts.join(dimKeys, Seq("k"), "left_anti")
+      orphans
         .agg(coalesce(sum(col("n")), lit(0L)).as("orphan_rows"),
           count(lit(1)).as("orphan_keys"))
         .select(lit(name).as("fk_edge"), col("orphan_rows"),
@@ -148,19 +171,22 @@ object DataQuality {
     val ord = Tables.orders(s, dir)
     Seq(
       edge("lineitem.l_orderkey->orders", li, "l_orderkey",
-        ord, "o_orderkey"),
+        ord, "o_orderkey", dimBounded = false),
       edge("lineitem.l_partkey->part", li, "l_partkey",
-        Tables.part(s, dir), "p_partkey"),
+        Tables.part(s, dir), "p_partkey", dimBounded = false),
       edge("lineitem.l_suppkey->supplier", li, "l_suppkey",
-        Tables.supplier(s, dir), "s_suppkey"),
+        Tables.supplier(s, dir), "s_suppkey", dimBounded = false),
       edge("orders.o_custkey->customer", ord, "o_custkey",
-        Tables.customer(s, dir), "c_custkey"),
+        Tables.customer(s, dir), "c_custkey", dimBounded = false),
       edge("customer.c_nationkey->nation", Tables.customer(s, dir),
-        "c_nationkey", Tables.nation(s, dir), "n_nationkey"),
+        "c_nationkey", Tables.nation(s, dir), "n_nationkey",
+        dimBounded = true),
       edge("supplier.s_nationkey->nation", Tables.supplier(s, dir),
-        "s_nationkey", Tables.nation(s, dir), "n_nationkey"),
+        "s_nationkey", Tables.nation(s, dir), "n_nationkey",
+        dimBounded = true),
       edge("nation.n_regionkey->region", Tables.nation(s, dir),
-        "n_regionkey", Tables.region(s, dir), "r_regionkey")
+        "n_regionkey", Tables.region(s, dir), "r_regionkey",
+        dimBounded = true)
     ).reduce(_ unionAll _)
   }
 }

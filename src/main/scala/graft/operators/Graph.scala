@@ -27,17 +27,20 @@ object Graph {
     * edges. One corpus scan + one shuffle total for the whole family.
     * Order size is schema-bounded (≤ 7 lines), so the arrays are tiny.
     *
-    * fixture parquet is single-row-group (unsplittable): round-robin
-    * the narrow projection so the groupBy's PARTIAL aggregation (which
-    * runs on the scan partitioning, before the exchange) isn't a
-    * single task; a real cluster input arrives pre-split and this is
-    * a no-op.
+    * fixture parquet is single-row-group (unsplittable): repartition the
+    * narrow projection BY THE GROUP KEY, so the grouped-array aggregation
+    * runs entirely post-exchange with per-partition key counts ∝
+    * 1/partitions — a round-robin split (the pre-r10 form) left the
+    * PARTIAL aggregate on the scan side holding object state for every
+    * order key it saw (corpus-sized maps per task: the sf10 OOM at the
+    * default heap). Same single shuffle either way; a real cluster input
+    * arrives pre-split and the key exchange is the aggregation's own.
     */
   private[graft] def coSets(s: SparkSession, dir: String): DataFrame =
     FamilyCache.get(s, dir, "cosets") {
       Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_partkey"))
-        .repartition(s.sparkContext.defaultParallelism)
+        .repartition(col("l_orderkey"))
         .groupBy("l_orderkey")
         .agg(collect_set(col("l_partkey")).as("ps"))
         .filter(size(col("ps")) >= 2)
@@ -402,8 +405,21 @@ object Graph {
     * shuffle join past it, with each superseded round's checkpoint
     * released explicitly. The per-round plurality argmax is the custom
     * one-pass `graft_mode` aggregate (count desc, label asc tie-break)
-    * — ONE node-sized exchange per round where the composed
-    * count→argmax form pays two, and never a window sort.
+    * — ONE exchange per round where the composed count→argmax form pays
+    * two, and never a window sort.
+    *
+    * The exchange is placed BEFORE the aggregate (`repartition(dst)`,
+    * which the groupBy's clustering then reuses — still one shuffle):
+    * graft_mode carries a label→count map per group, and a pre-shuffle
+    * PARTIAL aggregation would build that object state for every node
+    * key visible in an input partition — up to the full node set per
+    * task on the cached 32-partition edge layout, which is the sf10 OOM
+    * at the default heap (measured r10; the fallback threshold bounds
+    * key COUNT, not per-key map weight). Post-shuffle, per-task groups
+    * are nodes/partitions and the maps stay MB-sized at any scale. The
+    * raw (dst, lbl) exchange rows are 16-byte primitives — codegen
+    * shuffle, spill-friendly — where the partial-map exchange shipped
+    * serialized LongMaps of comparable total bytes anyway.
     */
   def labelPropagation(s: SparkSession, dir: String, iters: Int = 2,
                        broadcastCap: Long = BroadcastNodeCap): DataFrame = {
@@ -418,6 +434,8 @@ object Graph {
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
       val next = edges.join(hint(labels), col("src") === col("node"))
+        .select(col("dst"), col("lbl"))
+        .repartition(col("dst"))
         .groupBy(col("dst"))
         .agg(call_function("graft_mode", col("lbl")).as("lbl"))
         .select(col("dst").as("node"), col("lbl"))

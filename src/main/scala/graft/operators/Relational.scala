@@ -358,8 +358,34 @@ object Relational {
     * O(points + intervals·span/binW + matches), evenly hash-distributed;
     * no BroadcastNestedLoopJoin appears in the plan (PlanSpec).
     */
-  def q25RangeJoin(s: SparkSession, dir: String, binW: Double = 10.0): DataFrame =
-    q25RangeJoinOf(Tables.supplier(s, dir), Tables.events(s, dir), binW)
+  /** Binned form with a DATA-PROPORTIONAL bin axis (binW ≤ 0 = adaptive,
+    * the default): the r9 sf10 run certified the fixed binW=10 axis as
+    * key-starved — ~56 distinct bin keys ceiling the equi-join's
+    * parallelism at min(bins, partitions), so the tail ran single-
+    * threaded regardless of cluster size. Bins now scale with the event
+    * count (clamped 256..65536), so parallelism tracks the data and the
+    * per-pair overhead ratio (span+binW)/span → 1. The per-supplier
+    * AGGREGATE is binW-invariant (every true match is touched exactly
+    * once under any axis; fixture values are 1e-6 fixed-point, so sums
+    * are association-order-exact), hence no oracle change — and the
+    * remaining cost is the honest Θ(matches) output bound the
+    * cardinality spec pins, which [[q25RangeJoinPrefix]] (the suite
+    * default) answers in linear time. The three stats are one tiny
+    * driver-side scan, the same regime as the prefix path's.
+    */
+  def q25RangeJoin(s: SparkSession, dir: String, binW: Double = 0.0): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val w =
+      if (binW > 0) binW
+      else {
+        val st = ev.agg(count(lit(1)), min("value"), max("value")).head()
+        val n = st.getLong(0)
+        val span = math.max(st.getDouble(2) - st.getDouble(1), 1e-6)
+        val bins = math.min(math.max(n / 10000L, 256L), 65536L)
+        span / bins.toDouble
+      }
+    q25RangeJoinOf(Tables.supplier(s, dir), ev, w)
+  }
 
   /** Frame-level binned range join — exposed so the output-cardinality
     * spec can pin that this variant's cost is OUTPUT-BOUND (VERDICT r6

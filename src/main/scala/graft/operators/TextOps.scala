@@ -941,6 +941,12 @@ object TextOps {
   def lmScore(s: SparkSession, dir: String): DataFrame =
     lmScoreOf(Tables.documents(s, dir))
 
+  /** Suite default for [[lmScoreOf]]'s `minCount`: prune hapax bigrams
+    * from the model (standard LM count-thresholding). See the method doc
+    * for why this is the 100 TB lever, not just a tuning knob.
+    */
+  val LmMinCount = 2L
+
   /** Bigram language-model fluency scoring — the CCNet-style "does this
     * text look like the reference corpus" quality filter, trained on the
     * corpus itself (self-scoring flags outlier documents for review).
@@ -953,20 +959,35 @@ object TextOps {
     * substitution rationale as the rational idf elsewhere); ranking
     * behavior is equivalent for the filter's purpose.
     *
+    * Model pruning (`minCount`, the 100 TB lever): bigram types grow
+    * ~linearly with corpus size (the Zipf tail is hapax-dominated), so an
+    * UNPRUNED self-trained model table is itself corpus-sized — at sf10
+    * the model-side join passes spilled and the query bent superlinear
+    * (e2 = 1.23, SCALE.md r9). Count-thresholding is the standard LM fix:
+    * bigrams seen fewer than `minCount` times leave the model and score
+    * as unseen, p = 1 / (c(w1 ·) + V) — add-one smoothing already defines
+    * that mass, so the semantics stay well-formed and the ORACLE applies
+    * the identical threshold (HAVING count(*) >= minCount). The model
+    * table collapses to the frequent-bigram head (sublinear in corpus
+    * size) while denominators c(w1 ·) stay EXACT full prefix counts
+    * (vocabulary-sized, computed from the occurrence stream, not the
+    * pruned model). minCount = 1 reproduces the unpruned r9 semantics.
+    *
     * Distributed shape: bigram occurrences explode once per position
-    * (codegen: posexplode + element_at, no HOF in the hot path); corpus
-    * bigram counts are ONE hash aggregation, and the prefix counts
-    * c(w1 ·) are a window sum over the SAME w1-clustered exchange — no
-    * second shuffle, no join for the denominator (at 100 TB a bigram
-    * dictionary can never broadcast; the count table stays co-partitioned
-    * with the probe side by construction). Scoring joins each document's
-    * bigrams back shuffle-on-bigram, then one per-doc aggregation sums
-    * probabilities IN POSITION ORDER (sorted-struct fold — the ordered
-    * list_sum replay every oracle here uses, since a parallel float sum's
-    * order is partitioning-dependent).
+    * (codegen: posexplode + get, no HOF in the hot path); ONE
+    * w1-clustered exchange of the occurrence stream serves all three
+    * consumers — the bigram-count aggregate, the prefix-count aggregate,
+    * and the probe side of the scoring joins (HashPartitioning(w1)
+    * satisfies every (w1[, w2]) clustering requirement, and ReuseExchange
+    * dedupes the identical subtree) — so the corpus shuffles ONCE and
+    * both model joins are exchange-free. The former per-w1 window sum
+    * over the unpruned model (a corpus-sized sort at scale) is gone.
+    * Scoring left-joins the pruned model (unmatched = unseen), then one
+    * per-doc aggregation sums probabilities IN POSITION ORDER
+    * (sorted-struct fold — the ordered list_sum replay every oracle here
+    * uses, since a parallel float sum's order is partitioning-dependent).
     */
-  def lmScoreOf(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  def lmScoreOf(docs: DataFrame, minCount: Long = LmMinCount): DataFrame = {
     val t = tokens(col("text"))
     val bg = docs.select(col("doc_id"), t.as("t"))
       .filter(size(col("t")) >= 2)
@@ -976,19 +997,21 @@ object TextOps {
       .withColumn("w2", get(col("t"), col("pos") + 1))
       .filter(col("w2").isNotNull)
       .select(col("doc_id"), col("pos"), col("w1"), col("w2"))
-    // one w1-clustered exchange serves the bigram aggregate AND the
-    // prefix-count window (HashPartitioning(w1) satisfies the (w1, w2)
-    // clustering requirement — same single-shuffle trick as topTerms' df)
-    val c2 = bg.repartition(col("w1"))
-      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-      .withColumn("c1", sum(col("c2")).over(Window.partitionBy("w1")))
+      .repartition(col("w1"))
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .filter(col("c2") >= minCount)
+    // exact prefix counts c(w1 ·) from the occurrence stream — NOT from
+    // the pruned model (pruning must not perturb denominators)
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
     // vocabulary: one tiny global count, broadcast with the counts join
     val v = broadcast(docs.select(explode(t).as("tok"))
       .agg(countDistinct(col("tok")).as("v")))
-    bg.join(c2, Seq("w1", "w2"))
+    bg.join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"))
       .crossJoin(v)
       .select(col("doc_id"), col("pos"),
-        ((col("c2") + lit(1.0)) / (col("c1") + col("v")).cast("double")).as("p"))
+        ((coalesce(col("c2"), lit(0L)) + lit(1.0)) /
+          (col("c1") + col("v")).cast("double")).as("p"))
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("int").as("n_bigrams"),
         aggregate(array_sort(collect_list(struct(col("pos"), col("p")))),

@@ -18,7 +18,7 @@ object JobCountProbe {
     val names = if (args.length > 1) args.drop(1).toSeq
                 else Seq("graph_components")
     val spark = graft.GraftSession.builder("graft-jobcount-probe",
-      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")).getOrCreate()
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"), dir).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val jobs = new AtomicInteger(0)
     val stages = new AtomicInteger(0)

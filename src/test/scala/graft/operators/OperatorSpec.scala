@@ -475,18 +475,25 @@ class OperatorSpec extends AnyFunSuite {
 
   test("lm score matches the closed-form add-one bigram model") {
     import spark.implicits._
-    // corpus: bigram (a b) twice, (a c) once; c1(a)=3, V=3
-    // p(b|a) = (2+1)/(3+3) = 0.5; p(c|a) = (1+1)/(3+3) = 1/3
+    // corpus: bigram (a b) twice, (a c) once; c1(a)=3, V=3.
+    // Default model pruning (LmMinCount=2) drops the hapax (a c) from
+    // the MODEL but not from the denominators: p(b|a) = (2+1)/(3+3) =
+    // 0.5; (a c) scores as unseen, p(c|a) = (0+1)/(3+3) = 1/6.
     val docs = Seq((0L, "a b"), (1L, "a b"), (2L, "a c"))
       .toDF("doc_id", "text")
     val rows = TextOps.lmScoreOf(docs).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sortBy(_._1)
     assert(rows.map(_._2).toSeq === Seq(1, 1, 1))
     assert(rows(0)._3 === 0.5 && rows(1)._3 === 0.5)
-    assert(rows(2)._3 === 0.333333)
+    assert(rows(2)._3 === 0.166667)
     // the corpus-typical documents outscore the outlier — the filter's
-    // ranking contract
+    // ranking contract (pruning can only widen this gap)
     assert(rows(0)._3 > rows(2)._3)
+    // minCount=1 disables pruning and reproduces the full add-one
+    // closed form: p(c|a) = (1+1)/(3+3) = 1/3
+    val unpruned = TextOps.lmScoreOf(docs, minCount = 1).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).sortBy(_._1)
+    assert(unpruned(2)._2 === 0.333333)
   }
 
   test("source overlap finds identical sources at jaccard 1 and omits disjoint pairs") {
