@@ -79,6 +79,17 @@ object Graph {
       // partial/final agg pair ran adjacent post-shuffle. The two-step
       // form dedups map-side first; the round-robin exchange moves only
       // the 12M survivors.)
+      //
+      // Layout-partition A/B at sf10 (r10, SCALE.md): the core-count pin
+      // here starves the ITERATIVE consumers at scale (kcore's per-round
+      // broadcast-join stages inherit union(32+32) = 64 fat tasks —
+      // 268 s standalone at 16g), but repartitioning the cached layout
+      // to the data-proportional session parallelism OOMed kcore
+      // outright at the 16g suite heap (650-partition checkpoint churn
+      // + per-round broadcast storms) — the iterative family's real
+      // constraint is heap ∝ its per-round checkpoint set, which
+      // partitions cannot substitute for. Kept at core count; the
+      // heap-sizing follow-up is the named next-round item.
       sets.select(col("ps"), explode(col("ps")).as("src"))
         .select(col("src"), explode(col("ps")).as("dst"))
         .filter(col("src") < col("dst"))

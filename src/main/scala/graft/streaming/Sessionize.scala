@@ -154,7 +154,12 @@ object Sessionize {
         .start()
       try q.processAllAvailable()
       finally q.stop()
-      ss.read.parquet(out.toString).filter(col("user_id") >= 0)
+      // explicit schema: an EMPTY stream (degenerate fixtures — the
+      // EdgeSweep empty mode) writes no part files, and schema inference
+      // on an empty directory throws where the old memory sink returned
+      // an empty table; the sink's own schema keeps the contract
+      ss.read.schema(stream.toDF().schema).parquet(out.toString)
+        .filter(col("user_id") >= 0)
         .withColumn("sum_v", round(col("sum_v"), 2))
     }
   }
