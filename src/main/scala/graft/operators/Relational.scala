@@ -380,9 +380,14 @@ object Relational {
       else {
         val st = ev.agg(count(lit(1)), min("value"), max("value")).head()
         val n = st.getLong(0)
-        val span = math.max(st.getDouble(2) - st.getDouble(1), 1e-6)
-        val bins = math.min(math.max(n / 10000L, 256L), 65536L)
-        span / bins.toDouble
+        // empty / all-null value column: min/max are NULL and no pair can
+        // match — any positive width yields the (empty) result
+        if (n == 0 || st.isNullAt(1)) 10.0
+        else {
+          val span = math.max(st.getDouble(2) - st.getDouble(1), 1e-6)
+          val bins = math.min(math.max(n / 10000L, 256L), 65536L)
+          span / bins.toDouble
+        }
       }
     q25RangeJoinOf(Tables.supplier(s, dir), ev, w)
   }
