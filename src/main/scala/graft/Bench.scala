@@ -186,6 +186,11 @@ object Bench {
       // drop memoized pairs + family-shared corpus intermediates so the
       // next sweep pays the builds again (and the JVM exits clean)
       graft.operators.Dedup.releasePairs()
+      // reclaim this sweep's file-sink scratch outputs: every query in
+      // the sweep has fully counted its result by now, and the next sweep
+      // re-runs each stream into a fresh dir — without this a sweeps=N
+      // run leaves N copies of every sink output on disk until exit
+      graft.streaming.StreamOps.clearScratchDirs()
       r
     }
     val results = sweepResults.head.map(_._1).map { name =>
@@ -222,9 +227,12 @@ object Bench {
     // Filtered dev runs (SPARK_GRAFT_QUERIES set) must NOT clobber the
     // full-suite record: they default to a scratch path instead. The
     // default-demoted set IS the canonical full suite, so it alone does
-    // not make a run a subset.
+    // not make a run a subset — but re-INCLUDING a demoted entry
+    // (SPARK_GRAFT_INCLUDE) makes the run a SUPERSET, whose total is just
+    // as non-comparable to the canonical record, so it routes to the
+    // scratch path too.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      if (only.isDefined || (excluded -- demoted).nonEmpty)
+      if (only.isDefined || (excluded -- demoted).nonEmpty || reIncluded.nonEmpty)
         "/tmp/bench_subset.json"
       else "/root/repo/bench_out.json")
     // advertise `detail` only if the record actually landed — a tail

@@ -23,8 +23,17 @@ object GraftSession {
   private[graft] def dataPartitions(cpus: String, dataDir: String): Int = {
     val files = Option(new java.io.File(dataDir).listFiles()).getOrElse(Array.empty)
     val bytes = files.filter(_.getName.endsWith(".parquet")).map(_.length()).sum
-    math.max(cpus.toInt, (bytes / (5L << 20)).toInt)
+    math.max(coreCount(cpus), (bytes / (5L << 20)).toInt)
   }
+
+  /** `cpus` comes from SPARK_GRAFT_CPUS, whose contract is the local[N]
+    * thread spec — which admits "*". The 2-arg builder passes it through
+    * verbatim (local[*] is valid), so the 3-arg builder must not crash on
+    * it: for partition math, "*" means the machine's core count, exactly
+    * what local[*] resolves to.
+    */
+  private def coreCount(cpus: String): Int =
+    cpus.toIntOption.getOrElse(Runtime.getRuntime.availableProcessors())
 
   /** Fixture-aware builder: sizes shuffle parallelism from the data
     * directory. When the data demands MORE partitions than cores, AQE's
@@ -37,21 +46,40 @@ object GraftSession {
     * so input-byte coalescing targets re-create the spill).
     */
   def builder(appName: String, cpus: String, dataDir: String): SparkSession.Builder = {
-    val parts = dataPartitions(cpus, dataDir)
-    val b = builder(appName, cpus)
-      .config("spark.sql.shuffle.partitions", parts.toString)
     // SPARK_GRAFT_EXTRA_CONF re-applies LAST so the dev overlay still
     // wins over the data-derived sizing (the base builder applied it
     // before this method's overrides)
-    (if (parts > cpus.toInt)
-      b.config("spark.sql.adaptive.coalescePartitions.enabled", "false")
-    else b).config(extraConf)
+    builder(appName, cpus).config(scaledConf(cpus, dataDir)).config(extraConf)
+  }
+
+  /** The data-derived conf overlay, exposed as a pure function so
+    * GraftSessionSpec can pin the r10 partition regime against silent
+    * reversion: partitions follow the fixture bytes, coalescing flips
+    * off exactly when the sizing exceeds the cores, and at ≤ cores the
+    * overlay is partitions-only (byte-identical sessions to the r9
+    * records).
+    */
+  private[graft] def scaledConf(cpus: String, dataDir: String): Map[String, String] = {
+    val parts = dataPartitions(cpus, dataDir)
+    Map("spark.sql.shuffle.partitions" -> parts.toString) ++
+      (if (parts > coreCount(cpus))
+        Map("spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+      else Map.empty)
   }
 
   def builder(appName: String, cpus: String): SparkSession.Builder =
     SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(appName)
+      // The engine's own extension class — native functions, the as-of
+      // strategy, and the window-top-k → bounded-aggregate rewrite —
+      // enabled the way a cluster deployment would enable it. Individual
+      // operators keep their idempotent programmatic register() calls so
+      // they also work on sessions graft didn't build; this makes the
+      // whole surface deterministic per session rather than dependent on
+      // which operator ran first. Kill-switch for A/Bs:
+      // SPARK_GRAFT_TOPK_REWRITE=0 (checked inside GraftExtensions).
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

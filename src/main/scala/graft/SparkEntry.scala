@@ -37,6 +37,7 @@ object SparkEntry {
     "q10_distinct_sort" -> (Relational.q10DistinctSort _),
     "q11_pivot" -> (Relational.q11Pivot _),
     "q12_topk" -> (Relational.q12TopK _),
+    "q68_window_topk" -> ((s: SparkSession, d: String) => Relational.q68WindowTopK(s, d)),
     "q13_offset" -> (Relational.q13Offset _),
     "q14_dedup_exact" -> (Relational.q14DedupExact _),
     "q15_window_funcs" -> (Relational.q15WindowFuncs _),
@@ -83,6 +84,7 @@ object SparkEntry {
     "dedup_simhash_portable" -> ((s: SparkSession, d: String) => Dedup.simhashPairsPortable(s, d)),
     "dedup_clusters" -> ((s: SparkSession, d: String) => Dedup.clusters(s, d)),
     "dedup_purge_list" -> (Dedup.purge _),
+    "pipeline_semdedup" -> ((s: SparkSession, d: String) => Dedup.semDedupPipeline(s, d)),
     "dedup_fuzzy_names" -> ((s: SparkSession, d: String) => Dedup.fuzzyNames(s, d)),
     "dedup_embedding_cosine" -> ((s: SparkSession, d: String) => Dedup.embeddingCosine(s, d)),
     "ann_brute_topk" -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
@@ -445,6 +447,52 @@ object SparkEntry {
     */
   private def knnGraphOracle: String =
     annLshOracleWith("q.bucket = n.bucket", numPlanes = 8, queryCond = "TRUE")
+
+  /** SemDeDup pipeline oracle: nests the kNN-graph oracle's CTEs
+    * (8-plane LSH candidates, exact-cosine top-5), keeps edges with
+    * cosine >= tau, closes them with the same recursive min-label
+    * reachability the dedup_clusters oracle uses, and left-joins the
+    * labels back onto the full vector corpus for the per-vector
+    * keep/purge manifest (singletons keep themselves).
+    */
+  private def semDedupOracle(tau: Double = 0.45, k: Int = 5): String = {
+    import graft.functions.VectorFunctions
+    val dim = VectorFunctions.Dim
+    val numPlanes = 8
+    val flat = VectorFunctions.hyperplanesFlat(numPlanes, dim)
+    val planes = (0 until numPlanes).map { p =>
+      (0 until dim).map(c => flat(p * dim + c).toString).mkString("[", ",", "]")
+    }
+    val bucket = (0 until numPlanes).map { p =>
+      s"CASE WHEN list_sum(list_transform(range(1, ${dim + 1}), i -> e[i]*w$p[i])) > 0 THEN ${1 << p} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH RECURSIVE ${cosineCte.stripPrefix("WITH ")},
+       |p AS (SELECT ${planes.zipWithIndex.map { case (l, i) => s"$l AS w$i" }.mkString(", ")}),
+       |b AS (SELECT vec_id, e, nrm, $bucket AS bucket FROM v, p),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |    round(list_sum(list_transform(range(1, ${dim + 1}), i -> q.e[i] * n.e[i])) / (q.nrm * n.nrm), 6) AS cosine
+       |  FROM b q JOIN b n ON n.vec_id <> q.vec_id AND q.bucket = n.bucket),
+       |knn AS (SELECT query_id, neighbor_id, cosine,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored),
+       |edges AS (SELECT query_id AS a, neighbor_id AS b FROM knn
+       |          WHERE rank <= $k AND cosine >= $tau),
+       |e AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+       |reach(x, l) AS (
+       |  SELECT DISTINCT a, a FROM e
+       |  UNION
+       |  SELECT e.a, r.l FROM e JOIN reach r ON e.b = r.x),
+       |lbl AS (SELECT x AS vec_id, min(l) AS cluster_id FROM reach GROUP BY 1),
+       |sizes AS (SELECT cluster_id, count(*) AS n FROM lbl GROUP BY 1)
+       |SELECT vv.vec_id,
+       |  coalesce(lbl.cluster_id, vv.vec_id) AS cluster_id,
+       |  coalesce(sizes.n, CAST(1 AS BIGINT)) AS n_members,
+       |  coalesce(lbl.cluster_id, vv.vec_id) = vv.vec_id AS keep
+       |FROM v vv
+       |LEFT JOIN lbl ON vv.vec_id = lbl.vec_id
+       |LEFT JOIN sizes ON coalesce(lbl.cluster_id, vv.vec_id) = sizes.cluster_id""".stripMargin
+  }
 
   /** Incremental kNN = the same 8-plane index with the new batch (odd
     * vec_id) as the query side and the existing corpus (even) as the
@@ -1314,6 +1362,12 @@ object SparkEntry {
         |FROM events GROUP BY 1""".stripMargin,
     "q12_topk" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    "q68_window_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
     "q34_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
         |           WHERE event_type = 'view' GROUP BY 1),
@@ -1547,6 +1601,7 @@ object SparkEntry {
          |  SELECT e.a, r.l FROM e JOIN reach r ON e.b = r.v),
          |lbl AS (SELECT v, min(l) AS cluster_id FROM reach GROUP BY 1)
          |SELECT v AS doc_id, cluster_id AS keep_id, v <> cluster_id AS purge FROM lbl""".stripMargin,
+    "pipeline_semdedup" -> semDedupOracle(),
     "dedup_embedding_cosine" ->
       s"""$cosineCte
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,

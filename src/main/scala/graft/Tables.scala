@@ -60,6 +60,10 @@ object Tables {
     schemaCache.clear()
     graft.streaming.StreamOps.maxEventTs.clear()
     graft.streaming.StreamOps.clearStagedHeartbeats()
+    // file-sink scratch outputs are derived from the (now stale) fixtures
+    // — any still-held DataFrame over them is invalid anyway, so reclaim
+    // the disk here rather than only at JVM exit
+    graft.streaming.StreamOps.clearScratchDirs()
   }
 
   /** Schema-only resolution, memoized per (path, nanos-conf) — used by the

@@ -30,6 +30,31 @@ private[graft] object CacheLifecycle {
     finally shared.foreach(_.unpersist(blocking = false))
   }
 
+  /** Storage level for the ITERATIVE families' per-round checkpoints
+    * (pagerank / label-prop / k-core / CC contraction), overridable with
+    * SPARK_GRAFT_ROUND_CHECKPOINT_LEVEL (e.g. DISK_ONLY) for the
+    * heap-vs-disk A/B: at a heap sized to the FAMILY caches (the r10
+    * 16 g rule) the default MEMORY_AND_DISK round blocks compete with
+    * resident caches, so the iterative family pays eviction churn that
+    * scales with its per-round state. DISK_ONLY removes the blocks from
+    * the storage-pool contention entirely at the price of a re-read per
+    * consumer — which round checkpoints have few of (each round's block
+    * is read once by the next round, then released).
+    */
+  private val roundLevel: Option[org.apache.spark.storage.StorageLevel] =
+    sys.env.get("SPARK_GRAFT_ROUND_CHECKPOINT_LEVEL")
+      .map(org.apache.spark.storage.StorageLevel.fromString)
+
+  /** Eager per-round checkpoint at the configured level — the drop-in
+    * for `.localCheckpoint(true)` inside iterative loops. Results and
+    * family caches keep the default level; only superseded-per-round
+    * state routes through here.
+    */
+  def roundCheckpoint(df: DataFrame): DataFrame = roundLevel match {
+    case Some(level) => df.localCheckpoint(eager = true, storageLevel = level)
+    case None        => df.localCheckpoint(eager = true)
+  }
+
   /** Explicitly free the block storage behind a `localCheckpoint`ed
     * frame. `Dataset.unpersist` does NOT release checkpoint blocks —
     * they are RDD-persisted outside the cache manager — so without this

@@ -801,14 +801,15 @@ object Dedup {
     // to the materialized RDD each round.
     var labels = pairs
       .select(explode(array(col("id_a"), col("id_b"))).as("v")).distinct()
-      .withColumn("lbl", col("v")).localCheckpoint(eager = true)
+      .withColumn("lbl", col("v")).transform(CacheLifecycle.roundCheckpoint)
     var round = 0
     var changed = 1L
     while (changed > 0 && round < maxRounds) {
       val msgs = edges.join(labels, col("b") === col("v"))
         .select(col("a").as("v"), col("lbl"))
       val next = labels.select("v", "lbl").union(msgs)
-        .groupBy("v").agg(min("lbl").as("lbl")).localCheckpoint(eager = true)
+        .groupBy("v").agg(min("lbl").as("lbl"))
+        .transform(CacheLifecycle.roundCheckpoint)
       changed = next.as("n").join(labels.as("o"), "v")
         .filter(col("n.lbl") =!= col("o.lbl")).count()
       // the change-count above was the old frame's last consumer —
@@ -860,7 +861,7 @@ object Dedup {
       .select(least(col("id_a"), col("id_b")).as("a"),
         greatest(col("id_a"), col("id_b")).as("b"))
       .filter(col("a") =!= col("b"))
-      .localCheckpoint(eager = true)
+      .transform(CacheLifecycle.roundCheckpoint)
     var checkpointed: DataFrame = edges
     var oldCnt = -1L
     var round = 0
@@ -894,7 +895,7 @@ object Dedup {
         .union(minsS.select(col("u").as("x"), col("m")))
         .select(col("m").as("a"), col("x").as("b"))
         .distinct()
-        .localCheckpoint(eager = true)
+        .transform(CacheLifecycle.roundCheckpoint)
       // Fixed point = the edge set IS a star forest, tested DIRECTLY
       // (r8, replacing compare-against-previous-round): (i) every member
       // b carries exactly one center a, (ii) no center appears as a
@@ -1090,6 +1091,51 @@ object Dedup {
       .select(col("vec_id"), col("cell"),
         col("m.keep_id").as("keep_id"), col("m.cosine").as("cosine"))
     CacheLifecycle.materialize(result)
+  }
+
+  /** SemDeDup-style embedding-dedup pipeline (Abbas et al. 2023's
+    * cluster-and-prune shape, composed from the committed families):
+    * kNN graph over the embedding corpus (LSH sign-bucket candidates,
+    * exact-cosine top-k — [[Similarity.knnGraphPlan]]) → keep edges with
+    * cosine ≥ τ → connected components ([[componentsOf]], min-label) →
+    * survivor policy: each cluster keeps its minimum vec_id (= the
+    * component label by construction), everything else is purged. The
+    * output is the full per-vector curation manifest — (vec_id,
+    * cluster_id, n_members, keep) — singletons included, because a
+    * production prune feeds a training manifest that must account for
+    * EVERY input row, not only the clustered ones.
+    *
+    * This is the embedding twin of `pipeline_manifest` (text side): three
+    * family operators composed end-to-end under ONE oracle that nests
+    * their existing oracles verbatim (LSH top-k CTE → recursive min-label
+    * closure → left join back to the corpus).
+    *
+    * Scale shape: every stage is the committed family plan — the kNN
+    * candidate join is bucket-partitioned, components contract in
+    * O(log n) rounds on a pair set bounded by k·|V|, and the manifest
+    * join is corpus-sized with a components-sized (near-dup-bounded)
+    * build side.
+    */
+  def semDedupPipeline(s: SparkSession, dir: String,
+                       tau: Double = 0.45, k: Int = 5): DataFrame = {
+    val corpus = Similarity.corpusVectors(s, dir).select("vec_id")
+    val edges = Similarity.knnGraphPlan(s, dir, k)
+      .filter(col("cosine") >= tau)
+      .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+    val comp = componentsOf(s, edges)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+    val sizes = comp.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+    val manifest = corpus
+      .join(comp, Seq("vec_id"), "left")
+      .join(sizes, Seq("cluster_id"), "left")
+      .select(
+        col("vec_id"),
+        coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"),
+        coalesce(col("n_members"), lit(1L)).as("n_members"),
+        (coalesce(col("cluster_id"), col("vec_id")) === col("vec_id"))
+          .as("keep"))
+    CacheLifecycle.materialize(manifest)
   }
 
   /** Dedup-arm evaluation — precision / recall / F1 of the SimHash arm

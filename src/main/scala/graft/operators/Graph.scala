@@ -185,14 +185,14 @@ object Graph {
       .persist()
     try {
       var ranks = deg.select(col("node"), lit(1.0 / n).as("rank"))
-        .localCheckpoint(true)
+        .transform(CacheLifecycle.roundCheckpoint)
       for (_ <- 1 to iters) {
         val next = adj.join(hint(ranks), col("src") === col("node"))
           .groupBy(col("dst"))
           .agg((lit(teleport / n) +
             lit(damping) * sum(col("rank") / col("deg"))).as("rank"))
           .select(col("dst").as("node"), col("rank"))
-          .localCheckpoint(true)
+          .transform(CacheLifecycle.roundCheckpoint)
         CacheLifecycle.release(ranks) // superseded round, no consumers left
         ranks = next
       }
@@ -442,7 +442,7 @@ object Graph {
     def hint(nodeSized: DataFrame): DataFrame =
       if (n <= broadcastCap) broadcast(nodeSized) else nodeSized
     var labels = deg.select(col("node"), col("node").as("lbl"))
-      .localCheckpoint(true)
+      .transform(CacheLifecycle.roundCheckpoint)
     for (_ <- 1 to iters) {
       val next = edges.join(hint(labels), col("src") === col("node"))
         .select(col("dst"), col("lbl"))
@@ -450,7 +450,7 @@ object Graph {
         .groupBy(col("dst"))
         .agg(call_function("graft_mode", col("lbl")).as("lbl"))
         .select(col("dst").as("node"), col("lbl"))
-        .localCheckpoint(true)
+        .transform(CacheLifecycle.roundCheckpoint)
       CacheLifecycle.release(labels)
       labels = next
     }
@@ -509,7 +509,7 @@ object Graph {
       // read it without re-aggregating the edge set. The previous
       // round's degree table has no consumers left — release it.
       val deg = edges.groupBy("a").agg(count(lit(1)).as("deg"))
-        .localCheckpoint(true)
+        .transform(CacheLifecycle.roundCheckpoint)
       if (prevDeg != null) CacheLifecycle.release(prevDeg)
       prevDeg = deg
       survivors = deg.filter(col("deg") >= k)
@@ -540,7 +540,7 @@ object Graph {
           edges = edges
             .join(hint(survivors.select(col("a"))), Seq("a"))
             .join(hint(survivors.select(col("a").as("b"))), Seq("b"))
-            .localCheckpoint(true)
+            .transform(CacheLifecycle.roundCheckpoint)
           if (prevEdges != null) CacheLifecycle.release(prevEdges)
           prevEdges = edges
         }

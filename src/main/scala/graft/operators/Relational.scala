@@ -158,6 +158,30 @@ object Relational {
       .limit(10)
       .select("o_orderkey", "o_totalprice")
 
+  /** Per-group window top-k through the [[graft.plans.TopKRewrite]]
+    * plan rewrite: the canonical `row_number() ≤ k` idiom, written
+    * exactly as a user would write it — the injected rule replaces the
+    * Window (and Spark's own WindowGroupLimit) with the bounded
+    * `graft_topk_rows` aggregate + posexplode, so no sort of the input
+    * ever runs and the shuffle carries ≤ k rows per group per map
+    * partition. TopKRewriteSpec pins plan shape (no Window node) and
+    * bit-equality against the unrewritten form; the SQL oracle gates
+    * values. Tie-broken on o_orderkey so the result is deterministic.
+    */
+  def q68WindowTopK(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    // no register() here: the operator stays a PURE window top-k. The
+    // rewrite activates through the session (GraftSession sets
+    // spark.sql.extensions=GraftExtensions), so Verify/Bench gate the
+    // rewritten plan while a plain session gets the stock window — the
+    // spec compares both.
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+  }
+
   /** S4 (skiprows → offset over a defined total order,
     * plasticc_pandas_modin.py:76-81; SURVEY.md §7.2).
     */
@@ -373,6 +397,12 @@ object Relational {
     * default) answers in linear time. The three stats are one tiny
     * driver-side scan, the same regime as the prefix path's.
     */
+  /** Width of every q25 interval: (c−10, c+10) around the band center.
+    * The adaptive bin axis floors its width against this so per-interval
+    * bin replication stays bounded whatever the event-value distribution.
+    */
+  private val IntervalWidth = 20.0
+
   def q25RangeJoin(s: SparkSession, dir: String, binW: Double = 0.0): DataFrame = {
     val ev = Tables.events(s, dir)
     val w =
@@ -386,7 +416,16 @@ object Relational {
         else {
           val span = math.max(st.getDouble(2) - st.getDouble(1), 1e-6)
           val bins = math.min(math.max(n / 10000L, 256L), 65536L)
-          span / bins.toDouble
+          // Floor the width at intervalWidth/2048: the axis must track the
+          // EVENT span for parallelism, but the replication factor is
+          // intervalWidth/w per supplier — with a degenerate span (constant
+          // event values: span→1e-6) an unfloored w≈1e-11 would explode
+          // each ±10 interval into ~2^41 sequence() elements (the "Too
+          // long sequence" crash) and saturate the floor(x/w) int casts.
+          // The floor bounds replication at ≤2049 bins/interval and keeps
+          // bin ids ≤ ~500/w ≈ 102k, far from Int overflow. Correctness is
+          // binW-invariant (documented above), so the oracle is unchanged.
+          math.max(span / bins.toDouble, IntervalWidth / 2048.0)
         }
       }
     q25RangeJoinOf(Tables.supplier(s, dir), ev, w)

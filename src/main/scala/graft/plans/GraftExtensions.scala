@@ -98,5 +98,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // config-driven sessions can plan AsOfJoinPlan without any driver
     // code (the programmatic mirror is AsOfJoin.register)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    // plan-rewrite tier: window top-k → bounded aggregate (programmatic
+    // mirror: TopKRewrite.register). injectOptimizerRule lands in the
+    // operator-optimization fixed-point batch, so later passes re-prune
+    // the rewritten subtree. SPARK_GRAFT_TOPK_REWRITE=0 is the A/B
+    // kill-switch (plan-changing rewrites need a measured off-path).
+    if (!sys.env.get("SPARK_GRAFT_TOPK_REWRITE").contains("0"))
+      ext.injectOptimizerRule(_ => TopKRewrite)
   }
 }

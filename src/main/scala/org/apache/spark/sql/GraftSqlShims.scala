@@ -31,4 +31,17 @@ object GraftSqlShims {
         exp.extraStrategies = exp.extraStrategies :+ strategy
     }
   }
+
+  /** Idempotently register an extra optimizer rule on a live session —
+    * extraOptimizations run AFTER the built-in batches, so the rule sees
+    * pruned, pushed-down, fixed-pointed plans.
+    */
+  def addOptimization(spark: SparkSession,
+                      rule: org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]): Unit = {
+    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    exp.synchronized {
+      if (!exp.extraOptimizations.contains(rule))
+        exp.extraOptimizations = exp.extraOptimizations :+ rule
+    }
+  }
 }
