@@ -38,6 +38,7 @@ object SparkEntry {
     "q11_pivot" -> (Relational.q11Pivot _),
     "q12_topk" -> (Relational.q12TopK _),
     "q68_window_topk" -> ((s: SparkSession, d: String) => Relational.q68WindowTopK(s, d)),
+    "q68_window_topk_native" -> ((s: SparkSession, d: String) => Relational.q68WindowTopKNative(s, d)),
     "q13_offset" -> (Relational.q13Offset _),
     "q14_dedup_exact" -> (Relational.q14DedupExact _),
     "q15_window_funcs" -> (Relational.q15WindowFuncs _),
@@ -447,6 +448,17 @@ object SparkEntry {
     */
   private def knnGraphOracle: String =
     annLshOracleWith("q.bucket = n.bucket", numPlanes = 8, queryCond = "TRUE")
+
+  /** One oracle for BOTH window-top-k plans (composed q68_window_topk and
+    * the TopKRewrite-driven q68_window_topk_native) — same contract as
+    * the q24 as-of pair.
+    */
+  private val windowTopKSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    CAST(row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rn
+      |  FROM orders) WHERE rn <= 3""".stripMargin
 
   /** SemDeDup pipeline oracle: nests the kNN-graph oracle's CTEs
     * (8-plane LSH candidates, exact-cosine top-5), keeps edges with
@@ -1362,12 +1374,8 @@ object SparkEntry {
         |FROM events GROUP BY 1""".stripMargin,
     "q12_topk" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
-    "q68_window_topk" ->
-      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
-        |  SELECT o_custkey, o_orderkey, o_totalprice,
-        |    CAST(row_number() OVER (PARTITION BY o_custkey
-        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rn
-        |  FROM orders) WHERE rn <= 3""".stripMargin,
+    "q68_window_topk_native" -> windowTopKSql,
+    "q68_window_topk" -> windowTopKSql,
     "q34_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
         |           WHERE event_type = 'view' GROUP BY 1),

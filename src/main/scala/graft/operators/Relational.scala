@@ -169,17 +169,37 @@ object Relational {
     * values. Tie-broken on o_orderkey so the result is deterministic.
     */
   def q68WindowTopK(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    // no register() here: the operator stays a PURE window top-k. The
-    // rewrite activates through the session (GraftSession sets
-    // spark.sql.extensions=GraftExtensions), so Verify/Bench gate the
-    // rewritten plan while a plain session gets the stock window — the
-    // spec compares both.
+    // no register() here: the operator stays a PURE window top-k (the
+    // stock plan — WindowGroupLimit + codegen sort — measured FASTER
+    // than the rewrite at every local scale, SCALE.md r11).
+    // [[q68WindowTopKNative]] is the rewritten twin, oracle-gated under
+    // the same SQL.
     val w = Window.partitionBy("o_custkey")
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
     Tables.orders(s, dir)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+  }
+
+  /** The [[graft.plans.TopKRewrite]] plan of the same query, kept
+    * oracle-gated next to the composed form exactly like
+    * `q24_asof_join_native` vs `q24_asof_join`: the rule runs on a
+    * DERIVED session (`newSession` — same context, fixture caches, and
+    * data; fresh experimental methods) so registration never leaks into
+    * the shared suite session and query order stays irrelevant. The
+    * rewritten plan is the bounded `graft_topk_rows` aggregate +
+    * posexplode — no sort of the input, ≤ k rows per group per map
+    * partition into the shuffle. Measured honestly (sweeps=3, SCALE.md
+    * r11): the stock plan wins at fixture scale at all three decades
+    * (codegen sort vs object aggregate); the rewrite's structural win is
+    * the regime where the window's partition sort SPILLS, which
+    * local[32] partitions never reach.
+    */
+  def q68WindowTopKNative(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val s2 = s.newSession()
+    graft.plans.TopKRewrite.register(s2)
+    q68WindowTopK(s2, dir, k)
   }
 
   /** S4 (skiprows → offset over a defined total order,

@@ -120,10 +120,27 @@ class TopKRewriteSpec extends AnyFunSuite {
     assert(optimized(unfiltered).contains("Window"))
   }
 
-  test("the oracle-gated entry rewrites under a GraftExtensions session") {
-    // q68 through the graft-built session regime: extensions-config
-    // activation, exactly what Verify/Bench run
-    val p = optimized(graft.operators.Relational.q68WindowTopK(rw, sf))
-    assert(!p.contains("Window") && p.contains("graft_topk_rows"))
+  test("the engine's own row_number ≤ k sites rewrite") {
+    // committed operators written in the window idiom whose plans stay
+    // LAZY (ann_ivf_pq also rewrites, but it materializes via
+    // localCheckpoint, so its observable plan is already a LogicalRDD) —
+    // the rewrite must catch both, incl. the cast-to-int variants, which
+    // SimplifyCasts folds before the rule matches
+    Seq("emb_cluster_topics", "emb_outliers").foreach { name =>
+      val p = optimized(graft.SparkEntry.queries(name)(rw, sf))
+      assert(p.contains("graft_topk_rows"), s"$name did not rewrite:\n$p")
+      assert(!p.contains("Window"), s"$name kept a Window:\n$p")
+    }
+  }
+
+  test("the oracle-gated native entry rewrites; the composed entry keeps its Window") {
+    // the q24-style pair: q68_window_topk_native self-registers on a
+    // derived session, the composed form stays stock — on ANY session
+    val pNative = optimized(
+      graft.operators.Relational.q68WindowTopKNative(spark, sf))
+    assert(!pNative.contains("Window") && pNative.contains("graft_topk_rows"))
+    val pPlain = optimized(
+      graft.operators.Relational.q68WindowTopK(spark, sf))
+    assert(pPlain.contains("Window") && !pPlain.contains("graft_topk_rows"))
   }
 }
