@@ -31,29 +31,32 @@ private[graft] object CacheLifecycle {
   }
 
   /** Storage level for the ITERATIVE families' per-round checkpoints
-    * (pagerank / label-prop / k-core / CC contraction), overridable with
-    * SPARK_GRAFT_ROUND_CHECKPOINT_LEVEL (e.g. DISK_ONLY) for the
-    * heap-vs-disk A/B: at a heap sized to the FAMILY caches (the r10
-    * 16 g rule) the default MEMORY_AND_DISK round blocks compete with
-    * resident caches, so the iterative family pays eviction churn that
-    * scales with its per-round state. DISK_ONLY removes the blocks from
-    * the storage-pool contention entirely at the price of a re-read per
-    * consumer — which round checkpoints have few of (each round's block
-    * is read once by the next round, then released).
+    * (pagerank / label-prop / k-core / CC contraction): DISK_ONLY, the
+    * r11 three-arm A/B's winner (SCALE.md r11). At a heap sized to the
+    * FAMILY caches (the r10 16 g rule) MEMORY_AND_DISK round blocks
+    * compete with resident caches, so the iterative family pays
+    * eviction churn that scales with its per-round state — at sf10 that
+    * was graph_kcore 370 s (16 g ctrl) and 480 s at 24 g (the G1
+    * pathology starts below the measured ≥30 g mark) vs 164 s
+    * DISK_ONLY. A round block's only consumer is the NEXT round, so it
+    * reads back once through the OS page cache; even at sf0.1 the disk
+    * route measured at-or-faster (4.81 → 4.33 s kcore) because the
+    * blocks skip the storage pool entirely. Override for A/Bs with
+    * SPARK_GRAFT_ROUND_CHECKPOINT_LEVEL (e.g. MEMORY_AND_DISK to
+    * revert).
     */
-  private val roundLevel: Option[org.apache.spark.storage.StorageLevel] =
+  private val roundLevel: org.apache.spark.storage.StorageLevel =
     sys.env.get("SPARK_GRAFT_ROUND_CHECKPOINT_LEVEL")
       .map(org.apache.spark.storage.StorageLevel.fromString)
+      .getOrElse(org.apache.spark.storage.StorageLevel.DISK_ONLY)
 
   /** Eager per-round checkpoint at the configured level — the drop-in
     * for `.localCheckpoint(true)` inside iterative loops. Results and
     * family caches keep the default level; only superseded-per-round
     * state routes through here.
     */
-  def roundCheckpoint(df: DataFrame): DataFrame = roundLevel match {
-    case Some(level) => df.localCheckpoint(eager = true, storageLevel = level)
-    case None        => df.localCheckpoint(eager = true)
-  }
+  def roundCheckpoint(df: DataFrame): DataFrame =
+    df.localCheckpoint(eager = true, storageLevel = roundLevel)
 
   /** Explicitly free the block storage behind a `localCheckpoint`ed
     * frame. `Dataset.unpersist` does NOT release checkpoint blocks —
