@@ -58,6 +58,29 @@ private[graft] object CacheLifecycle {
   def roundCheckpoint(df: DataFrame): DataFrame =
     df.localCheckpoint(eager = true, storageLevel = roundLevel)
 
+  /** LAZY round checkpoint for loops whose very next statement runs an
+    * aggregate action over the frame (k-core's per-round degree table,
+    * the CC loops' per-round edge/label sets feeding their fixpoint
+    * probes): that action's own job computes every partition and
+    * persists it (LocalRDDCheckpointData materializes any partition the
+    * job missed at job end), so the separate eager-materialization job —
+    * one scheduler round-trip per round, ~0.1–0.3 s each at fixture
+    * scale (JobCountProbe r11) and a redundant cached read of the frame
+    * at any scale — disappears, while lineage truncation and block
+    * release work exactly as in [[roundCheckpoint]].
+    *
+    * CONTRACT (stricter than the eager form): the caller must run an
+    * action covering the frame BEFORE (a) releasing any upstream
+    * checkpoint the frame's plan still references, and (b) handing the
+    * frame to consumers that scan it more than once concurrently
+    * (parallel union branches would race to compute the same partitions
+    * twice). Loops that release the superseded round right after
+    * creating the next one (pagerank, label propagation) must keep the
+    * eager form.
+    */
+  def roundCheckpointLazy(df: DataFrame): DataFrame =
+    df.localCheckpoint(eager = false, storageLevel = roundLevel)
+
   /** Explicitly free the block storage behind a `localCheckpoint`ed
     * frame. `Dataset.unpersist` does NOT release checkpoint blocks —
     * they are RDD-persisted outside the cache manager — so without this

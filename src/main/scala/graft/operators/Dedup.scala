@@ -809,7 +809,10 @@ object Dedup {
         .select(col("a").as("v"), col("lbl"))
       val next = labels.select("v", "lbl").union(msgs)
         .groupBy("v").agg(min("lbl").as("lbl"))
-        .transform(CacheLifecycle.roundCheckpoint)
+        // LAZY: the convergence count below scans next once and
+        // materializes it; labels is released only after that action
+        // (roundCheckpointLazy contract, r11)
+        .transform(CacheLifecycle.roundCheckpointLazy)
       changed = next.as("n").join(labels.as("o"), "v")
         .filter(col("n.lbl") =!= col("o.lbl")).count()
       // the change-count above was the old frame's last consumer —
@@ -895,7 +898,12 @@ object Dedup {
         .union(minsS.select(col("u").as("x"), col("m")))
         .select(col("m").as("a"), col("x").as("b"))
         .distinct()
-        .transform(CacheLifecycle.roundCheckpoint)
+        // LAZY: the st fixpoint aggregate below is the materializing
+        // action (one scan covering every partition), so each
+        // contraction round pays one job for (round + fixpoint test)
+        // instead of two; the previous round is released only after st
+        // returns, honoring the roundCheckpointLazy contract (r11)
+        .transform(CacheLifecycle.roundCheckpointLazy)
       // Fixed point = the edge set IS a star forest, tested DIRECTLY
       // (r8, replacing compare-against-previous-round): (i) every member
       // b carries exactly one center a, (ii) no center appears as a

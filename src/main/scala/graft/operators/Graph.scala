@@ -184,16 +184,26 @@ object Graph {
       .select(col("src"), col("dst"), col("deg"))
       .persist()
     try {
+      // LAZY round checkpoints with releases LAGGED one round (r11): each
+      // round's rank frame has exactly one consumer — the next round's
+      // join — so the eager per-round materialization job (one scheduler
+      // round-trip each) is dead weight; the final output action
+      // materializes the chain, persisting every intermediate round's
+      // blocks as it passes (lineage still truncates per round, so
+      // Catalyst plans stay one-iteration deep exactly as before). A
+      // superseded frame is released only AFTER its successor exists as
+      // materialized blocks — here, after the loop's single action.
       var ranks = deg.select(col("node"), lit(1.0 / n).as("rank"))
-        .transform(CacheLifecycle.roundCheckpoint)
+        .transform(CacheLifecycle.roundCheckpointLazy)
+      var pending: List[org.apache.spark.sql.DataFrame] = Nil
       for (_ <- 1 to iters) {
         val next = adj.join(hint(ranks), col("src") === col("node"))
           .groupBy(col("dst"))
           .agg((lit(teleport / n) +
             lit(damping) * sum(col("rank") / col("deg"))).as("rank"))
           .select(col("dst").as("node"), col("rank"))
-          .transform(CacheLifecycle.roundCheckpoint)
-        CacheLifecycle.release(ranks) // superseded round, no consumers left
+          .transform(CacheLifecycle.roundCheckpointLazy)
+        pending = ranks :: pending // superseded once `next` materializes
         ranks = next
       }
       val out = ranks.join(deg, Seq("node"))
@@ -201,6 +211,7 @@ object Graph {
           round(col("rank") * lit(n.toDouble), 6).as("pagerank"),
           col("deg"))
         .localCheckpoint(true)
+      pending.foreach(CacheLifecycle.release)
       CacheLifecycle.release(ranks)
       out
     } finally adj.unpersist(false)
@@ -441,8 +452,13 @@ object Graph {
     val n = deg.count()
     def hint(nodeSized: DataFrame): DataFrame =
       if (n <= broadcastCap) broadcast(nodeSized) else nodeSized
+    // LAZY round checkpoints, releases lagged to the output action — the
+    // pagerank discipline (r11): one consumer per round frame, so the
+    // final localCheckpoint's job materializes the whole chain and the
+    // per-round eager-materialization jobs disappear.
     var labels = deg.select(col("node"), col("node").as("lbl"))
-      .transform(CacheLifecycle.roundCheckpoint)
+      .transform(CacheLifecycle.roundCheckpointLazy)
+    var pending: List[DataFrame] = Nil
     for (_ <- 1 to iters) {
       val next = edges.join(hint(labels), col("src") === col("node"))
         .select(col("dst"), col("lbl"))
@@ -450,8 +466,8 @@ object Graph {
         .groupBy(col("dst"))
         .agg(call_function("graft_mode", col("lbl")).as("lbl"))
         .select(col("dst").as("node"), col("lbl"))
-        .transform(CacheLifecycle.roundCheckpoint)
-      CacheLifecycle.release(labels)
+        .transform(CacheLifecycle.roundCheckpointLazy)
+      pending = labels :: pending // superseded once `next` materializes
       labels = next
     }
     // symmetric edge set: every node has ≥1 in-edge, so the inner join
@@ -459,6 +475,7 @@ object Graph {
     val out = deg.join(labels, Seq("node"))
       .select(col("node").as("part"), col("lbl").as("community"), col("deg"))
       .localCheckpoint(true)
+    pending.foreach(CacheLifecycle.release)
     CacheLifecycle.release(labels)
     out
   }
@@ -498,20 +515,29 @@ object Graph {
     var edges = pairs.select(col("src").as("a"), col("dst").as("b"))
       .union(pairs.select(col("dst").as("a"), col("src").as("b")))
     var survivors: DataFrame = null
-    var prevDeg: DataFrame = null
-    var prevEdges: DataFrame = null
+    var lastDeg: DataFrame = null
+    var lastEdges: DataFrame = null
+    // superseded checkpoints whose LAST consumer is the current round's
+    // lazy frames — releasable only after this round's cnts action has
+    // materialized them (the roundCheckpointLazy release-ordering
+    // contract; releases lag one round behind supersession)
+    var pendingRelease: List[DataFrame] = Nil
     var prevCount = -1L
     var r = 0
     var done = false
     while (r < rounds && !done) {
       // checkpoint the NODE-sized degree table once; the survivor
       // filter, the all-survived fast path, and the count action all
-      // read it without re-aggregating the edge set. The previous
-      // round's degree table has no consumers left — release it.
+      // read it without re-aggregating the edge set. LAZY: the cnts
+      // aggregate below is the materializing action, so each round pays
+      // one job for (deg build + loop tests) instead of two (r11,
+      // JobCountProbe: 21 jobs → fewer, one eager-materialize job per
+      // peel round gone; deg's plan reads only the previous round's
+      // already-materialized edge checkpoint, so the release ordering
+      // contract of roundCheckpointLazy holds). The previous round's
+      // degree table has no consumers left — release it.
       val deg = edges.groupBy("a").agg(count(lit(1)).as("deg"))
-        .transform(CacheLifecycle.roundCheckpoint)
-      if (prevDeg != null) CacheLifecycle.release(prevDeg)
-      prevDeg = deg
+        .transform(CacheLifecycle.roundCheckpointLazy)
       survivors = deg.filter(col("deg") >= k)
       // ONE scan of the checkpointed node table answers both loop tests
       // (survivor count + total count) — two separate count() actions
@@ -519,6 +545,12 @@ object Graph {
       val cnts = deg.agg(
         sum(when(col("deg") >= k, 1L).otherwise(0L)).as("surv"),
         count(lit(1)).as("all")).head()
+      // the cnts job materialized deg AND, transitively, this round's
+      // lazy edge checkpoint — the previous round's deg/edge frames have
+      // no consumer left now
+      pendingRelease.foreach(CacheLifecycle.release)
+      pendingRelease = Nil
+      lastDeg = deg
       val n = if (cnts.isNullAt(0)) 0L else cnts.getLong(0)
       // n == prev: the monotone ⊆ cascade repeated → fixpoint.
       // n == deg.count(): NOTHING fell below the bar this round, so the
@@ -530,28 +562,41 @@ object Graph {
         prevCount = n
         r += 1
         if (r < rounds) {
-          // per-round checkpoint: each round's three actions (eager deg
-          // checkpoint + two counts) would otherwise re-run every
-          // stacked survivor filter from the cache — measured 0.4 s
-          // slower at sf0.1 than materializing the shrinking edge set
+          // per-round LAZY checkpoint (r11): the next round's cnts job
+          // materializes this frame together with its degree table —
+          // the eager materialization job per round is gone, while the
+          // checkpoint still keeps the plan one-round deep (each
+          // round's three consumers — deg build, survivor filter,
+          // next-round join — would otherwise re-run every stacked
+          // survivor filter; the r9 A/B that measured dropping the
+          // checkpoint outright 0.4 s slower stands unchanged)
           def hint(nodeSized: DataFrame): DataFrame =
             if (cnts.getLong(1) <= broadcastCap) broadcast(nodeSized)
             else nodeSized
-          edges = edges
+          val newEdges = edges
             .join(hint(survivors.select(col("a"))), Seq("a"))
             .join(hint(survivors.select(col("a").as("b"))), Seq("b"))
-            .transform(CacheLifecycle.roundCheckpoint)
-          if (prevEdges != null) CacheLifecycle.release(prevEdges)
-          prevEdges = edges
+            .transform(CacheLifecycle.roundCheckpointLazy)
+          // this round's deg + edge checkpoints are superseded the
+          // moment newEdges materializes — queue them for release after
+          // the NEXT round's cnts action. Round-0 `edges` is the raw
+          // plan over the family-cached pair table (lastEdges == null):
+          // never queued, a release would walk into shared frames.
+          pendingRelease = deg ::
+            (if (lastEdges != null) lastEdges :: Nil else Nil)
+          lastEdges = newEdges
+          lastDeg = null // queued above; don't double-track
+          edges = newEdges
         }
       }
     }
     val out = CacheLifecycle.materialize(
       survivors.select(col("a").as("node"), col("deg").as("core_deg")))
-    // survivors read from the final deg checkpoint; the materialize
-    // above is its last consumer
-    if (prevDeg != null) CacheLifecycle.release(prevDeg)
-    if (prevEdges != null) CacheLifecycle.release(prevEdges)
+    // out materialized from the final deg checkpoint — everything the
+    // loop still holds is consumer-free now
+    pendingRelease.foreach(CacheLifecycle.release)
+    if (lastDeg != null) CacheLifecycle.release(lastDeg)
+    if (lastEdges != null) CacheLifecycle.release(lastEdges)
     out
   }
 }

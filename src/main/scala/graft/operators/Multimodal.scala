@@ -175,12 +175,25 @@ object Multimodal {
   private[operators] def phashPairsOf(payload: DataFrame,
                                       gramHash: Column => Column,
                                       maxBucket: Int = 100000): DataFrame = {
-    val sigs = phashSignatures(payload, gramHash)
+    // The signature table is the per-byte work of the whole pipeline
+    // (one gram hash per payload byte) and is consumed by TWO separate
+    // executions: the rep-space verify materializes inside
+    // simhashBucketVerify, then the member expansion runs as its own
+    // plan — without a persist the gram explode+hash re-ran once per
+    // execution (the portable twin never paid this: its sigs live in
+    // the FamilyCache). Persist for the duration of the call, release
+    // with the result materialization (CacheLifecycle contract); the
+    // doc-count-sized groups frame is persisted too because
+    // expandRepPairs scans it four times (intra self-join + two cross
+    // joins). r11: mm_dedup_phash_fast 24 jobs / ~4.4 s → measured
+    // drop recorded in OPTIMIZATION_r11.md.
+    val sigs = phashSignatures(payload, gramHash).persist()
     val reps = sigs.groupBy("sig").agg(min("doc_id").as("rep_id"))
-    expandRepPairs(
-      Dedup.simhashBucketVerify(
-        reps.select(col("rep_id").as("doc_id"), col("sig")), maxBucket),
-      sigs.join(reps, Seq("sig")).select(col("doc_id"), col("rep_id")))
+    val repPairs = Dedup.simhashBucketVerify(
+      reps.select(col("rep_id").as("doc_id"), col("sig")), maxBucket)
+    val groups = sigs.join(reps, Seq("sig")).select(col("doc_id"), col("rep_id"))
+    try CacheLifecycle.materialize(expandRepPairs(repPairs, groups), groups)
+    finally sigs.unpersist(blocking = false)
   }
 
   /** Expand a rep-space verified pair set back to ALL member pairs:

@@ -661,8 +661,13 @@ object Similarity {
   def labelCentroids(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("label"),
-        posexplode(transform(col("embedding"), x => x.cast("double")))
-          .as(Seq("dim_idx", "x")))
+        posexplode(col("embedding")).as(Seq("dim_idx", "xf")))
+      // cast AFTER the generator: element-wise transform() is a
+      // CodegenFallback higher-order function (interpreted per element,
+      // one array allocation per row), while posexplode of the raw
+      // float array + a scalar cast is whole-stage-codegen end to end —
+      // identical values (elementwise float->double cast), r11
+      .withColumn("x", col("xf").cast("double")).drop("xf")
     e.groupBy("label", "dim_idx")
       .agg(avg("x").as("mean_x"), count(lit(1)).as("n"))
       .groupBy("label")
@@ -723,8 +728,13 @@ object Similarity {
   def labelOutliers(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val ex = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"),
-        posexplode(transform(col("embedding"), x => x.cast("double")))
-          .as(Seq("dim_idx", "x")))
+        posexplode(col("embedding")).as(Seq("dim_idx", "xf")))
+      // cast AFTER the generator: element-wise transform() is a
+      // CodegenFallback higher-order function (interpreted per element,
+      // one array allocation per row), while posexplode of the raw
+      // float array + a scalar cast is whole-stage-codegen end to end —
+      // identical values (elementwise float->double cast), r11
+      .withColumn("x", col("xf").cast("double")).drop("xf")
     val means = ex.groupBy("label", "dim_idx").agg(avg("x").as("mean_x"))
     val dist = ex.join(broadcast(means), Seq("label", "dim_idx"))
       .groupBy("vec_id", "label")
@@ -772,8 +782,13 @@ object Similarity {
   def embDriftCentroid(s: SparkSession, dir: String): DataFrame = {
     val ex = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"),
-        posexplode(transform(col("embedding"), x => x.cast("double")))
-          .as(Seq("dim_idx", "x")))
+        posexplode(col("embedding")).as(Seq("dim_idx", "xf")))
+      // cast AFTER the generator: element-wise transform() is a
+      // CodegenFallback higher-order function (interpreted per element,
+      // one array allocation per row), while posexplode of the raw
+      // float array + a scalar cast is whole-stage-codegen end to end —
+      // identical values (elementwise float->double cast), r11
+      .withColumn("x", col("xf").cast("double")).drop("xf")
       .withColumn("is_ref", (col("vec_id") % 2 === 0).cast("int"))
     val m = ex.groupBy("label", "dim_idx", "is_ref").agg(avg("x").as("m"))
     val wide = m.groupBy("label", "dim_idx").agg(

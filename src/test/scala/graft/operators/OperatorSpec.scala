@@ -1272,6 +1272,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.nonEmpty, "fixture lost its cross-parity near-dup pairs")
   }
 
+  test("portable token hash kernel is bit-equal to its oracle column form") {
+    // the kernel (digest-byte assembly) replaced the declarative
+    // conv(substring(md5)) chain on every call site in r11 — the oracle
+    // replays the COLUMN form, so the two must agree on every value,
+    // including nulls, empties, unicode and long strings
+    import spark.implicits._
+    val probes = spark.range(20000)
+      .select(concat(lit("tok_"), col("id") % 3000).as("t"))
+      .unionByName(Seq("", " ", "é€𐍈", "a" * 5000, null)
+        .toDF("t").select(col("t")))
+    val bad = probes.select(
+        TextFunctions.portableTokenHash(col("t")).as("k"),
+        TextFunctions.portableTokenHashColumnForm(col("t")).as("c"))
+      .filter(!(col("k") <=> col("c")))
+      .count()
+    assert(bad === 0)
+  }
+
   test("multimodal pipeline preserves byte length through binary payload") {
     val out = Multimodal.pipeline(spark, sf)
     val bad = out.join(graft.Tables.documents(spark, sf), Seq("doc_id"))
