@@ -81,7 +81,7 @@ object SparkEntry {
     // replay it, so this entry is rows-only by design; the identical
     // pipeline with the portable md5 hash is fully oracle-checked below
     // and DedupSpec pins that the two differ only in the hash expression)
-    "dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
+    "dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhashPairsKernel(s, d)),
     "dedup_simhash_portable" -> ((s: SparkSession, d: String) => Dedup.simhashPairsPortable(s, d)),
     "dedup_clusters" -> ((s: SparkSession, d: String) => Dedup.clusters(s, d)),
     "dedup_purge_list" -> (Dedup.purge _),

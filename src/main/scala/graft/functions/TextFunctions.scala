@@ -304,6 +304,71 @@ object TextFunctions {
       }
     }
 
+  /** One-pass token SimHash kernel — the compiled form of
+    * `explode(tokens(text)) → tokenHash → graft_simhash` for the two
+    * shipped token hashes, used by the dedup_simhash entries (the
+    * declarative pipeline stays in Dedup.simhashSignatures as the spec
+    * reference). Tokenization replicates `tokens()` exactly (Spark trim
+    * = ASCII spaces only; `split("\\s+", -1)` keeps leading AND
+    * trailing empty tokens — Spark's split default limit is -1, unlike
+    * Java's String.split); docs whose token array is empty produce no
+    * aggregate row in the pipeline, so the kernel returns null and
+    * callers filter it. Hashes: xxhash64 = Spark's XXH64 over the
+    * token's UTF-8 bytes, seed 42; portable = the md5-prefix60 rule.
+    * Vote rule is SimHashAgg's (2·count > n). Pinned bit-equal to the
+    * pipeline by OperatorSpec on the fixture + whitespace/empty edges.
+    */
+  def tokenSimhash(c: Column, portable: Boolean): Column =
+    (if (portable) tokenSimhashPortableUdf else tokenSimhashXxUdf)(c)
+
+  private val WhitespaceRun = java.util.regex.Pattern.compile("\\s+")
+
+  private def tokenSimhashOf(text: String,
+                             md: java.security.MessageDigest): java.lang.Long = {
+    if (text == null) return null
+    var a = 0
+    var b = text.length
+    while (a < b && text.charAt(a) == ' ') a += 1
+    while (b > a && text.charAt(b - 1) == ' ') b -= 1
+    if (a >= b) return null // tokens() yields array() → no pipeline row
+    val toks = WhitespaceRun.split(text.substring(a, b), -1)
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val bytes = toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val h =
+        if (md != null) {
+          md.reset()
+          val d = md.digest(bytes)
+          var x = 0L
+          var j = 0
+          while (j < 7) { x = (x << 8) | (d(j) & 0xFFL); j += 1 }
+          (x << 4) | ((d(7) & 0xF0L) >>> 4)
+        } else {
+          org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+            bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+            bytes.length, 42L)
+        }
+      var bb = 0
+      while (bb < 64) { counts(bb) += ((h >>> bb) & 1L).toInt; bb += 1 }
+      i += 1
+    }
+    var sig = 0L
+    var bb = 0
+    while (bb < 64) { if (counts(bb) * 2L > toks.length) sig |= (1L << bb); bb += 1 }
+    java.lang.Long.valueOf(sig)
+  }
+
+  private val tokenSimhashXxUdf =
+    org.apache.spark.sql.functions.udf { (text: String) =>
+      tokenSimhashOf(text, null)
+    }
+
+  private val tokenSimhashPortableUdf =
+    org.apache.spark.sql.functions.udf { (text: String) =>
+      tokenSimhashOf(text, java.security.MessageDigest.getInstance("MD5"))
+    }
+
   /** Normalized-text fingerprint: lowercase, collapse non-alnum runs to
     * single spaces, hash. Two documents differing only in case /
     * punctuation / whitespace get the same fingerprint. md5 keeps the

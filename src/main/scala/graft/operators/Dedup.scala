@@ -551,15 +551,51 @@ object Dedup {
     * of raising the cap.
     */
   def simhashPairs(s: SparkSession, dir: String, maxBucket: Int = 100000,
-                   tokenHash: Column => Column = xxhash64(_)): DataFrame = {
-    graft.expressions.SimHashAgg.register(s)
-    val tokenHashes = Tables.documents(s, dir)
+                   tokenHash: Column => Column = xxhash64(_)): DataFrame =
+    simhashBucketVerify(
+      simhashSignatures(Tables.documents(s, dir), tokenHash), maxBucket)
+
+  /** Declarative signature stage of [[simhashPairs]] — the reference
+    * pipeline for an arbitrary `tokenHash`, pinned bit-equal to the
+    * compiled kernel below by OperatorSpec. The bench entries run
+    * [[simhashSignaturesKernel]].
+    */
+  private[graft] def simhashSignatures(docs: DataFrame,
+                                       tokenHash: Column => Column): DataFrame = {
+    graft.expressions.SimHashAgg.register(docs.sparkSession)
+    docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .withColumn("h", tokenHash(col("tok")))
-    val sigs = tokenHashes.groupBy("doc_id")
+      .groupBy("doc_id")
       .agg(call_function("graft_simhash", col("h")).as("sig"))
-    simhashBucketVerify(sigs, maxBucket)
   }
+
+  /** One-pass compiled form of [[simhashSignatures]] for the two shipped
+    * token hashes: sig = f(text) as a pure projection — no per-token row
+    * explosion, no aggregate, no doc-keyed exchange of 520 B partial
+    * buffers (see TextFunctions.tokenSimhash for the exact-replication
+    * contract). r11, guide §4.2.
+    */
+  private[graft] def simhashSignaturesKernel(docs: DataFrame,
+                                             portable: Boolean): DataFrame =
+    // pre-filter on the CHEAP equivalent of the kernel's null condition
+    // (tokens() is empty ⟺ text is null or all-ASCII-space — the same
+    // trim the kernel applies), NOT on isNotNull(sig): a filter on the
+    // UDF output gets pushed below the repartition exchange and the
+    // optimizer then evaluates the kernel TWICE per row (guide §4.4;
+    // seen in plans/r11/token_simhash_sig_stage_kernel.txt's first cut)
+    docs.filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokenSimhash(col("text"), portable).as("sig"))
+
+  /** Kernel-signature twin of [[simhashPairs]] for the shipped hashes —
+    * what the dedup_simhash / dedup_simhash_portable entries run.
+    */
+  def simhashPairsKernel(s: SparkSession, dir: String,
+                         maxBucket: Int = 100000,
+                         portable: Boolean = false): DataFrame =
+    simhashBucketVerify(
+      simhashSignaturesKernel(Tables.documents(s, dir), portable), maxBucket)
 
   /** Shared candidate+verify tail of every 64-bit-signature near-dup
     * pipeline (token simhash, multimodal phash): 4×16-bit chunk
@@ -601,7 +637,7 @@ object Dedup {
     // pair set — without memoization whichever runs second re-hashed the
     // whole corpus with the ~2× md5 tax
     FamilyCache.get(s, dir, s"simhash_portable_$maxBucket")(
-      simhashPairs(s, dir, maxBucket, portableTokenHash))
+      simhashPairsKernel(s, dir, maxBucket, portable = true))
 
   /** Fuzzy string join — entity-resolution flavor of near-dup detection:
     * per-part summary of other parts whose name is within edit distance

@@ -159,12 +159,11 @@ object Multimodal {
     * partition-parallel with no shuffle before the signature aggregate.
     */
   def phashPairs(s: SparkSession, dir: String, maxBucket: Int = 100000,
-                 portableHash: Boolean = false): DataFrame = {
-    val gramHash: Column => Column =
-      if (portableHash) graft.functions.TextFunctions.portableTokenHash
-      else xxhash64(_)
-    phashPairsOf(asBinaryPayload(s, dir), gramHash, maxBucket)
-  }
+                 portableHash: Boolean = false): DataFrame =
+    // signature stage through the one-pass kernel (r11) — the pipeline
+    // form stays the spec reference, see phashSignaturesKernel
+    phashPairsFromSigs(
+      phashSignaturesKernel(asBinaryPayload(s, dir), portableHash), maxBucket)
 
   /** Payload-level [[phashPairs]] — same rep-space verify + expansion as
     * the portable twin (see [[phashPairsPortable]]): the quadratic
@@ -174,20 +173,25 @@ object Multimodal {
     */
   private[operators] def phashPairsOf(payload: DataFrame,
                                       gramHash: Column => Column,
-                                      maxBucket: Int = 100000): DataFrame = {
-    // The signature table is the per-byte work of the whole pipeline
-    // (one gram hash per payload byte) and is consumed by TWO separate
-    // executions: the rep-space verify materializes inside
-    // simhashBucketVerify, then the member expansion runs as its own
-    // plan — without a persist the gram explode+hash re-ran once per
-    // execution (the portable twin never paid this: its sigs live in
-    // the FamilyCache). Persist for the duration of the call, release
-    // with the result materialization (CacheLifecycle contract); the
-    // doc-count-sized groups frame is persisted too because
-    // expandRepPairs scans it four times (intra self-join + two cross
-    // joins). r11: mm_dedup_phash_fast 24 jobs / ~4.4 s → measured
-    // drop recorded in OPTIMIZATION_r11.md.
-    val sigs = phashSignatures(payload, gramHash).persist()
+                                      maxBucket: Int = 100000): DataFrame =
+    phashPairsFromSigs(phashSignatures(payload, gramHash), maxBucket)
+
+  /** Pair tail over a prepared (doc_id, sig) table. The signature table
+    * is the per-byte work of the whole pipeline and is consumed by TWO
+    * separate executions: the rep-space verify materializes inside
+    * simhashBucketVerify, then the member expansion runs as its own
+    * plan — without a persist the signature stage re-ran once per
+    * execution (the portable twin never paid this: its sigs live in
+    * the FamilyCache). Persisted for the duration of the call, released
+    * with the result materialization (CacheLifecycle contract); the
+    * doc-count-sized groups frame is persisted too because
+    * expandRepPairs scans it four times (intra self-join + two cross
+    * joins). r11: mm_dedup_phash_fast 24 jobs / ~4.4 s → measured
+    * drop recorded in OPTIMIZATION_r11.md.
+    */
+  private def phashPairsFromSigs(sigTable: DataFrame,
+                                 maxBucket: Int): DataFrame = {
+    val sigs = sigTable.persist()
     val reps = sigs.groupBy("sig").agg(min("doc_id").as("rep_id"))
     val repPairs = Dedup.simhashBucketVerify(
       reps.select(col("rep_id").as("doc_id"), col("sig")), maxBucket)
@@ -218,11 +222,13 @@ object Multimodal {
   }
 
   /** Signature stage of [[phashPairs]] — (doc_id, sig) from a
-    * (doc_id, payload binary) frame. Exposed for specs to pin the
-    * locality property on synthetic payloads (the fixture holds no
-    * byte-identical payloads).
+    * (doc_id, payload binary) frame: the declarative PIPELINE form
+    * (explode one row per byte offset → gram hash expression → the
+    * graft_simhash aggregate), kept as the executable reference for an
+    * arbitrary `gramHash` and pinned bit-equal to the kernel below by
+    * MultimodalSpec. The bench entries run [[phashSignaturesKernel]].
     */
-  private[operators] def phashSignatures(
+  private[graft] def phashSignatures(
       payload: DataFrame,
       gramHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
   : DataFrame = {
@@ -237,6 +243,73 @@ object Multimodal {
         gramHash(col("payload").substr(col("off"), lit(4))).as("h"))
       .groupBy("doc_id")
       .agg(call_function("graft_simhash", col("h")).as("sig"))
+  }
+
+  /** Compiled one-pass form of [[phashSignatures]] for the two shipped
+    * gram hashes (xxhash64 / md5-prefix60): sig = f(payload) as a pure
+    * per-row projection — no per-byte row explosion (the pipeline form
+    * materializes a sequence() array and one generator row PER PAYLOAD
+    * BYTE), no substr copy per gram, no aggregate, and NO doc-keyed
+    * exchange at all (the aggregate's partial buffers still shuffled
+    * doc-count × 520 B). The guide-§4.2 shape the rest of this file
+    * already uses for the decode/energy stubs: Spark distributes, the
+    * kernel does the per-byte work batchwise. Hash replication is exact:
+    * xxhash64 hashes the gram's 4 bytes in place with Spark's own XXH64
+    * (seed 42, the xxhash64 expression's definition); the portable hash
+    * assembles the md5 digest's first 60 bits exactly like
+    * TextFunctions.portableTokenHash. Vote rule is SimHashAgg's
+    * (2·count > n). MultimodalSpec pins kernel == pipeline for BOTH
+    * hashes on the fixture corpus plus length-edge payloads.
+    */
+  private[graft] def phashSignaturesKernel(payload: DataFrame,
+                                               portable: Boolean): DataFrame =
+    payload
+      .filter(length(col("payload")) >= 4)
+      .select(col("doc_id"),
+        (if (portable) sigKernelPortable else sigKernelXx)(col("payload"))
+          .as("sig"))
+
+  private def simhashOfByteGrams(payload: Array[Byte],
+                                 md: java.security.MessageDigest): Long = {
+    val counts = new Array[Int](64)
+    val n = payload.length
+    var off = 0
+    var grams = 0
+    while (off <= n - 4) {
+      val h =
+        if (md != null) {
+          md.reset()
+          md.update(payload, off, 4)
+          val d = md.digest()
+          var x = 0L
+          var i = 0
+          while (i < 7) { x = (x << 8) | (d(i) & 0xFFL); i += 1 }
+          (x << 4) | ((d(7) & 0xF0L) >>> 4)
+        } else {
+          org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+            payload, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + off,
+            4, 42L)
+        }
+      var b = 0
+      while (b < 64) { counts(b) += ((h >>> b) & 1L).toInt; b += 1 }
+      grams += 1
+      off += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) * 2L > grams) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  private val sigKernelXx = udf { (payload: Array[Byte]) =>
+    if (payload == null || payload.length < 4) null
+    else java.lang.Long.valueOf(simhashOfByteGrams(payload, null))
+  }
+
+  private val sigKernelPortable = udf { (payload: Array[Byte]) =>
+    if (payload == null || payload.length < 4) null
+    else java.lang.Long.valueOf(simhashOfByteGrams(payload,
+      java.security.MessageDigest.getInstance("MD5")))
   }
 
   /** Oracle-portable [[phashPairs]] — md5-prefix gram hash, replayed
@@ -291,8 +364,7 @@ object Multimodal {
     */
   def phashSigsPortable(s: SparkSession, dir: String): DataFrame =
     FamilyCache.get(s, dir, "phash_sigs_portable") {
-      phashSignatures(asBinaryPayload(s, dir),
-        graft.functions.TextFunctions.portableTokenHash)
+      phashSignaturesKernel(asBinaryPayload(s, dir), portable = true)
     }
 
   /** Media duplicate clusters — phash pairs → connected components,

@@ -654,6 +654,58 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("phash signature kernel is bit-equal to the declarative pipeline, both hashes") {
+    // r11: the bench entries compute signatures through the one-pass
+    // per-payload kernel (phashSignaturesKernel); the exploded
+    // gram-hash + graft_simhash pipeline stays the reference. The two
+    // must agree per doc on BOTH shipped hashes, across the fixture
+    // corpus AND the length edges (0..5 bytes: below/at/just past the
+    // 4-byte gram width), or the kernel is silently re-deriving
+    // different candidates.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val edges = Seq((9001L, ""), (9002L, "abc"), (9003L, "abcd"),
+      (9004L, "abcde"), (9005L, "aaaaaaaa"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"),
+        struct(lit("text/plain").as("mime"),
+          length(col("text").cast("binary")).as("n_bytes")).as("meta"))
+    val payload = Multimodal.asBinaryPayload(spark, sf).unionByName(edges)
+    for ((h, portable) <- Seq[(org.apache.spark.sql.Column => org.apache.spark.sql.Column, Boolean)](
+        (xxhash64(_), false),
+        (graft.functions.TextFunctions.portableTokenHash, true))) {
+      val pipe = Multimodal.phashSignatures(payload, h)
+      val kern = Multimodal.phashSignaturesKernel(payload, portable)
+      assert(pipe.exceptAll(kern).isEmpty && kern.exceptAll(pipe).isEmpty,
+        s"kernel/pipeline signature divergence (portable=$portable)")
+    }
+  }
+
+  test("token simhash kernel is bit-equal to the declarative pipeline, both hashes") {
+    // r11: dedup_simhash{,_portable} compute signatures through the
+    // one-pass kernel; the explode → tokenHash → graft_simhash pipeline
+    // stays the reference. Edge corpus exercises the tokenizer contract
+    // the kernel must replicate: Spark trim strips ASCII spaces only,
+    // split("\\s+", -1) keeps leading AND trailing empty tokens (tabs/
+    // newlines survive trim), empty-after-trim docs are absent.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val edges = Seq((9001L, ""), (9002L, "   "), (9003L, "\t"),
+      (9004L, "ab\t"), (9005L, " \tab cd\n"), (9006L, "one"),
+      (9007L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").unionByName(edges)
+    for ((h, portable) <- Seq[(org.apache.spark.sql.Column => org.apache.spark.sql.Column, Boolean)](
+        (xxhash64(_), false),
+        (TextFunctions.portableTokenHash(_), true))) {
+      val pipe = Dedup.simhashSignatures(docs, h)
+      val kern = Dedup.simhashSignaturesKernel(docs, portable)
+      assert(pipe.exceptAll(kern).isEmpty && kern.exceptAll(pipe).isEmpty,
+        s"kernel/pipeline token-simhash divergence (portable=$portable)")
+    }
+  }
+
   test("phash xxhash64 path matches the portable twin on a dup-structured corpus") {
     // VERDICT r6 item 7: the production (xxhash64-gram) path is exactly
     // the one no oracle value-checks — pin its pairing decisions against
