@@ -285,11 +285,15 @@ object Features {
         System.err.println(f"[bpe] $tag ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
+    // LAZY checkpoint: the nDocs count right below is the materializing
+    // action, so tokenization runs once inside that job instead of
+    // paying a separate eager-materialization job first (the r11
+    // roundCheckpointLazy pattern; no upstream release is involved here)
     var docs = t("tokenize+checkpoint")(Tables.documents(s, dir)
       .select(col("doc_id"),
         graft.functions.TextFunctions.tokens(lower(col("text"))).as("toks"))
       .filter(size(col("toks")) > 0)
-      .localCheckpoint(true))
+      .localCheckpoint(eager = false))
     val before = docs.select(col("doc_id"), size(col("toks")).cast("long").as("n"))
     val nDocs = t("count")(docs.count())
     val rules = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
