@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked runs default to LoggedOutput, which routes the app's stdout
+// through sbt's logger with an "[info] " prefix — that prefix broke the
+// driver's parse of Bench's one-line JSON contract in every round r01-r11
+// (BENCH_rNN.json "parsed": null). StdoutOutput passes the forked JVM's
+// stdout/stderr through verbatim.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

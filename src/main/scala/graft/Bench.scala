@@ -216,38 +216,51 @@ object Bench {
         case c => c.toString
       }
     val sfJson = jstr(sfDir)
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfJson"$sweepNote}"""
-    println(json)
-    // The driver captures only a ~2000-char tail of stdout, which the full
-    // per-query map overflows at 200+ queries (the r7 artifact parsed to
-    // null) — always persist the complete record to a repo file, and print
-    // a COMPACT summary as the very last stdout line so the captured tail
-    // is self-sufficiently parseable on its own.
-    // Filtered dev runs (SPARK_GRAFT_QUERIES set) must NOT clobber the
-    // full-suite record: they default to a scratch path instead. The
-    // default-demoted set IS the canonical full suite, so it alone does
-    // not make a run a subset — but re-INCLUDING a demoted entry
-    // (SPARK_GRAFT_INCLUDE) makes the run a SUPERSET, whose total is just
-    // as non-comparable to the canonical record, so it routes to the
-    // scratch path too.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      if (only.isDefined || (excluded -- demoted).nonEmpty || reIncluded.nonEmpty)
-        "/tmp/bench_subset.json"
-      else "/root/repo/bench_out.json")
-    // advertise `detail` only if the record actually landed — a tail
-    // parser must not be pointed at a stale or missing file
+    // Per-run detail record: a UNIQUE timestamped file under bench_runs/,
+    // never overwritten — the r11 postmortem found the driver's 8-core run
+    // destroying the 32-core per-query record because every run wrote the
+    // same bench_out.json. The committed bench_out.json stays as the last
+    // r11 quiet-host record; Bench no longer writes it (r11 verdict item 1).
+    // SPARK_GRAFT_BENCH_OUT still overrides for scripted A/Bs. Subset /
+    // superset runs (SPARK_GRAFT_QUERIES / extra excludes / re-included
+    // demoted entries) are labelled `_subset` in the filename so a partial
+    // run can never masquerade as a canonical full-suite record.
+    val subset =
+      only.isDefined || (excluded -- demoted).nonEmpty || reIncluded.nonEmpty
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", {
+      val ts = java.time.format.DateTimeFormatter
+        .ofPattern("yyyyMMdd'T'HHmmss").withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.now())
+      val tag = s"c${GraftSession.coreCount(cpus)}_sw$sweeps" +
+        (if (subset) "_subset" else "")
+      val dir = java.nio.file.Paths.get("/root/repo/bench_runs")
+      java.nio.file.Files.createDirectories(dir)
+      dir.resolve(s"bench_${ts}_$tag.json").toString
+    })
+    // advertise `detail` only if the record actually landed — a parser
+    // must not be pointed at a stale or missing file
     val detailNote =
       try {
         java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-          json.getBytes("UTF-8"))
+          s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfJson"$sweepNote}""".getBytes("UTF-8"))
         s""","detail":"${jstr(outPath)}""""
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
           s""","detail_error":"write failed""""
       }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"sf":"$sfJson"$sweepNote$detailNote}""")
+    // THE driver contract line — the ONLY stdout line this main prints:
+    // one bare JSON object with the total AND the full per-query map, as
+    // the doc comment always promised. Through r11 the map was omitted
+    // here (it only went to the detail file) and the line arrived
+    // "[info]"-prefixed via sbt's logger, so the driver parsed null in
+    // every round (r11 verdict item 1). build.sbt now sets
+    // outputStrategy := StdoutOutput so this line reaches stdout verbatim;
+    // the human-readable summary goes to stderr. Timing methodology is
+    // UNCHANGED — this is output plumbing only.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n":${results.size},"sf":"$sfJson"$sweepNote$detailNote}""")
+    System.err.println(
+      s"""[bench] total=$total sec n=${results.size} sf=$sfDir sweeps=$sweeps detail=$outPath""")
     spark.stop()
   }
 }

@@ -32,7 +32,7 @@ object GraftSession {
     * it: for partition math, "*" means the machine's core count, exactly
     * what local[*] resolves to.
     */
-  private def coreCount(cpus: String): Int =
+  private[graft] def coreCount(cpus: String): Int =
     cpus.toIntOption.getOrElse(Runtime.getRuntime.availableProcessors())
 
   /** Fixture-aware builder: sizes shuffle parallelism from the data
