@@ -268,6 +268,15 @@ object TextFunctions {
     * production-cluster choice where verification is done differently.
     * 60 bits keep the value positive in a signed 64-bit long on every
     * engine.
+    *
+    * CAVEAT (r11 ADVICE): this is an opaque deterministic Scala UDF at
+    * every call site — Catalyst can neither push predicates through it
+    * nor constant-fold it, and a `.filter` on a column COMPUTED from it
+    * can be pushed below the projection and evaluate the UDF twice per
+    * row (guide §4.4 — the double-evaluation simhashSignaturesKernel
+    * dodged by pre-filtering on a cheap native predicate instead,
+    * Dedup.scala). New call sites must either filter on the raw input
+    * column or check the plan for a duplicated BatchEval/UDF node.
     */
   def portableTokenHash(c: Column): Column = md5Prefix60(c)
 

@@ -50,13 +50,35 @@ private[graft] object CacheLifecycle {
       .map(org.apache.spark.storage.StorageLevel.fromString)
       .getOrElse(org.apache.spark.storage.StorageLevel.DISK_ONLY)
 
+  /** RDD.doCheckpoint stops at the FIRST checkpoint-marked RDD it meets
+    * unless `spark.checkpoint.checkpointAllMarkedAncestors` is set — so a
+    * covering action over STACKED lazy checkpoints (k-core's lazy degree
+    * frame over the lazy edge frame) would finalize only the top one: the
+    * ancestor's lineage stays untruncated, its released upstream blocks
+    * stay referenced by live lineage (block loss becomes a hard failure
+    * instead of a recompute), and RDD retention grows with round count
+    * (r11 ADVICE, medium). The flag is a thread-LOCAL property captured at
+    * RDD CONSTRUCTION (verified against the 4.1.2 bytecode: a private
+    * final field read from `sc.getLocalProperty` in the constructor), not
+    * a SparkConf — so both helpers set it on the calling thread, which in
+    * every loop is also the thread that builds and runs the covering
+    * action. Idempotent and sticky per thread; it only affects RDDs that
+    * were explicitly marked for checkpointing, i.e. exactly the round
+    * frames routed through here.
+    */
+  private def markAllAncestors(df: DataFrame): Unit =
+    df.sparkSession.sparkContext.setLocalProperty(
+      "spark.checkpoint.checkpointAllMarkedAncestors", "true")
+
   /** Eager per-round checkpoint at the configured level — the drop-in
     * for `.localCheckpoint(true)` inside iterative loops. Results and
     * family caches keep the default level; only superseded-per-round
     * state routes through here.
     */
-  def roundCheckpoint(df: DataFrame): DataFrame =
+  def roundCheckpoint(df: DataFrame): DataFrame = {
+    markAllAncestors(df)
     df.localCheckpoint(eager = true, storageLevel = roundLevel)
+  }
 
   /** LAZY round checkpoint for loops whose very next statement runs an
     * aggregate action over the frame (k-core's per-round degree table,
@@ -77,9 +99,16 @@ private[graft] object CacheLifecycle {
     * twice). Loops that release the superseded round right after
     * creating the next one (pagerank, label propagation) must keep the
     * eager form.
+    *
+    * Stacked lazy checkpoints (one lazy frame derived from another, one
+    * covering action over both) finalize correctly because
+    * [[markAllAncestors]] turns on ancestor finalization for the calling
+    * thread — CacheLifecycleSpec pins the two-deep stack.
     */
-  def roundCheckpointLazy(df: DataFrame): DataFrame =
+  def roundCheckpointLazy(df: DataFrame): DataFrame = {
+    markAllAncestors(df)
     df.localCheckpoint(eager = false, storageLevel = roundLevel)
+  }
 
   /** Explicitly free the block storage behind a `localCheckpoint`ed
     * frame. `Dataset.unpersist` does NOT release checkpoint blocks —

@@ -318,7 +318,36 @@ object Graph {
     * gate on either engine).
     */
   def commonNeighbors(s: SparkSession, dir: String, k: Int = 5,
-                      candidateMod: Int = 4): DataFrame = {
+                      candidateMod: Int = 4): DataFrame =
+    // byCenter is consumed exactly once in this form — nothing shared to
+    // persist; materialize only the output-sized result
+    CacheLifecycle.materialize(
+      commonNeighborsPlan(s, dir, k, candidateMod, groupedSuffix = true))
+
+  /** Lazy-plan body of [[commonNeighbors]] with both wedge-exchange
+    * formulations in-tree (WedgePerf A/Bs them; WedgeSuffixSpec pins
+    * value equality):
+    *
+    *  - `groupedSuffix = false` (the r6–r11 form): explode the full
+    *    per-center wedge set BEFORE the exchange — the shuffle carries
+    *    one (w, a, c) row PER WEDGE (92M rows at sf1, and every
+    *    fixed-width UnsafeRow field pays an 8-byte slot, so the "narrow"
+    *    wedge row is 32 B on the wire ≈ 2.9 GB shuffled).
+    *  - `groupedSuffix = true` (r12 — guide §2.3 "shuffle fewer bytes"
+    *    via §8 "pack the payload"): exchange one (w, a, cs) row per
+    *    (center, endpoint) where cs = the suffix of the center's sorted
+    *    array after a — the SAME wedge multiset packed as array payload
+    *    (8 B per wedge element + one ~48 B row per watchlist edge, ~10×
+    *    fewer rows through the shuffle writer/reader) — and explode
+    *    AFTER the exchange. Generate preserves its child's output
+    *    partitioning, so the one-exchange tail below is untouched; the
+    *    (w, a, c) multiset reaching the aggregate is identical by
+    *    construction (ns is sorted-distinct: suffix pairs ⟺ the old
+    *    in-order a < c pairs).
+    */
+  private[graft] def commonNeighborsPlan(s: SparkSession, dir: String,
+                                         k: Int, candidateMod: Int,
+                                         groupedSuffix: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pairs = coPairs(s, dir)
     val deg = coDegrees(s, dir)
@@ -326,7 +355,7 @@ object Graph {
     // wedge generation in the GROUPED-ARRAY form (the coPairs lesson,
     // applied to centers): collapse each center's watchlist neighbors to
     // one sorted array — a single watchlist-edge-sized shuffle — then
-    // emit the C(k,2) in-order pairs with two codegen'd explodes. The r6
+    // emit the C(k,2) in-order pairs with codegen'd explodes. The r6
     // self-join formulation broadcast the whole watchlist adjacency
     // (~E/candidateMod rows — a multi-million-row driver collect at sf1,
     // and an executor-memory ceiling on a real cluster) and probed it
@@ -349,11 +378,30 @@ object Graph {
     // over the full wedge stream (92M rows → 63M keys at sf1, dup factor
     // 1.46 — the map was pure overhead) plus a second exchange of the
     // survivors for the window; measured sf1: 24.2 → ~11 s.
-    val cn = byCenter
-      .select(col("w"), col("ns"), explode(col("ns")).as("a"))
-      .select(col("w"), col("a"), explode(col("ns")).as("c"))
-      .filter(col("a") < col("c"))
-      .repartition(col("a"))
+    val wedges =
+      if (groupedSuffix)
+        byCenter
+          .select(col("w"), col("ns"),
+            posexplode(col("ns")).as(Seq("i", "a")))
+          // drop the last position BEFORE projecting the suffix — a
+          // filter on size(cs) would be pushed below the projection and
+          // evaluate the slice twice per row (seen in the first plan cut)
+          .filter(col("i") < size(col("ns")) - 1)
+          // suffix after 0-based position i (slice is 1-based): every
+          // element is > a because ns is sorted-distinct — exactly the
+          // old in-order pairs, grouped per endpoint
+          .select(col("w"), col("a"),
+            slice(col("ns"), col("i") + lit(2),
+              size(col("ns")) - col("i") - lit(1)).as("cs"))
+          .repartition(col("a"))
+          .select(col("w"), col("a"), explode(col("cs")).as("c"))
+      else
+        byCenter
+          .select(col("w"), col("ns"), explode(col("ns")).as("a"))
+          .select(col("w"), col("a"), explode(col("ns")).as("c"))
+          .filter(col("a") < col("c"))
+          .repartition(col("a"))
+    val cn = wedges
       .groupBy(col("a"), col("c"))
       .agg(count(lit(1)).as("cn"), round(sum(col("w")), 6).as("aa"))
       .filter(col("cn") >= 2)
@@ -366,11 +414,8 @@ object Graph {
         col("aa"))
     val w = Window.partitionBy("part_a")
       .orderBy(col("jaccard").desc, col("cn").desc, col("part_b"))
-    val out = scored.withColumn("rank", row_number().over(w).cast("int"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
       .filter(col("rank") <= k)
-    // byCenter is consumed exactly once in this form — nothing shared to
-    // persist; materialize only the output-sized result
-    CacheLifecycle.materialize(out)
   }
 
   /** Connected components of the co-purchase graph through the

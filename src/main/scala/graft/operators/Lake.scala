@@ -30,14 +30,34 @@ object Lake {
   private def manifestPath(table: Path, version: Int): Path =
     table.resolve(s"_manifest_v$version.json")
 
+  /** Output-file target for fixture-sized commits (guide §6: size output
+    * files sensibly — the default layout inherited one file per session
+    * partition, i.e. 32 KB-sized files per version locally, and every
+    * read-back then paid a 32-path listing job and 32 tiny footer/scan
+    * opens; r12 jobtrace attributed most of the lake family's warm time
+    * to exactly that). 4 files keeps the fixture tables (KB–MB) in
+    * sanely sized files while preserving write parallelism headroom; a
+    * production committer sizes by BYTES (128 MB–1 GB targets via
+    * maxRecordsPerFile / rebalance) — this constant is the local stand-in,
+    * not a tuning knob to carry to a cluster.
+    */
+  private[graft] val FixtureWriteFiles = 4
+
   /** Commit `df` as `version`: data lands under files/v<version>/, then
     * the manifest publishes (previous live files ∓ replaced keys is the
     * CALLER's contract — this layer only publishes file lists).
+    *
+    * `fileTarget > 0` coalesces the write to that many files (no
+    * shuffle); 0 leaves the caller's layout alone — snapshotExpire pins
+    * its file accounting with explicit repartition literals and must
+    * stay byte-identical.
     */
   def commit(df: DataFrame, table: Path, version: Int,
-             carryForward: Seq[String] = Nil): Unit = {
+             carryForward: Seq[String] = Nil,
+             fileTarget: Int = 0): Unit = {
     val dataDir = table.resolve(s"files/v$version")
-    df.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
+    val sized = if (fileTarget > 0) df.coalesce(fileTarget) else df
+    sized.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
     val listing = Files.list(dataDir) // must close: fd leak otherwise
     val names = scala.collection.mutable.ArrayBuffer.empty[String]
     try {
@@ -104,11 +124,16 @@ object Lake {
     * exactly that.
     */
   def timeTravel(s: SparkSession, dir: String): DataFrame = {
+    // ONE scan+exchange of the corpus serves every derivation below —
+    // the uncheckpointed form re-scanned and re-repartitioned documents
+    // once per reference (r12 jobtrace); released in the finally after
+    // the collect has drained everything
     val docs = Tables.documents(s, dir).select("doc_id", "text")
+      .localCheckpoint(true)
     val table = Files.createTempDirectory("graft_lake_")
     try {
       val v1 = docs.filter(col("doc_id") % 2 === 0)
-      commit(v1, table, 1)
+      commit(v1, table, 1, fileTarget = FixtureWriteFiles)
       val replaced = docs.filter(col("doc_id") % 3 === 0)
         .withColumn("text", upper(col("text")))
       // copy-on-write: keep v1 rows whose key is NOT replaced, add the
@@ -116,7 +141,7 @@ object Lake {
       val v2 = readVersion(s, table, 1)
         .join(replaced.select("doc_id"), Seq("doc_id"), "left_anti")
         .unionByName(replaced)
-      commit(v2, table, 2)
+      commit(v2, table, 2, fileTarget = FixtureWriteFiles)
       val out = Seq(1, 2).map { v =>
         val d = readVersion(s, table, v)
         val r = d.agg(count(lit(1)).as("n_docs"),
@@ -129,6 +154,7 @@ object Lake {
       out.toDF("version", "n_docs", "n_rewritten")
     } finally {
       // data read eagerly above (collect) — safe to clean the temp table
+      CacheLifecycle.release(docs)
       org.apache.commons.io.FileUtils.deleteDirectory(table.toFile)
     }
   }
@@ -141,14 +167,17 @@ object Lake {
     * counts where gen1 rows land in the NULL-lang bucket.
     */
   def schemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    // one scan+exchange serves both generation writes (r12; see
+    // timeTravel) — released in the finally
     val docs = Tables.documents(s, dir)
+      .select("doc_id", "n_chars", "lang").localCheckpoint(true)
     val table = Files.createTempDirectory("graft_lake_evo_")
     try {
       docs.filter(col("doc_id") % 2 === 0).select("doc_id", "n_chars")
-        .write.mode(SaveMode.Overwrite)
+        .coalesce(FixtureWriteFiles).write.mode(SaveMode.Overwrite)
         .parquet(table.resolve("gen=1").toString)
       docs.filter(col("doc_id") % 2 =!= 0).select("doc_id", "n_chars", "lang")
-        .write.mode(SaveMode.Overwrite)
+        .coalesce(FixtureWriteFiles).write.mode(SaveMode.Overwrite)
         .parquet(table.resolve("gen=2").toString)
       val merged = s.read.option("mergeSchema", "true")
         .parquet(table.toString)
@@ -159,6 +188,7 @@ object Lake {
       out.map(r => (Option(r.getString(0)).orNull, r.getLong(1), r.getLong(2)))
         .toSeq.toDF("lang", "n_docs", "sum_chars")
     } finally {
+      CacheLifecycle.release(docs)
       org.apache.commons.io.FileUtils.deleteDirectory(table.toFile)
     }
   }
@@ -181,18 +211,21 @@ object Lake {
     * metadata pruning before any data read).
     */
   def changeFeed(s: SparkSession, dir: String): DataFrame = {
+    // one scan+exchange of the corpus for all three derivations (r12;
+    // see timeTravel) — released in the finally
     val docs = Tables.documents(s, dir).select("doc_id", "text")
+      .localCheckpoint(true)
     val table = Files.createTempDirectory("graft_lake_cdc_")
     try {
       val v1 = docs.filter(col("doc_id") % 2 === 0)
-      commit(v1, table, 1)
+      commit(v1, table, 1, fileTarget = FixtureWriteFiles)
       val replaced = docs.filter(col("doc_id") % 3 === 0)
         .withColumn("text", upper(col("text")))
       val v2 = readVersion(s, table, 1)
         .filter(!(col("doc_id") % 10 === 4 && col("doc_id") % 3 =!= 0))
         .join(replaced.select("doc_id"), Seq("doc_id"), "left_anti")
         .unionByName(replaced)
-      commit(v2, table, 2)
+      commit(v2, table, 2, fileTarget = FixtureWriteFiles)
       val a = readVersion(s, table, 1).select(col("doc_id"), col("text").as("t1"))
       val b = readVersion(s, table, 2).select(col("doc_id"), col("text").as("t2"))
       val j = a.join(b, Seq("doc_id"), "full_outer")
@@ -214,6 +247,7 @@ object Lake {
       // materialize before the temp table is deleted
       CacheLifecycle.materialize(feed)
     } finally {
+      CacheLifecycle.release(docs)
       org.apache.commons.io.FileUtils.deleteDirectory(table.toFile)
     }
   }
@@ -267,14 +301,17 @@ object Lake {
     * with the manifest union still metadata-sized.
     */
   def vacuumOrphans(s: SparkSession, dir: String): DataFrame = {
+    // one scan+exchange for the commit and the aborted retry (r12; see
+    // timeTravel) — released in the finally
     val docs = Tables.documents(s, dir).select("doc_id", "text")
+      .localCheckpoint(true)
     val table = Files.createTempDirectory("graft_lake_vac_")
     try {
-      commit(docs, table, 1)
+      commit(docs, table, 1, fileTarget = FixtureWriteFiles)
       // aborted commit: data files land under files/v2, no manifest
       docs.filter(col("doc_id") % 5 === 0)
         .withColumn("text", concat(col("text"), lit(" [retry]")))
-        .write.mode(SaveMode.Overwrite)
+        .coalesce(FixtureWriteFiles).write.mode(SaveMode.Overwrite)
         .parquet(table.resolve("files/v2").toString)
       def inventory(): Set[String] = {
         val stream = Files.walk(table.resolve("files"))
@@ -312,6 +349,7 @@ object Lake {
       Seq((liveAfter, orphanRows, orphanChars))
         .toDF("n_live_rows", "n_orphan_rows", "orphan_chars")
     } finally {
+      CacheLifecycle.release(docs)
       org.apache.commons.io.FileUtils.deleteDirectory(table.toFile)
     }
   }
@@ -374,7 +412,12 @@ object Lake {
     */
   def snapshotExpire(s: SparkSession, dir: String,
                      keepLast: Int = 1): DataFrame = {
+    // one corpus scan+exchange for the three commits (r12; see
+    // timeTravel). The commits keep their explicit repartition(4)
+    // literals and NO fileTarget — the file accounting below is pinned
+    // to them.
     val docs = Tables.documents(s, dir).select("doc_id", "text")
+      .localCheckpoint(true)
     val table = Files.createTempDirectory("graft_lake_exp_")
     try {
       commit(docs.filter(col("doc_id") % 2 === 0).repartition(4), table, 1)
@@ -407,6 +450,7 @@ object Lake {
       rows.toDF("version", "retained", "n_files", "n_safe_deleted",
         "n_rows_after")
     } finally {
+      CacheLifecycle.release(docs)
       org.apache.commons.io.FileUtils.deleteDirectory(table.toFile)
     }
   }

@@ -226,7 +226,7 @@ object Multimodal {
     * (explode one row per byte offset → gram hash expression → the
     * graft_simhash aggregate), kept as the executable reference for an
     * arbitrary `gramHash` and pinned bit-equal to the kernel below by
-    * MultimodalSpec. The bench entries run [[phashSignaturesKernel]].
+    * OperatorSpec (and PhashPerf asserts both arms before timing). The bench entries run [[phashSignaturesKernel]].
     */
   private[graft] def phashSignatures(
       payload: DataFrame,
@@ -258,7 +258,7 @@ object Multimodal {
     * (seed 42, the xxhash64 expression's definition); the portable hash
     * assembles the md5 digest's first 60 bits exactly like
     * TextFunctions.portableTokenHash. Vote rule is SimHashAgg's
-    * (2·count > n). MultimodalSpec pins kernel == pipeline for BOTH
+    * (2·count > n). OperatorSpec pins kernel == pipeline for BOTH
     * hashes on the fixture corpus plus length-edge payloads.
     */
   private[graft] def phashSignaturesKernel(payload: DataFrame,

@@ -849,7 +849,8 @@ object Similarity {
       .withColumn("bucket", lshBucket(numPlanes, dim)(col("v")))
     val table = java.nio.file.Files.createTempDirectory("graft_ann_index_")
     try {
-      graft.operators.Lake.commit(indexed, table, 1)
+      graft.operators.Lake.commit(indexed, table, 1,
+        fileTarget = graft.operators.Lake.FixtureWriteFiles)
       val idx = graft.operators.Lake.readVersion(s, table, 1)
       val q = idx.filter(col("vec_id") < numQueries)
         .select(col("vec_id").as("query_id"), col("v").as("qv"),

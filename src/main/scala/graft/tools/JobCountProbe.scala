@@ -22,12 +22,24 @@ object JobCountProbe {
     spark.sparkContext.setLogLevel("ERROR")
     val jobs = new AtomicInteger(0)
     val stages = new AtomicInteger(0)
+    // GRAFT_PROBE_JOBS=1: per-job duration + call-site lines (r12) — the
+    // attribution view for job-floor-bound families (lake_*)
+    val perJob = sys.env.get("GRAFT_PROBE_JOBS").contains("1")
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     val listener = new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit =
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
+        if (perJob) jobStart.put(j.jobId, (System.nanoTime(),
+          Option(j.properties.getProperty("spark.job.description"))
+            .orElse(Option(j.properties.getProperty("callSite.short")))
+            .getOrElse("?")))
+      }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
         stages.incrementAndGet()
-      override def onJobEnd(j: SparkListenerJobEnd): Unit = ()
+      override def onJobEnd(j: SparkListenerJobEnd): Unit =
+        if (perJob) Option(jobStart.get(j.jobId)).foreach { case (t0, desc) =>
+          println(f"[jobtrace]   job=${j.jobId}%-4d ${(System.nanoTime() - t0) / 1e9}%6.2f s  $desc")
+        }
     }
     spark.range(1000000).selectExpr("sum(id)").collect() // JIT/daemon warm
     names.foreach { name =>

@@ -26,8 +26,14 @@ object PhashPerf {
     val kernX = () => graft.operators.Multimodal.phashSignaturesKernel(
       payload, portable = false)
 
+    // equality before timing, BOTH arms (r11 ADVICE: the xx arm was
+    // previously pinned only by the spec, so the probe could in principle
+    // time a diverging kernel)
     val diff = pipe().exceptAll(kern()).count() + kern().exceptAll(pipe()).count()
     println(s"[phashperf] portable mismatches=$diff (must be 0)")
+    val diffX = pipeX().exceptAll(kernX()).count() + kernX().exceptAll(pipeX()).count()
+    println(s"[phashperf] xxhash64 mismatches=$diffX (must be 0)")
+    require(diff == 0 && diffX == 0, "kernel/pipeline divergence — do not time")
 
     // plan evidence for the r11 record: the signature STAGE's plans
     // (the public operators materialize eagerly, so their own explain
