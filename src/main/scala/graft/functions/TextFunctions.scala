@@ -341,31 +341,31 @@ object TextFunctions {
     while (b > a && text.charAt(b - 1) == ' ') b -= 1
     if (a >= b) return null // tokens() yields array() → no pipeline row
     val toks = WhitespaceRun.split(text.substring(a, b), -1)
-    val counts = new Array[Int](64)
+    // SWAR vote counter (SimhashVotes): 8 lookups+adds per token hash
+    // instead of 64 shift+mask+adds — bit-identical counts (r12)
+    val votes = new SimhashVotes
+    val digest = if (md != null) new Array[Byte](16) else null
     var i = 0
     while (i < toks.length) {
       val bytes = toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val h =
         if (md != null) {
           md.reset()
-          val d = md.digest(bytes)
+          md.update(bytes)
+          md.digest(digest, 0, 16)
           var x = 0L
           var j = 0
-          while (j < 7) { x = (x << 8) | (d(j) & 0xFFL); j += 1 }
-          (x << 4) | ((d(7) & 0xF0L) >>> 4)
+          while (j < 7) { x = (x << 8) | (digest(j) & 0xFFL); j += 1 }
+          (x << 4) | ((digest(7) & 0xF0L) >>> 4)
         } else {
           org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
             bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
             bytes.length, 42L)
         }
-      var bb = 0
-      while (bb < 64) { counts(bb) += ((h >>> bb) & 1L).toInt; bb += 1 }
+      votes.add(h)
       i += 1
     }
-    var sig = 0L
-    var bb = 0
-    while (bb < 64) { if (counts(bb) * 2L > toks.length) sig |= (1L << bb); bb += 1 }
-    java.lang.Long.valueOf(sig)
+    java.lang.Long.valueOf(votes.signature)
   }
 
   private val tokenSimhashXxUdf =

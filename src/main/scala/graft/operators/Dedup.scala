@@ -606,6 +606,16 @@ object Dedup {
     */
   private[operators] def simhashBucketVerify(sigs: DataFrame,
                                              maxBucket: Int): DataFrame = {
+    val (pairs, chunks) = simhashBucketVerifyPlan(sigs, maxBucket)
+    CacheLifecycle.materialize(pairs, chunks)
+  }
+
+  /** Lazy plan of [[simhashBucketVerify]] — (pairs, shared chunk table to
+    * persist). Exposed so probes can dump/time the verify stage the
+    * eager materialize otherwise hides (r12, verdict item 6).
+    */
+  private[graft] def simhashBucketVerifyPlan(sigs: DataFrame,
+                                             maxBucket: Int): (DataFrame, DataFrame) = {
     val chunks = sigs.select(col("doc_id"), col("sig"),
       posexplode(array((0 until 4).map(i =>
         shiftrightunsigned(col("sig"), i * 16).bitwiseAND(0xFFFFL)): _*))
@@ -621,7 +631,7 @@ object Dedup {
         hamming64(col("a.sig"), col("b.sig")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= 3)
-    CacheLifecycle.materialize(pairs, chunks)
+    (pairs, chunks)
   }
 
   /** Oracle-portable [[simhashPairs]]: identical pipeline with the

@@ -271,34 +271,31 @@ object Multimodal {
 
   private def simhashOfByteGrams(payload: Array[Byte],
                                  md: java.security.MessageDigest): Long = {
-    val counts = new Array[Int](64)
+    val votes = new graft.functions.SimhashVotes
+    val digest = if (md != null) new Array[Byte](16) else null
     val n = payload.length
     var off = 0
-    var grams = 0
     while (off <= n - 4) {
       val h =
         if (md != null) {
           md.reset()
           md.update(payload, off, 4)
-          val d = md.digest()
+          // digest into a reused buffer — md.digest() allocates a fresh
+          // 16 B array per gram, i.e. per payload BYTE on this path (r12)
+          md.digest(digest, 0, 16)
           var x = 0L
           var i = 0
-          while (i < 7) { x = (x << 8) | (d(i) & 0xFFL); i += 1 }
-          (x << 4) | ((d(7) & 0xF0L) >>> 4)
+          while (i < 7) { x = (x << 8) | (digest(i) & 0xFFL); i += 1 }
+          (x << 4) | ((digest(7) & 0xF0L) >>> 4)
         } else {
           org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
             payload, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + off,
             4, 42L)
         }
-      var b = 0
-      while (b < 64) { counts(b) += ((h >>> b) & 1L).toInt; b += 1 }
-      grams += 1
+      votes.add(h)
       off += 1
     }
-    var sig = 0L
-    var b = 0
-    while (b < 64) { if (counts(b) * 2L > grams) sig |= (1L << b); b += 1 }
-    sig
+    votes.signature
   }
 
   private val sigKernelXx = udf { (payload: Array[Byte]) =>

@@ -38,7 +38,9 @@ object PhashPerf {
     // plan evidence for the r11 record: the signature STAGE's plans
     // (the public operators materialize eagerly, so their own explain
     // shows only the checkpoint scan)
-    val planDir = java.nio.file.Paths.get("plans/r11")
+    // r12: dump to the CURRENT round dir — this probe overwrote the
+    // committed r11 artifacts when re-run (round dirs are append-only records)
+    val planDir = java.nio.file.Paths.get("plans/r12")
     java.nio.file.Files.createDirectories(planDir)
     def dump(name: String, df: org.apache.spark.sql.DataFrame): Unit =
       java.nio.file.Files.write(planDir.resolve(name),
