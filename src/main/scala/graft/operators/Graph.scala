@@ -251,8 +251,15 @@ object Graph {
   /** Lazy-plan variant of [[triangles]] — returns (plan, persisted
     * adjacency) so PlanSpec pins the physical shape before the public
     * operator's checkpoint hides it; callers unpersist the adjacency.
+    *
+    * `codegenCorners = false` keeps the r5–r11 corner-credit emission
+    * (struct rows via a higher-order `transform`, CodegenFallback —
+    * interpreted once per EDGE row) as the executable reference;
+    * TriangleCornersSpec pins both forms equal and TrianglePerf asserts
+    * it before every timing run.
     */
-  private[operators] def trianglesPlan(s: SparkSession, dir: String)
+  private[graft] def trianglesPlan(s: SparkSession, dir: String,
+                                   codegenCorners: Boolean = true)
   : (DataFrame, DataFrame) = {
     val pairs = coPairs(s, dir)
     val deg = coDegrees(s, dir)
@@ -282,12 +289,26 @@ object Graph {
         Seq("hi"))
       .select(col("lo"), col("hi"),
         array_intersect(col("ln"), col("hn")).as("third"))
-    val corners = inter.select(explode(concat(
-        array(struct(col("lo").as("node"), size(col("third")).cast("long").as("c")),
-              struct(col("hi").as("node"), size(col("third")).cast("long").as("c"))),
-        transform(col("third"), x => struct(x.as("node"), lit(1L).as("c"))))).as("e"))
-      .filter(col("e.c") > 0)
-      .groupBy(col("e.node").as("node")).agg(sum(col("e.c")).as("tri"))
+    // corner credits: lo and hi each earn size(third), every third node
+    // earns 1. The codegen form repeats lo/hi size(third) times so EVERY
+    // exploded element is one unit credit — count(*) ≡ the reference
+    // form's sum(c), zero-credit edges vanish as empty arrays either way
+    // — and the whole Generate input is built from codegen'd expressions
+    // (concat/array_repeat/size) on single longs, where the reference
+    // built struct rows through an interpreted per-edge-row `transform`.
+    val corners = (if (codegenCorners)
+      inter.select(explode(concat(
+          array_repeat(col("lo"), size(col("third"))),
+          array_repeat(col("hi"), size(col("third"))),
+          col("third"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("tri"))
+    else
+      inter.select(explode(concat(
+          array(struct(col("lo").as("node"), size(col("third")).cast("long").as("c")),
+                struct(col("hi").as("node"), size(col("third")).cast("long").as("c"))),
+          transform(col("third"), x => struct(x.as("node"), lit(1L).as("c"))))).as("e"))
+        .filter(col("e.c") > 0)
+        .groupBy(col("e.node").as("node")).agg(sum(col("e.c")).as("tri")))
     val out = deg.join(broadcast(corners), Seq("node"), "left")
       .select(col("node").as("part"),
         coalesce(col("tri"), lit(0L)).as("triangles"), col("deg"))
